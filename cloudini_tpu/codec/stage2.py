@@ -1,0 +1,105 @@
+"""Stage-2 general-purpose chunk compression (LZ4 block / ZSTD frame / NONE).
+
+Equivalent of CompressChunk/DecompressChunk (reference: codec_common.cpp:220-299):
+LZ4 uses the block format via ``LZ4_compress_default``/``LZ4_decompress_safe``
+(bound here with ctypes against the system liblz4), ZSTD uses level 1 via the
+``zstandard`` package (libzstd 1.5.7 — the same version the reference vendors,
+so level-1 output is byte-compatible). Host-side: stage 2 runs on CPU overlapped
+with device stage-1 dispatch.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import ctypes.util
+import struct
+from typing import Optional
+
+import numpy as np
+
+from ..core.types import CompressionOption
+
+_LZ4 = None
+
+
+def _lz4():
+    global _LZ4
+    if _LZ4 is None:
+        path = ctypes.util.find_library("lz4") or "liblz4.so.1"
+        lib = ctypes.CDLL(path)
+        lib.LZ4_compress_default.restype = ctypes.c_int
+        lib.LZ4_compress_default.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.LZ4_decompress_safe.restype = ctypes.c_int
+        lib.LZ4_decompress_safe.argtypes = [
+            ctypes.c_char_p,
+            ctypes.c_char_p,
+            ctypes.c_int,
+            ctypes.c_int,
+        ]
+        lib.LZ4_compressBound.restype = ctypes.c_int
+        lib.LZ4_compressBound.argtypes = [ctypes.c_int]
+        _LZ4 = lib
+    return _LZ4
+
+
+def lz4_compress_bound(n: int) -> int:
+    """LZ4_COMPRESSBOUND macro: n + n/255 + 16."""
+    return n + n // 255 + 16
+
+
+def zstd_compress_bound(n: int) -> int:
+    """ZSTD_COMPRESSBOUND macro."""
+    margin = ((128 << 10) - n) >> 11 if n < (128 << 10) else 0
+    return n + (n >> 8) + margin
+
+
+def compress_chunk(compression: CompressionOption, data: bytes) -> bytes:
+    if compression == CompressionOption.NONE:
+        return data
+    if compression == CompressionOption.LZ4:
+        lib = _lz4()
+        bound = lz4_compress_bound(len(data))
+        dst = ctypes.create_string_buffer(bound)
+        n = lib.LZ4_compress_default(data, dst, len(data), bound)
+        if n <= 0:
+            raise RuntimeError("LZ4 compression failed")
+        return dst.raw[:n]
+    if compression == CompressionOption.ZSTD:
+        import zstandard
+
+        # ZSTD_compress(..., level=1): one-shot frame, content size included
+        cctx = zstandard.ZstdCompressor(level=1)
+        return cctx.compress(data)
+    raise ValueError(f"Unsupported compression option {compression}")
+
+
+def decompress_chunk(compression: CompressionOption, data: bytes, max_size: int) -> bytes:
+    if compression == CompressionOption.NONE:
+        return data
+    if compression == CompressionOption.LZ4:
+        lib = _lz4()
+        dst = ctypes.create_string_buffer(max_size)
+        n = lib.LZ4_decompress_safe(data, dst, len(data), max_size)
+        if n < 0:
+            raise RuntimeError("LZ4 decompression failed")
+        return dst.raw[:n]
+    if compression == CompressionOption.ZSTD:
+        import zstandard
+
+        dctx = zstandard.ZstdDecompressor()
+        return dctx.decompress(data, max_output_size=max_size)
+    raise ValueError(f"Unsupported compression option {compression}")
+
+
+def write_stage1_chunk(compression: CompressionOption, stage1: bytes) -> bytes:
+    """Chunk framing: u32 LE size prefix + (compressed) payload
+    (reference: chunk_writer.cpp:27-48)."""
+    payload = compress_chunk(compression, stage1)
+    if len(payload) > 0xFFFFFFFF:
+        raise ValueError("Chunk too large")
+    return struct.pack("<I", len(payload)) + payload

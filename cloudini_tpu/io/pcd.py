@@ -1,0 +1,138 @@
+"""PCD (Point Cloud Data) file reader/writer.
+
+Host-side ingestion equivalent of the reference's PCL shell
+(``cloudini_lib/src/pcl_conversion.cpp``): a PCD file maps to
+``(EncodingInfo schema, (n, point_step) uint8 rows)``. Supports ascii and
+binary DATA (binary_compressed deliberately omitted — the reference relies on
+PCL which we don't ship).
+"""
+
+from __future__ import annotations
+
+import io as _io
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..core.types import EncodingInfo, FieldType, PointField
+
+_PCD_TYPE = {
+    ("F", 4): FieldType.FLOAT32,
+    ("F", 8): FieldType.FLOAT64,
+    ("I", 1): FieldType.INT8,
+    ("I", 2): FieldType.INT16,
+    ("I", 4): FieldType.INT32,
+    ("I", 8): FieldType.INT64,
+    ("U", 1): FieldType.UINT8,
+    ("U", 2): FieldType.UINT16,
+    ("U", 4): FieldType.UINT32,
+    ("U", 8): FieldType.UINT64,
+}
+_PCD_TYPE_INV = {v: k for k, v in _PCD_TYPE.items()}
+
+_NP_FMT = {
+    FieldType.FLOAT32: np.float32,
+    FieldType.FLOAT64: np.float64,
+    FieldType.INT8: np.int8,
+    FieldType.INT16: np.int16,
+    FieldType.INT32: np.int32,
+    FieldType.INT64: np.int64,
+    FieldType.UINT8: np.uint8,
+    FieldType.UINT16: np.uint16,
+    FieldType.UINT32: np.uint32,
+    FieldType.UINT64: np.uint64,
+}
+
+
+def read_pcd(path: str) -> Tuple[EncodingInfo, np.ndarray]:
+    """Returns (schema with packed offsets, (n, point_step) uint8 rows)."""
+    with open(path, "rb") as f:
+        data = f.read()
+    header_lines = []
+    pos = 0
+    while True:
+        nl = data.find(b"\n", pos)
+        line = data[pos:nl].decode("ascii", errors="replace")
+        pos = nl + 1
+        if line.startswith("#"):
+            continue
+        header_lines.append(line)
+        if line.startswith("DATA"):
+            break
+    hdr = {}
+    for line in header_lines:
+        parts = line.split()
+        if parts:
+            hdr[parts[0]] = parts[1:]
+    names = hdr["FIELDS"]
+    sizes = [int(s) for s in hdr["SIZE"]]
+    types = hdr["TYPE"]
+    counts = [int(c) for c in hdr.get("COUNT", ["1"] * len(names))]
+    width = int(hdr["WIDTH"][0])
+    height = int(hdr.get("HEIGHT", ["1"])[0])
+    n_points = int(hdr.get("POINTS", [width * height])[0])
+    mode = hdr["DATA"][0]
+
+    fields = []
+    offset = 0
+    for name, size, typ, count in zip(names, sizes, types, counts):
+        ftype = _PCD_TYPE[(typ, size)]
+        for c in range(count):
+            fname = name if count == 1 else f"{name}_{c}"
+            fields.append(PointField(fname, offset, ftype))
+            offset += size
+    point_step = offset
+
+    if mode == "binary":
+        body = np.frombuffer(data, dtype=np.uint8, count=n_points * point_step, offset=pos)
+        rows = body.reshape(n_points, point_step).copy()
+    elif mode == "ascii":
+        text = data[pos:].decode("ascii")
+        cols = np.loadtxt(_io.StringIO(text), ndmin=2)
+        rows = np.zeros((n_points, point_step), dtype=np.uint8)
+        for i, f in enumerate(fields):
+            vals = cols[:, i].astype(_NP_FMT[f.type])
+            b = vals.reshape(-1, 1).view(np.uint8)
+            rows[:, f.offset : f.offset + vals.dtype.itemsize] = b.reshape(n_points, vals.dtype.itemsize)
+    else:
+        raise ValueError(f"Unsupported PCD DATA mode: {mode}")
+
+    info = EncodingInfo(fields=tuple(fields), width=width, height=height, point_step=point_step)
+    return info, rows
+
+
+def write_pcd(path: str, info: EncodingInfo, rows: np.ndarray, binary: bool = True) -> None:
+    names = [f.name for f in info.fields]
+    sizes = [f.size for f in info.fields]
+    types = [_PCD_TYPE_INV[f.type][0] for f in info.fields]
+    n = rows.shape[0]
+    header = (
+        "# .PCD v0.7 - Point Cloud Data file format\n"
+        "VERSION 0.7\n"
+        f"FIELDS {' '.join(names)}\n"
+        f"SIZE {' '.join(map(str, sizes))}\n"
+        f"TYPE {' '.join(types)}\n"
+        f"COUNT {' '.join(['1'] * len(names))}\n"
+        f"WIDTH {info.width}\n"
+        f"HEIGHT {info.height}\n"
+        "VIEWPOINT 0 0 0 1 0 0 0\n"
+        f"POINTS {n}\n"
+    )
+    with open(path, "wb") as f:
+        if binary:
+            f.write((header + "DATA binary\n").encode("ascii"))
+            # pack fields contiguously in schema order
+            packed_step = sum(sizes)
+            if info.point_step == packed_step and all(
+                info.fields[i].offset == sum(sizes[:i]) for i in range(len(sizes))
+            ):
+                f.write(rows.tobytes())
+            else:
+                out = np.zeros((n, packed_step), dtype=np.uint8)
+                off = 0
+                for fld in info.fields:
+                    out[:, off : off + fld.size] = rows[:, fld.offset : fld.offset + fld.size]
+                    off += fld.size
+                f.write(out.tobytes())
+        else:
+            raise NotImplementedError("ascii PCD writing not implemented")

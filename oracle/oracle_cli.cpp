@@ -1,0 +1,134 @@
+// Golden-bytes generator for differential tests.
+//
+// Drives the UPSTREAM reference library (compiled in place from /root/reference)
+// to produce encoded streams / decoded clouds that the new TPU-native framework
+// is tested against. This file is test tooling for THIS repo; it links the
+// reference, it does not reimplement it.
+//
+// Usage:
+//   oracle_cli encode <spec> <raw_points.bin> <out.cldn>
+//   oracle_cli decode <in.cldn> <out_points.bin>
+//   oracle_cli header <spec> <out_header.bin>
+//
+// <spec> is a small key=value / field list format (NOT the wire YAML):
+//   width=123 height=1 point_step=16 encoding=LOSSY compression=NONE version=5
+//   field=x:FLOAT32:0:0.001      (name:type:offset:resolution; resolution "-" = none)
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <fstream>
+#include <iostream>
+#include <sstream>
+#include <string>
+#include <vector>
+
+#include "cloudini_lib/cloudini.hpp"
+
+using namespace Cloudini;
+
+static std::vector<uint8_t> readFile(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) {
+    throw std::runtime_error("cannot open " + path);
+  }
+  return std::vector<uint8_t>((std::istreambuf_iterator<char>(f)), std::istreambuf_iterator<char>());
+}
+
+static void writeFile(const std::string& path, const uint8_t* data, size_t size) {
+  std::ofstream f(path, std::ios::binary);
+  f.write(reinterpret_cast<const char*>(data), static_cast<std::streamsize>(size));
+}
+
+static EncodingInfo parseSpec(const std::string& path) {
+  std::ifstream f(path);
+  if (!f) {
+    throw std::runtime_error("cannot open spec " + path);
+  }
+  EncodingInfo info;
+  std::string line;
+  while (std::getline(f, line)) {
+    if (line.empty() || line[0] == '#') {
+      continue;
+    }
+    const auto eq = line.find('=');
+    if (eq == std::string::npos) {
+      continue;
+    }
+    const std::string key = line.substr(0, eq);
+    const std::string val = line.substr(eq + 1);
+    if (key == "width") {
+      info.width = static_cast<uint32_t>(std::stoul(val));
+    } else if (key == "height") {
+      info.height = static_cast<uint32_t>(std::stoul(val));
+    } else if (key == "point_step") {
+      info.point_step = static_cast<uint32_t>(std::stoul(val));
+    } else if (key == "version") {
+      info.version = static_cast<uint8_t>(std::stoul(val));
+    } else if (key == "encoding") {
+      info.encoding_opt = EncodingOptionsFromString(val);
+    } else if (key == "compression") {
+      info.compression_opt = CompressionOptionFromString(val);
+    } else if (key == "encoding_config") {
+      info.encoding_config = val;
+    } else if (key == "field") {
+      // name:type:offset:resolution
+      std::stringstream ss(val);
+      std::string name, type, offset, res;
+      std::getline(ss, name, ':');
+      std::getline(ss, type, ':');
+      std::getline(ss, offset, ':');
+      std::getline(ss, res, ':');
+      PointField field;
+      field.name = name;
+      field.type = FieldTypeFromString(type);
+      field.offset = static_cast<uint32_t>(std::stoul(offset));
+      if (!res.empty() && res != "-") {
+        field.resolution = std::stof(res);
+      }
+      info.fields.push_back(field);
+    }
+  }
+  info.use_threads = false;  // deterministic single-thread path
+  return info;
+}
+
+int main(int argc, char** argv) {
+  try {
+    if (argc < 3) {
+      std::cerr << "usage: oracle_cli encode|decode|header ..." << std::endl;
+      return 2;
+    }
+    const std::string cmd = argv[1];
+    if (cmd == "encode") {
+      EncodingInfo info = parseSpec(argv[2]);
+      auto raw = readFile(argv[3]);
+      PointcloudEncoder encoder(info);
+      std::vector<uint8_t> out;
+      const size_t n = encoder.encode(ConstBufferView(raw.data(), raw.size()), out);
+      writeFile(argv[4], out.data(), n);
+      std::cout << n << std::endl;
+    } else if (cmd == "decode") {
+      auto data = readFile(argv[2]);
+      ConstBufferView view(data.data(), data.size());
+      EncodingInfo info = DecodeHeader(view);
+      PointcloudDecoder decoder;
+      std::vector<uint8_t> out;
+      decoder.decode(info, view, out);
+      writeFile(argv[3], out.data(), out.size());
+      std::cout << out.size() << std::endl;
+    } else if (cmd == "header") {
+      EncodingInfo info = parseSpec(argv[2]);
+      std::vector<uint8_t> out;
+      EncodeHeader(info, out);
+      writeFile(argv[3], out.data(), out.size());
+      std::cout << out.size() << std::endl;
+    } else {
+      std::cerr << "unknown command: " << cmd << std::endl;
+      return 2;
+    }
+  } catch (const std::exception& ex) {
+    std::cerr << "oracle_cli error: " << ex.what() << std::endl;
+    return 1;
+  }
+  return 0;
+}
