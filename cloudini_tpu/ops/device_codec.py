@@ -1,0 +1,356 @@
+"""Device (JAX/XLA) stage-1 codec: chunk-batched columnar encode/decode.
+
+Design (TPU-first, not a port):
+  * chunks are the data-parallel axis: every array carries a leading chunk dim
+    ``C`` and a static per-chunk point capacity ``N`` (= 32768); ragged clouds
+    are padded and carry an ``n_valid`` scalar per chunk
+  * predictors are elementwise shifts (encode) and segmented scans (decode) —
+    no sequential point loop anywhere
+  * varint packing is prefix-sum + one scatter per chunk; decode is the
+    terminator-mask boundary scan (fully parallel)
+  * the fused FloatN XYZ[I] path stays entirely in 32-bit lanes (the single
+    int32-delta overflow case is patched with a flag) — no emulated u64 in the
+    hot path
+
+Wire-format equivalences are asserted against the numpy kernel of truth and the
+reference C++ oracle in tests/test_device_codec.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.plan import CodecPlan, CodecUnit, UnitKind
+from ..core.types import FieldType, size_of
+from . import columns as C
+
+INT32_MIN = -(2**31)
+_F32_NAN_BITS = np.uint32(0x7FC00000)  # std::numeric_limits<float>::quiet_NaN()
+_F64_NAN_BITS = np.uint64(0x7FF8000000000000)
+
+
+def encoder_supports_plan(plan: CodecPlan) -> bool:
+    """True when every unit is device-exact. Gorilla is a sequential bit
+    packer (host/native path for now). FLOAT64 lossy needs IEEE f64 multiply,
+    which TPU's emulated f64 does not guarantee (observed 1-ulp divergence);
+    bit-exactness pins that unit to the host."""
+    for u in plan.units:
+        if u.kind == UnitKind.GORILLA:
+            return False
+        if u.kind == UnitKind.FLOAT_LOSSY and u.types[0] == FieldType.FLOAT64:
+            return False
+    return True
+
+
+def decoder_supports_plan(plan: CodecPlan) -> bool:
+    """Device decode additionally requires a fully self-delimiting stream."""
+    return plan.all_varint_class and encoder_supports_plan(plan)
+
+
+# ===================================================================== encode
+
+
+def _zigzag32_tokens(delta_i32: jnp.ndarray, nan: jnp.ndarray | None, valid: jnp.ndarray):
+    """int32 deltas -> (bytes (..., 5), lengths). 32-bit fast path; the single
+    wrap case (delta == INT32_MIN -> biased 2**32) is patched explicitly."""
+    d = delta_i32
+    u = ((d.astype(jnp.uint32) << 1) ^ (d >> 31).astype(jnp.uint32))
+    ovf = u == jnp.uint32(0xFFFFFFFF)
+    b = u + jnp.uint32(1)  # wraps to 0 on ovf
+    lengths = jnp.ones(d.shape, jnp.int32)
+    for k in range(1, 5):
+        lengths += jnp.where(ovf | (b >= jnp.uint32(1 << (7 * k))), 1, 0).astype(jnp.int32)
+    if nan is not None:
+        b = jnp.where(nan, jnp.uint32(0), b)
+        lengths = jnp.where(nan, 1, lengths)
+        ovf = ovf & ~nan
+    lengths = jnp.where(valid, lengths, 0)
+    ks = np.arange(5, dtype=np.uint32)
+    groups = (b[..., None] >> (7 * ks)) & jnp.uint32(0x7F)
+    groups = jnp.where(ovf[..., None] & (ks == 4), jnp.uint32(0x10), groups)
+    cont = ks[None, :] < (lengths[..., None] - 1)
+    bytes_mat = (groups | jnp.where(cont, jnp.uint32(0x80), jnp.uint32(0))).astype(jnp.uint8)
+    return bytes_mat, lengths
+
+
+def _zigzag64_tokens(delta_i64: jnp.ndarray, nan: jnp.ndarray | None, valid: jnp.ndarray):
+    """int64 deltas -> (bytes (..., 10), lengths)."""
+    d = delta_i64
+    u = (d.astype(jnp.uint64) << jnp.uint64(1)) ^ (d >> 63).astype(jnp.uint64)
+    ovf = u == jnp.uint64(0xFFFFFFFFFFFFFFFF)
+    b = u + jnp.uint64(1)
+    lengths = jnp.ones(d.shape, jnp.int32)
+    for k in range(1, 10):
+        lengths += jnp.where(ovf | (b >= jnp.uint64(1 << (7 * k))), 1, 0).astype(jnp.int32)
+    if nan is not None:
+        b = jnp.where(nan, jnp.uint64(0), b)
+        lengths = jnp.where(nan, 1, lengths)
+        ovf = ovf & ~nan
+    lengths = jnp.where(valid, lengths, 0)
+    ks = np.arange(10, dtype=np.uint64)
+    groups = (b[..., None] >> (jnp.uint64(7) * ks)) & jnp.uint64(0x7F)
+    groups = jnp.where(ovf[..., None] & (ks == 9), jnp.uint64(0x02), groups)
+    cont = ks[None, :].astype(jnp.int32) < (lengths[..., None] - 1)
+    bytes_mat = (groups | jnp.where(cont, jnp.uint64(0x80), jnp.uint64(0))).astype(jnp.uint8)
+    return bytes_mat, lengths
+
+
+def _shift_prev(q: jnp.ndarray, nan: jnp.ndarray | None) -> jnp.ndarray:
+    """prev[i] = q[i-1] with chunk-start 0 and reset-after-NaN
+    (field_encoder.hpp:343-357). Elementwise along the point axis (-1)."""
+    prev = jnp.roll(q, 1, axis=-1).at[..., 0].set(0)
+    if nan is not None:
+        prev_nan = jnp.roll(nan, 1, axis=-1).at[..., 0].set(False)
+        prev = jnp.where(prev_nan, 0, prev)
+    return prev
+
+
+def _quantize_floatn(x: jnp.ndarray, mult: np.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """SSE _mm_round_ps + _mm_cvtps_epi32 semantics: ties-to-even in float32,
+    overflow/NaN -> INT32_MIN (intrinsics.hpp:288-300)."""
+    normalized = x * jnp.asarray(mult, jnp.float32)
+    r = jnp.rint(normalized)
+    ok = jnp.isfinite(r) & (r >= np.float32(-(2**31))) & (r < np.float32(2**31))
+    q = jnp.where(ok, r, 0.0).astype(jnp.int32)
+    return jnp.where(ok, q, INT32_MIN), jnp.isnan(x)
+
+
+def _round_ties_away(x: jnp.ndarray) -> jnp.ndarray:
+    a = jnp.abs(x)
+    f = jnp.floor(a)
+    r = f + (a - f >= 0.5).astype(a.dtype)
+    # x < 0 (not signbit): the sign of a zero result is erased by the integer
+    # cast that always follows, and signbit's f64 bitcast lacks a TPU lowering
+    return jnp.where(x < 0, -r, r)
+
+
+def _encode_unit_tokens(unit: CodecUnit, rows: jnp.ndarray, valid: jnp.ndarray):
+    """One codec unit -> ordered list of (byte-matrix (..., L), lengths)."""
+    out = []
+    if unit.kind == UnitKind.FLOATN_LOSSY:
+        mult = (np.float32(1.0) / np.asarray(unit.resolutions, np.float32)).astype(np.float32)
+        for lane in range(unit.num_lanes):
+            x = C.extract_f32(rows, unit.offsets[lane])
+            q, nan = _quantize_floatn(x, mult[lane])
+            delta = q - _shift_prev(q, nan)  # int32 wrap
+            out.append(_zigzag32_tokens(delta, nan, valid))
+        return out
+    if unit.kind == UnitKind.FLOAT_LOSSY:
+        is_f64 = unit.types[0] == FieldType.FLOAT64
+        x = C.extract_f64(rows, unit.offsets[0]) if is_f64 else C.extract_f32(rows, unit.offsets[0])
+        m = np.float64(1.0) / np.float64(np.float32(unit.resolutions[0]))
+        m = x.dtype.type(m)
+        nan = jnp.isnan(x)
+        prod = jnp.where(nan, 0, x) * m
+        q = _round_ties_away(prod).astype(jnp.int64)
+        delta = q - _shift_prev(q, nan)
+        out.append(_zigzag64_tokens(delta, nan, valid))
+        return out
+    if unit.kind == UnitKind.INT_DELTA:
+        v = C.extract_int(rows, unit.offsets[0], unit.types[0])
+        delta = v - _shift_prev(v, None)
+        out.append(_zigzag64_tokens(delta, None, valid))
+        return out
+    if unit.kind == UnitKind.FLOAT_XOR:
+        width = size_of(unit.types[0])
+        u = C.extract_u64(rows, unit.offsets[0]) if width == 8 else C.extract_u32(rows, unit.offsets[0])
+        residual = u ^ _shift_prev(u, None)
+        mat = C.split_bytes(residual, width)
+        lengths = jnp.where(valid, width, 0).astype(jnp.int32)
+        out.append((mat, lengths))
+        return out
+    if unit.kind == UnitKind.COPY:
+        width = size_of(unit.types[0])
+        mat = rows[..., unit.offsets[0] : unit.offsets[0] + width]
+        lengths = jnp.where(valid, width, 0).astype(jnp.int32)
+        out.append((mat, lengths))
+        return out
+    raise NotImplementedError(f"device encode does not support {unit.kind} yet (host fallback)")
+
+
+def _interleave_scatter(token_streams, n_points: int, max_bytes: int):
+    """Columnar token matrices -> interleaved per-point layout.
+
+    lengths: per-stream (C, N); one flat scatter per stream into the padded
+    (C, max_bytes) output. Invalid slots scatter out of range (mode=drop).
+    """
+    lengths = jnp.stack([ln for _, ln in token_streams], axis=-1)  # (C, N, S)
+    point_sizes = lengths.sum(axis=-1)  # (C, N)
+    point_off = jnp.cumsum(point_sizes, axis=-1) - point_sizes  # exclusive
+    intra = jnp.cumsum(lengths, axis=-1) - lengths  # (C, N, S) exclusive
+    total = point_sizes.sum(axis=-1)  # (C,)
+    out = jnp.zeros(token_streams[0][0].shape[:-2] + (max_bytes,), jnp.uint8)
+    for s, (mat, ln) in enumerate(token_streams):
+        L = mat.shape[-1]
+        ks = np.arange(L)
+        pos = point_off[..., None] + intra[..., s : s + 1] + ks  # (C, N, L)
+        pos = jnp.where(ks < ln[..., None], pos, max_bytes)  # drop invalid
+        out = out.at[
+            jnp.arange(out.shape[0])[:, None], pos.reshape(out.shape[0], -1)
+        ].set(mat.reshape(out.shape[0], -1), mode="drop")
+    return out, total.astype(jnp.int32)
+
+
+class DeviceStage1Encoder:
+    """Per-plan compiled chunk encoder.
+
+    encode_chunks(rows (C, N, step) uint8, n_valid (C,) int32)
+        -> (payloads (C, max_bytes) uint8, sizes (C,) int32)
+    """
+
+    def __init__(self, plan: CodecPlan, point_step: int, chunk_points: int = 32 * 1024):
+        if not encoder_supports_plan(plan):
+            raise NotImplementedError(
+                "plan contains units that are not device-exact (Gorilla; FLOAT64 "
+                "lossy quantization — TPU f64 is emulated and diverges by 1 ulp); "
+                "those chunks take the host path"
+            )
+        self.plan = plan
+        self.point_step = point_step
+        self.chunk_points = chunk_points
+        # worst-case bytes/point (MaxSerializedPointSize, codec_common.cpp:29-67)
+        self.max_point_bytes = 0
+        for u in plan.units:
+            if u.kind == UnitKind.FLOATN_LOSSY:
+                self.max_point_bytes += 5 * u.num_lanes
+            elif u.kind in (UnitKind.FLOAT_LOSSY, UnitKind.INT_DELTA):
+                self.max_point_bytes += 10
+            else:
+                self.max_point_bytes += int(u.fixed_size)
+        self.max_bytes = chunk_points * self.max_point_bytes
+        self._fn = jax.jit(self._encode)
+
+    def _encode(self, rows: jnp.ndarray, n_valid: jnp.ndarray):
+        valid = jnp.arange(self.chunk_points)[None, :] < n_valid[:, None]
+        streams = []
+        for unit in self.plan.units:
+            streams.extend(_encode_unit_tokens(unit, rows, valid))
+        return _interleave_scatter(streams, self.chunk_points, self.max_bytes)
+
+    def encode_chunks(self, rows, n_valid):
+        return self._fn(rows, n_valid)
+
+
+# ===================================================================== decode
+
+
+def _segmented_undelta(deltas: jnp.ndarray, nan: jnp.ndarray | None) -> jnp.ndarray:
+    """Inverse predictor: cumulative sum along points with reset-to-0 at NaN
+    markers — total-minus-base segmented scan (SURVEY §5 'long-context analogue')."""
+    if nan is None:
+        return jnp.cumsum(deltas, axis=-1, dtype=deltas.dtype)
+    d = jnp.where(nan, 0, deltas)
+    total = jnp.cumsum(d, axis=-1, dtype=deltas.dtype)
+    idx = jnp.arange(deltas.shape[-1])
+    last_nan = jax.lax.cummax(jnp.where(nan, idx, -1), axis=deltas.ndim - 1)
+    base_idx = jnp.maximum(last_nan, 0)
+    base = jnp.take_along_axis(total, base_idx, axis=-1)
+    values = total - jnp.where(last_nan >= 0, base, 0).astype(deltas.dtype)
+    return jnp.where(nan, 0, values)
+
+
+class DeviceStage1Decoder:
+    """Per-plan compiled chunk decoder for fully varint-class plans (the hot
+    LiDAR schemas). Mixed fixed-size/Gorilla streams use the host path.
+
+    decode_chunks(payloads (C, max_bytes) uint8, sizes (C,), n_valid (C,))
+        -> rows (C, N, point_step) uint8
+    """
+
+    def __init__(self, plan: CodecPlan, point_step: int, chunk_points: int = 32 * 1024,
+                 max_bytes: int | None = None):
+        if not decoder_supports_plan(plan):
+            raise NotImplementedError("device decode requires a device-exact varint-class plan")
+        self.plan = plan
+        self.point_step = point_step
+        self.chunk_points = chunk_points
+        self.tokens_per_point = sum(
+            u.num_lanes if u.kind == UnitKind.FLOATN_LOSSY else 1 for u in plan.units
+        )
+        self.max_token_bytes = max(
+            5 if u.kind == UnitKind.FLOATN_LOSSY else 10 for u in plan.units
+        )
+        if max_bytes is None:
+            max_bytes = chunk_points * sum(
+                5 * u.num_lanes if u.kind == UnitKind.FLOATN_LOSSY else 10 for u in plan.units
+            )
+        self.max_bytes = max_bytes
+        self._fn = jax.jit(self._decode)
+
+    def _decode(self, payloads: jnp.ndarray, sizes: jnp.ndarray, n_valid: jnp.ndarray):
+        Cn, B = payloads.shape
+        N, T = self.chunk_points, self.tokens_per_point
+        K = N * T
+        in_range = jnp.arange(B)[None, :] < sizes[:, None]
+        term = ((payloads & 0x80) == 0) & in_range
+        csum = jnp.cumsum(term.astype(jnp.int32), axis=-1)
+        targets = jnp.arange(1, K + 1, dtype=jnp.int32)
+        ends = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(csum)  # (C, K)
+        starts = jnp.roll(ends, 1, axis=-1).at[:, 0].set(-1) + 1
+        tok_len = ends - starts + 1
+        # gather up to max_token_bytes per token
+        u_dtype = jnp.uint32 if self.max_token_bytes <= 5 else jnp.uint64
+        u = jnp.zeros((Cn, K), u_dtype)
+        rows_idx = jnp.arange(Cn)[:, None]
+        for k in range(self.max_token_bytes):
+            idx = jnp.clip(starts + k, 0, B - 1)
+            byte = payloads[rows_idx, idx].astype(u_dtype)
+            u = u | jnp.where(k < tok_len, (byte & u_dtype(0x7F)) << u_dtype(7 * k), u_dtype(0))
+        # NaN marker is the single byte 0 (token length 1). An assembled u of 0
+        # with a longer token is the biased-value wrap (delta == INT_MIN, biased
+        # 2**32 / 2**64): the u-1 wrap below then yields INT_MIN exactly like
+        # the reference's 64-bit decode + int32 truncation.
+        nan = (u == 0) & (tok_len == 1)
+        u = u - jnp.where(nan, u_dtype(0), u_dtype(1))
+        svals = ((u >> u_dtype(1)) ^ (-(u & u_dtype(1)).astype(jnp.int64 if u_dtype == jnp.uint64 else jnp.int32)).astype(u_dtype))
+        svals = svals.astype(jnp.int64 if u_dtype == jnp.uint64 else jnp.int32)
+        svals = jnp.where(nan, 0, svals)
+        svals = svals.reshape(Cn, N, T)
+        nan = nan.reshape(Cn, N, T)
+
+        out = jnp.zeros((Cn, N, self.point_step), jnp.uint8)
+        t0 = 0
+        for unit in self.plan.units:
+            lanes = unit.num_lanes if unit.kind == UnitKind.FLOATN_LOSSY else 1
+            v = svals[..., t0 : t0 + lanes]
+            nm = nan[..., t0 : t0 + lanes]
+            out = self._store_unit(unit, v, nm, out)
+            t0 += lanes
+        return out
+
+    def _store_unit(self, unit: CodecUnit, v, nm, out):
+        if unit.kind == UnitKind.FLOATN_LOSSY:
+            for lane in range(unit.num_lanes):
+                d32 = v[..., lane].astype(jnp.int32)
+                q = _segmented_undelta(d32, nm[..., lane])
+                f = q.astype(jnp.float32) * np.float32(unit.resolutions[lane])
+                bits = jax.lax.bitcast_convert_type(f, jnp.uint32)
+                bits = jnp.where(nm[..., lane], _F32_NAN_BITS, bits)
+                out = C.store_bytes(out, unit.offsets[lane], C.split_bytes(bits, 4))
+            return out
+        if unit.kind == UnitKind.FLOAT_LOSSY:
+            is_f64 = unit.types[0] == FieldType.FLOAT64
+            q = _segmented_undelta(v[..., 0].astype(jnp.int64), nm[..., 0])
+            ftype = jnp.float64 if is_f64 else jnp.float32
+            mult = (np.float64 if is_f64 else np.float32)(np.float32(unit.resolutions[0]))
+            f = q.astype(ftype) * mult
+            if is_f64:
+                bits = jax.lax.bitcast_convert_type(f, jnp.uint64)
+                bits = jnp.where(nm[..., 0], _F64_NAN_BITS, bits)
+                return C.store_bytes(out, unit.offsets[0], C.split_bytes(bits, 8))
+            bits = jax.lax.bitcast_convert_type(f, jnp.uint32)
+            bits = jnp.where(nm[..., 0], _F32_NAN_BITS, bits)
+            return C.store_bytes(out, unit.offsets[0], C.split_bytes(bits, 4))
+        if unit.kind == UnitKind.INT_DELTA:
+            q = _segmented_undelta(v[..., 0].astype(jnp.int64), None)
+            width = size_of(unit.types[0])
+            return C.store_bytes(out, unit.offsets[0], C.split_bytes(q.astype(jnp.uint64), width))
+        raise NotImplementedError(unit.kind)
+
+    def decode_chunks(self, payloads, sizes, n_valid):
+        return self._fn(payloads, sizes, n_valid)

@@ -1,8 +1,17 @@
 import os
 
-# Sharding tests run on a virtual 8-device CPU mesh; set before importing jax.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# Tests run on a virtual 8-device CPU mesh (deterministic, no remote compiles);
+# the real-TPU path is exercised by bench.py / __graft_entry__.py.
+# XLA_FLAGS must precede jax import; the axon sitecustomize rewrites
+# jax_platforms at import time, so the platform is forced via jax.config AFTER
+# import (env JAX_PLATFORMS alone is overridden by the plugin registration).
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import subprocess

@@ -1,0 +1,203 @@
+"""Parity tests: JAX device stage-1 codec vs the numpy wire kernel of truth
+(which is itself locked bit-exact to the reference C++ by test_golden.py)."""
+
+import numpy as np
+import pytest
+
+from cloudini_tpu import (
+    CompressionOption,
+    EncodingInfo,
+    EncodingOptions,
+    FieldType,
+    PointField,
+)
+from cloudini_tpu.core.plan import build_plan
+from cloudini_tpu.ref import stage1 as np_stage1
+
+CHUNK = 2048  # small chunk capacity keeps CPU tests fast
+
+
+def _device_encoder(plan, step):
+    from cloudini_tpu.ops.device_codec import DeviceStage1Encoder
+
+    return DeviceStage1Encoder(plan, step, chunk_points=CHUNK)
+
+
+def _device_decoder(plan, step, max_bytes=None):
+    from cloudini_tpu.ops.device_codec import DeviceStage1Decoder
+
+    return DeviceStage1Decoder(plan, step, chunk_points=CHUNK, max_bytes=max_bytes)
+
+
+def _pad_chunks(rows, chunk):
+    n, step = rows.shape
+    c = (n + chunk - 1) // chunk
+    out = np.zeros((c, chunk, step), dtype=np.uint8)
+    n_valid = np.zeros(c, dtype=np.int32)
+    for i in range(c):
+        part = rows[i * chunk : (i + 1) * chunk]
+        out[i, : len(part)] = part
+        n_valid[i] = len(part)
+    return out, n_valid
+
+
+def _xyz_rows(n, seed=0, nan_frac=0.0, extra=None):
+    rng = np.random.default_rng(seed)
+    data = (np.cumsum(rng.normal(0, 0.05, (n, 3)), axis=0) + 3).astype(np.float32)
+    if nan_frac:
+        data[rng.random((n, 3)) < nan_frac] = np.nan
+    cols = [data[:, 0].copy(), data[:, 1].copy(), data[:, 2].copy()]
+    if extra is not None:
+        cols.append(extra)
+    sizes = [c.dtype.itemsize for c in cols]
+    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    step = int(sum(sizes))
+    rows = np.zeros((n, step), dtype=np.uint8)
+    for c, off in zip(cols, offs):
+        rows[:, off : off + c.dtype.itemsize] = c.reshape(-1, 1).view(np.uint8).reshape(n, -1)
+    return rows, offs, step
+
+
+def _compare_encode(info, rows):
+    plan = build_plan(info)
+    enc = _device_encoder(plan, info.point_step)
+    chunks, n_valid = _pad_chunks(rows, CHUNK)
+    payloads, sizes = enc.encode_chunks(chunks, n_valid)
+    payloads, sizes = np.asarray(payloads), np.asarray(sizes)
+    for i in range(chunks.shape[0]):
+        want = np_stage1.encode_chunk(plan, rows[i * CHUNK : i * CHUNK + n_valid[i]])
+        got = payloads[i, : sizes[i]]
+        assert sizes[i] == len(want), f"chunk {i}: size {sizes[i]} vs {len(want)}"
+        assert np.array_equal(got, want), f"chunk {i}: bytes differ"
+    return plan, payloads, sizes, chunks, n_valid
+
+
+def _compare_decode(info, plan, payloads, sizes, chunks, n_valid):
+    dec = _device_decoder(plan, info.point_step, max_bytes=payloads.shape[1])
+    out = np.asarray(dec.decode_chunks(payloads, sizes, n_valid))
+    for i in range(chunks.shape[0]):
+        got = out[i, : n_valid[i]]
+        want = chunks[i, : n_valid[i]]
+        _assert_rows_equal(info, got, want)
+
+
+def _assert_rows_equal(info, got, want):
+    """Decoded rows must match the round-tripped (quantized) original."""
+    plan = build_plan(info, for_decode=True)
+    ref = np.zeros_like(want)
+    data = np_stage1.encode_chunk(build_plan(info), want)
+    np_stage1.decode_chunk(plan, data, ref, want.shape[0])
+    assert np.array_equal(got, ref)
+
+
+@pytest.mark.parametrize("n", [1, 5, CHUNK - 1, CHUNK, CHUNK + 1, 3 * CHUNK + 17])
+def test_xyz_device_encode_decode(n):
+    rows, _, step = _xyz_rows(n, seed=n)
+    info = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, 0.001),
+            PointField("y", 4, FieldType.FLOAT32, 0.001),
+            PointField("z", 8, FieldType.FLOAT32, 0.001),
+        ),
+        width=n, height=1, point_step=step,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
+    )
+    args = _compare_encode(info, rows)
+    _compare_decode(info, *args)
+
+
+@pytest.mark.parametrize("nan_frac", [0.02, 0.5, 1.0])
+def test_xyz_device_nan(nan_frac):
+    n = 3 * CHUNK
+    rows, _, step = _xyz_rows(n, seed=9, nan_frac=nan_frac)
+    info = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, 0.001),
+            PointField("y", 4, FieldType.FLOAT32, 0.001),
+            PointField("z", 8, FieldType.FLOAT32, 0.001),
+        ),
+        width=n, height=1, point_step=step,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
+    )
+    args = _compare_encode(info, rows)
+    _compare_decode(info, *args)
+
+
+def test_xyz_device_extreme_overflow():
+    n = CHUNK
+    rng = np.random.default_rng(4)
+    data = rng.uniform(-3e9, 3e9, size=(n, 3)).astype(np.float32)  # int32 overflow
+    rows = np.ascontiguousarray(data).view(np.uint8).reshape(n, 12)
+    info = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, 0.001),
+            PointField("y", 4, FieldType.FLOAT32, 0.001),
+            PointField("z", 8, FieldType.FLOAT32, 0.001),
+        ),
+        width=n, height=1, point_step=12,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
+    )
+    args = _compare_encode(info, rows)
+    _compare_decode(info, *args)
+
+
+def test_scalar_f32_and_int_device():
+    """Non-fused scalar f32 lossy (ties-away path) + u16/i64 delta varints;
+    version=4 keeps integers on the interleaved path."""
+    n = 2 * CHUNK + 100
+    rng = np.random.default_rng(6)
+    rows, offs, step = _xyz_rows(n, seed=11)
+    ring = rng.integers(0, 65536, n, dtype=np.uint16)
+    intensity = rng.uniform(0, 300, n).astype(np.float32)
+    counter = np.cumsum(rng.integers(0, 2**40, n, dtype=np.int64)).astype(np.int64)
+    rows2 = np.zeros((n, step + 14), dtype=np.uint8)
+    rows2[:, :step] = rows
+    rows2[:, step : step + 2] = ring.reshape(-1, 1).view(np.uint8).reshape(n, 2)
+    rows2[:, step + 2 : step + 6] = intensity.reshape(-1, 1).view(np.uint8).reshape(n, 4)
+    rows2[:, step + 6 :] = counter.reshape(-1, 1).view(np.uint8).reshape(n, 8)
+    info = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, 0.001),
+            PointField("y", 4, FieldType.FLOAT32, 0.001),
+            PointField("z", 8, FieldType.FLOAT32, 0.001),
+            PointField("ring", step, FieldType.UINT16),
+            PointField("intensity", step + 2, FieldType.FLOAT32, 0.01),
+            PointField("counter", step + 6, FieldType.INT64),
+        ),
+        width=n, height=1, point_step=step + 14,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
+        version=4,
+    )
+    args = _compare_encode(info, rows2)
+    _compare_decode(info, *args)
+
+
+def test_f64_lossy_not_device_supported():
+    """FLOAT64 lossy must refuse the device path (TPU f64 is 1-ulp inexact)."""
+    from cloudini_tpu.ops.device_codec import DeviceStage1Encoder
+
+    info = EncodingInfo(
+        fields=(PointField("t", 0, FieldType.FLOAT64, 1e-6),),
+        width=4, height=1, point_step=8,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
+    )
+    with pytest.raises(NotImplementedError):
+        DeviceStage1Encoder(build_plan(info), 8, chunk_points=CHUNK)
+
+
+def test_copy_and_xor_device_encode():
+    """COPY (uint8) and XOR (lossless f32) units on the device encoder."""
+    n = CHUNK + 10
+    rng = np.random.default_rng(8)
+    rows, _, step = _xyz_rows(n, seed=13, extra=rng.integers(0, 256, n, dtype=np.uint8))
+    info = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, None),
+            PointField("y", 4, FieldType.FLOAT32, None),
+            PointField("z", 8, FieldType.FLOAT32, None),
+            PointField("flag", 12, FieldType.UINT8),
+        ),
+        width=n, height=1, point_step=step,
+        encoding_opt=EncodingOptions.LOSSLESS, compression_opt=CompressionOption.NONE,
+    )
+    _compare_encode(info, rows)  # decode of mixed fixed-size: host path
