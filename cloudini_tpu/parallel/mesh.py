@@ -1,0 +1,103 @@
+"""SPMD scaling: data-parallel chunk sharding over a jax.sharding.Mesh.
+
+The reference's only parallelism is one worker thread overlapping stage-2 with
+stage-1 (cloudini.cpp:453-499). Here scaling is first-class: chunks (the unit of
+predictor independence, codec_common.hpp:28) are sharded across devices on a
+1-D ``data`` mesh axis; schema/committed-V5-modes are replicated (broadcast);
+compressed frames return in original order because the chunk axis IS the order
+(ordered gather = device_get of the sharded array).
+
+Multi-host: the same code runs under jax.distributed with a global mesh — XLA
+inserts the DCN collectives. (No explicit collectives are needed for the
+data-parallel encode itself; only the host-side bag writer consumes the ordered
+gather.)
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.plan import CodecPlan
+from ..ops.device_codec import DeviceStage1Decoder, DeviceStage1Encoder
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (axis,))
+
+
+class ShardedChunkCodec:
+    """Chunk-data-parallel encode/decode over a mesh.
+
+    Arrays: rows (C, N, step) uint8 sharded on C; payloads (C, maxB) uint8
+    sharded on C; sizes (C,) sharded on C. C must be a multiple of the mesh
+    size (callers pad with empty chunks, n_valid=0).
+    """
+
+    def __init__(self, plan: CodecPlan, point_step: int, mesh: Mesh,
+                 chunk_points: int = 32 * 1024, axis: str = "data"):
+        self.mesh = mesh
+        self.axis = axis
+        self.encoder = DeviceStage1Encoder(plan, point_step, chunk_points)
+        self.chunk_points = chunk_points
+        self.point_step = point_step
+        self._dec: Optional[DeviceStage1Decoder] = None
+        self.plan = plan
+
+        shard = NamedSharding(mesh, P(axis))
+        self._enc_jit = jax.jit(
+            self.encoder._encode,
+            in_shardings=(NamedSharding(mesh, P(axis, None, None)), shard),
+            out_shardings=(NamedSharding(mesh, P(axis, None)), shard),
+        )
+
+    def _decoder(self, max_bytes: int) -> DeviceStage1Decoder:
+        if self._dec is None or self._dec.max_bytes != max_bytes:
+            dec = DeviceStage1Decoder(self.plan, self.point_step, self.chunk_points, max_bytes)
+            shard = NamedSharding(self.mesh, P(self.axis))
+            dec._fn = jax.jit(
+                dec._decode,
+                in_shardings=(NamedSharding(self.mesh, P(self.axis, None)), shard, shard),
+                out_shardings=NamedSharding(self.mesh, P(self.axis, None, None)),
+            )
+            self._dec = dec
+        return self._dec
+
+    def pad_chunk_count(self, c: int) -> int:
+        d = self.mesh.devices.size
+        return ((c + d - 1) // d) * d
+
+    def encode(self, rows, n_valid) -> Tuple[jax.Array, jax.Array]:
+        """rows (C, N, step), n_valid (C,) -> (payloads (C, maxB), sizes (C,)).
+        Results stay on device; the ordered gather happens when the host
+        consumes them (np.asarray preserves the chunk order)."""
+        return self._enc_jit(rows, n_valid)
+
+    def decode(self, payloads, sizes, n_valid) -> jax.Array:
+        return self._decoder(payloads.shape[1]).decode_chunks(payloads, sizes, n_valid)
+
+
+def shard_rows(rows: np.ndarray, chunk_points: int, mesh: Mesh, axis: str = "data"):
+    """Host rows (n, step) -> (device-sharded (C, N, step), n_valid (C,)).
+    Pads the ragged tail chunk and rounds C up to the mesh size."""
+    n, step = rows.shape
+    c = max(1, -(-n // chunk_points))
+    d = mesh.devices.size
+    c_pad = ((c + d - 1) // d) * d
+    out = np.zeros((c_pad, chunk_points, step), dtype=np.uint8)
+    n_valid = np.zeros(c_pad, dtype=np.int32)
+    for i in range(c):
+        part = rows[i * chunk_points : (i + 1) * chunk_points]
+        out[i, : len(part)] = part
+        n_valid[i] = len(part)
+    sharding = NamedSharding(mesh, P(axis, None, None))
+    return (
+        jax.device_put(out, sharding),
+        jax.device_put(n_valid, NamedSharding(mesh, P(axis))),
+    )

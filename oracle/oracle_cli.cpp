@@ -13,6 +13,7 @@
 // <spec> is a small key=value / field list format (NOT the wire YAML):
 //   width=123 height=1 point_step=16 encoding=LOSSY compression=NONE version=5
 //   field=x:FLOAT32:0:0.001      (name:type:offset:resolution; resolution "-" = none)
+#include <chrono>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -122,6 +123,32 @@ int main(int argc, char** argv) {
       EncodeHeader(info, out);
       writeFile(argv[3], out.data(), out.size());
       std::cout << out.size() << std::endl;
+    } else if (cmd == "bench") {
+      // bench <spec> <raw_points.bin> <iters> -> prints "enc_ns dec_ns bytes compressed_bytes"
+      EncodingInfo info = parseSpec(argv[2]);
+      auto raw = readFile(argv[3]);
+      const int iters = std::stoi(argv[4]);
+      PointcloudEncoder encoder(info);
+      std::vector<uint8_t> out;
+      size_t n = 0;
+      auto t0 = std::chrono::steady_clock::now();
+      for (int i = 0; i < iters; ++i) {
+        n = encoder.encode(ConstBufferView(raw.data(), raw.size()), out);
+      }
+      auto t1 = std::chrono::steady_clock::now();
+      ConstBufferView view(out.data(), n);
+      EncodingInfo dec_info = DecodeHeader(view);
+      PointcloudDecoder decoder;
+      std::vector<uint8_t> decoded;
+      auto t2 = std::chrono::steady_clock::now();
+      for (int i = 0; i < iters; ++i) {
+        ConstBufferView payload(view.data(), view.size());
+        decoder.decode(dec_info, payload, decoded);
+      }
+      auto t3 = std::chrono::steady_clock::now();
+      const auto enc_ns = std::chrono::duration_cast<std::chrono::nanoseconds>(t1 - t0).count() / iters;
+      const auto dec_ns = std::chrono::duration_cast<std::chrono::nanoseconds>(t3 - t2).count() / iters;
+      std::cout << enc_ns << " " << dec_ns << " " << raw.size() << " " << n << std::endl;
     } else {
       std::cerr << "unknown command: " << cmd << std::endl;
       return 2;

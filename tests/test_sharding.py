@@ -1,0 +1,69 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import pytest
+
+from cloudini_tpu import (
+    CompressionOption,
+    EncodingInfo,
+    EncodingOptions,
+    FieldType,
+    PointField,
+)
+from cloudini_tpu.core.plan import build_plan
+from cloudini_tpu.ref import stage1 as np_stage1
+
+CHUNK = 1024
+
+
+def _info(n):
+    return EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, 0.001),
+            PointField("y", 4, FieldType.FLOAT32, 0.001),
+            PointField("z", 8, FieldType.FLOAT32, 0.001),
+        ),
+        width=n, height=1, point_step=12,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
+    )
+
+
+def test_mesh_has_8_devices():
+    import jax
+
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_encode_matches_reference_kernel():
+    import jax
+    from cloudini_tpu.parallel.mesh import ShardedChunkCodec, make_mesh, shard_rows
+
+    n = 23 * CHUNK + 321
+    rng = np.random.default_rng(0)
+    data = (np.cumsum(rng.normal(0, 0.05, (n, 3)), axis=0)).astype(np.float32)
+    rows = np.ascontiguousarray(data).view(np.uint8).reshape(n, 12)
+    info = _info(n)
+    plan = build_plan(info)
+
+    mesh = make_mesh()
+    codec = ShardedChunkCodec(plan, 12, mesh, chunk_points=CHUNK)
+    d_rows, n_valid = shard_rows(rows, CHUNK, mesh)
+    payloads, sizes = codec.encode(d_rows, n_valid)
+    payloads, sizes = np.asarray(payloads), np.asarray(sizes)  # ordered gather
+    nv = np.asarray(n_valid)
+
+    for i in range((n + CHUNK - 1) // CHUNK):
+        want = np_stage1.encode_chunk(plan, rows[i * CHUNK : i * CHUNK + nv[i]])
+        assert sizes[i] == len(want)
+        assert np.array_equal(payloads[i, : sizes[i]], want)
+    # padded tail chunks encode to nothing
+    assert all(sizes[(n + CHUNK - 1) // CHUNK :] == 0)
+
+    # sharded decode round-trips
+    out = np.asarray(codec.decode(payloads, sizes, n_valid))
+    for i in range((n + CHUNK - 1) // CHUNK):
+        got = out[i, : nv[i]]
+        ref = np.zeros_like(got)
+        np_stage1.decode_chunk(build_plan(info, for_decode=True),
+                               payloads[i, : sizes[i]], ref, nv[i])
+        assert np.array_equal(got, ref)
