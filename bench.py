@@ -124,7 +124,7 @@ def main():
 
     payloads, sizes = jax.block_until_ready(enc.encode_chunks(d_rows, d_valid))  # warmup/compile
     dec = DeviceStage1Decoder(plan, 16, chunk_points=CHUNK, max_bytes=int(payloads.shape[1]))
-    decoded = jax.block_until_ready(dec.decode_chunks(payloads, sizes, d_valid))
+    decoded, _consumed = jax.block_until_ready(dec.decode_chunks(payloads, sizes, d_valid))
 
     def _time_trials(fn, n_trials=3):
         """Batch-dispatch ITERS calls, block once, then free the stale results

@@ -1,17 +1,24 @@
 """Public encoder/decoder — the framework's equivalent of PointcloudEncoder /
 PointcloudDecoder (reference: cloudini.hpp:154-244).
 
-Numpy backend: the wire kernel of truth. The device (JAX) backend plugs in at
-the stage-1 boundary via the same chunk interface. Where the reference overlaps
-its stage-2 worker thread with stage-1 of the next chunk (cloudini.cpp:453-499),
-this design overlaps host stage-2 with *device* stage-1 dispatch — the
-double-buffering is inherent in JAX's async dispatch model.
+Backends:
+  * ``device`` (JAX/TPU): chunk-batched columnar stage-1 — all chunks of a
+    cloud encode in ONE device dispatch; V5 adaptive sections and stage-2
+    LZ4/ZSTD run host-side overlapped with device compute (the reference's
+    worker-thread double-buffering, cloudini.cpp:453-499, becomes XLA async
+    dispatch + host stage-2)
+  * ``host`` (numpy): the wire kernel of truth; also the fallback for plans
+    the device path does not cover (Gorilla, FLOAT64 lossy)
+  * ``auto`` (default): device when available and the plan is device-exact
+
+Both backends produce byte-identical streams (locked by tests/test_golden.py
+against the reference C++).
 """
 
 from __future__ import annotations
 
 import struct
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -19,10 +26,10 @@ from ..core.header import decode_header, encode_header
 from ..core.plan import CodecPlan, build_plan
 from ..core.types import (
     ADAPTIVE_MODE_PROBE_POINTS,
+    MAGIC_HEADER,
     POINTS_PER_CHUNK,
     CompressionOption,
     EncodingInfo,
-    EncodingOptions,
 )
 from ..ref import stage1 as np_stage1
 from ..ref import v5 as np_v5
@@ -39,69 +46,124 @@ def _as_point_rows(cloud_data, point_step: int) -> np.ndarray:
     return buf.reshape(-1, point_step)
 
 
+def _device_available() -> bool:
+    try:
+        import jax
+
+        return len(jax.devices()) > 0
+    except Exception:
+        return False
+
+
+def _bucket(c: int) -> int:
+    """Round the chunk count up to a power of two to bound recompiles."""
+    return 1 << (c - 1).bit_length() if c > 1 else 1
+
+
 class PointcloudEncoder:
     """Two-stage encoder. Stage 1: columnar predictive coding per 32Ki-point
-    chunk. Stage 2: LZ4/ZSTD per chunk with u32 framing."""
+    chunk (device or host). Stage 2: LZ4/ZSTD per chunk with u32 framing."""
 
-    def __init__(self, info: EncodingInfo, stage1_backend: Optional[object] = None):
+    def __init__(self, info: EncodingInfo, backend: str = "auto",
+                 chunk_points: int = POINTS_PER_CHUNK):
         self.info = info
         self.header = encode_header(info)
         self.plan = build_plan(info, for_decode=False)
-        # stage1_backend: object with encode_chunk(plan, points)->np.uint8[...]
-        # (defaults to the numpy wire kernel; the JAX device backend is drop-in)
-        self._backend = stage1_backend
+        self.chunk_points = chunk_points
+        self._device_enc = None
+        if backend not in ("auto", "host", "device"):
+            raise ValueError(f"unknown backend {backend!r}")
+        if backend in ("auto", "device"):
+            try:
+                from ..ops.device_codec import DeviceStage1Encoder
+
+                self._device_enc = DeviceStage1Encoder(self.plan, info.point_step, chunk_points)
+                if not _device_available():
+                    self._device_enc = None
+            except NotImplementedError:
+                self._device_enc = None
+            if backend == "device" and self._device_enc is None:
+                raise NotImplementedError("plan is not device-encodable")
+
+    @property
+    def backend(self) -> str:
+        return "device" if self._device_enc is not None else "host"
 
     def encode(self, cloud_data, write_header: bool = True) -> bytes:
         points = _as_point_rows(cloud_data, self.info.point_step)
         n_points = points.shape[0]
         out: List[bytes] = [self.header] if write_header else []
+        n_chunks = -(-n_points // self.chunk_points)
 
+        regular_streams = self._encode_regular(points, n_chunks)
         committed_modes: Optional[Dict[int, int]] = None
-        pos = 0
-        while pos < n_points or (n_points == 0 and pos == 0):
-            chunk = points[pos : pos + POINTS_PER_CHUNK]
-            if chunk.shape[0] == 0:
-                break
-            stage1_bytes, committed_modes = self._encode_stage1_chunk(chunk, committed_modes)
+        for i in range(n_chunks):
+            chunk = points[i * self.chunk_points : (i + 1) * self.chunk_points]
+            parts = [regular_streams[i]]
+            if self.plan.adaptive:
+                if committed_modes is None:
+                    committed_modes = self._commit_modes(chunk)
+                for field in self.plan.adaptive:
+                    signed, unsigned = np_v5.extract_adaptive_values(field, chunk)
+                    parts.append(
+                        np_v5.encode_section(field, committed_modes[field.field_index], signed, unsigned)
+                    )
+            stage1_bytes = np.concatenate(parts).tobytes() if len(parts) > 1 else parts[0].tobytes()
             out.append(stage2.write_stage1_chunk(self.info.compression_opt, stage1_bytes))
-            pos += chunk.shape[0]
         return b"".join(out)
 
-    def _encode_stage1_chunk(self, chunk: np.ndarray, committed_modes):
-        if self._backend is not None:
-            regular = self._backend.encode_chunk(self.plan, chunk)
-        else:
-            regular = np_stage1.encode_chunk(self.plan, chunk)
-        parts = [np.asarray(regular, dtype=np.uint8)]
-        if self.plan.adaptive:
-            if committed_modes is None:
-                committed_modes = {}
-                # V5 probe: first 4096 points of the first chunk, or the whole
-                # chunk when smaller (v5_codec.cpp:934-948)
-                probe_n = (
-                    ADAPTIVE_MODE_PROBE_POINTS
-                    if chunk.shape[0] > ADAPTIVE_MODE_PROBE_POINTS
-                    else chunk.shape[0]
+    def _commit_modes(self, first_chunk: np.ndarray) -> Dict[int, int]:
+        """V5 probe: first 4096 points of the first chunk, or the whole chunk
+        when smaller (v5_codec.cpp:934-948)."""
+        probe_n = (
+            ADAPTIVE_MODE_PROBE_POINTS
+            if first_chunk.shape[0] > ADAPTIVE_MODE_PROBE_POINTS
+            else first_chunk.shape[0]
+        )
+        modes = {}
+        for field in self.plan.adaptive:
+            signed, unsigned = np_v5.extract_adaptive_values(field, first_chunk[:probe_n])
+            modes[field.field_index] = np_v5.analyze_modes(signed, unsigned, field.bytes_per_value)
+        return modes
+
+    def _encode_regular(self, points: np.ndarray, n_chunks: int) -> List[np.ndarray]:
+        """Per-chunk regular (interleaved) stage-1 streams."""
+        if n_chunks == 0:
+            return []
+        if self._device_enc is None:
+            return [
+                np_stage1.encode_chunk(
+                    self.plan, points[i * self.chunk_points : (i + 1) * self.chunk_points]
                 )
-                for field in self.plan.adaptive:
-                    signed, unsigned = np_v5.extract_adaptive_values(field, chunk[:probe_n])
-                    committed_modes[field.field_index] = np_v5.analyze_modes(
-                        signed, unsigned, field.bytes_per_value
-                    )
-            for field in self.plan.adaptive:
-                signed, unsigned = np_v5.extract_adaptive_values(field, chunk)
-                parts.append(
-                    np_v5.encode_section(field, committed_modes[field.field_index], signed, unsigned)
-                )
-        return np.concatenate(parts).tobytes(), committed_modes
+                for i in range(n_chunks)
+            ]
+        import jax
+
+        cp = self.chunk_points
+        c_pad = _bucket(n_chunks)
+        chunks = np.zeros((c_pad, cp, self.info.point_step), dtype=np.uint8)
+        n_valid = np.zeros(c_pad, dtype=np.int32)
+        for i in range(n_chunks):
+            part = points[i * cp : (i + 1) * cp]
+            chunks[i, : len(part)] = part
+            n_valid[i] = len(part)
+        payloads, sizes = self._device_enc.encode_chunks(chunks, n_valid)
+        payloads = np.asarray(payloads)
+        sizes = np.asarray(sizes)
+        return [payloads[i, : sizes[i]] for i in range(n_chunks)]
 
 
 class PointcloudDecoder:
     """Chunked decoder; validates framing like the reference (cloudini.cpp:635-668)."""
 
-    def decode(self, info: EncodingInfo, compressed_data: bytes) -> np.ndarray:
-        from ..core.types import MAGIC_HEADER
+    def __init__(self, backend: str = "auto"):
+        if backend not in ("auto", "host", "device"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self._backend = backend
+        self._device_dec = None
+        self._device_key = None
 
+    def decode(self, info: EncodingInfo, compressed_data: bytes) -> np.ndarray:
         if compressed_data[: len(MAGIC_HEADER)] == MAGIC_HEADER:
             raise ValueError("compressed_data contains the header. Use decode_header first")
         plan = build_plan(info, for_decode=True)
@@ -109,42 +171,102 @@ class PointcloudDecoder:
         out = np.zeros((n_total, info.point_step), dtype=np.uint8)
 
         if info.version >= 3:
-            pos = 0
-            row = 0
-            points_remaining = n_total
-            data = memoryview(compressed_data)
-            while pos < len(data):
-                if points_remaining == 0:
-                    raise ValueError("Encoded data contains more chunks than declared points")
-                if pos + 4 > len(data):
-                    raise ValueError("Invalid chunk size found while decoding")
-                (chunk_size,) = struct.unpack_from("<I", data, pos)
-                pos += 4
-                if chunk_size > len(data) - pos:
-                    raise ValueError("Invalid chunk size found while decoding")
-                points_in_chunk = min(points_remaining, POINTS_PER_CHUNK)
-                self._decode_chunk(
-                    info, plan, bytes(data[pos : pos + chunk_size]), out[row : row + points_in_chunk]
-                )
-                pos += chunk_size
-                row += points_in_chunk
-                points_remaining -= points_in_chunk
-            if points_remaining != 0:
-                raise ValueError("Encoded data ended before all declared points were decoded")
+            chunks = self._split_chunks(info, compressed_data, n_total)
+            raws = [
+                stage2.decompress_chunk(info.compression_opt, c, n_total * info.point_step)
+                for c, _ in chunks
+            ]
+            if self._use_device(plan):
+                self._decode_chunks_device(info, plan, raws, chunks, out)
+            else:
+                row = 0
+                for raw, (_, pts) in zip(raws, chunks):
+                    self._decode_stage1_host(info, plan, np.frombuffer(raw, np.uint8),
+                                             out[row : row + pts])
+                    row += pts
         else:
-            self._decode_chunk(info, plan, compressed_data, out)
+            raw = stage2.decompress_chunk(info.compression_opt, compressed_data,
+                                          n_total * info.point_step)
+            self._decode_stage1_host(info, plan, np.frombuffer(raw, np.uint8), out)
         return out
 
-    def decode_full(self, stream: bytes) -> (EncodingInfo, np.ndarray):
+    def decode_full(self, stream: bytes) -> Tuple[EncodingInfo, np.ndarray]:
         """Convenience: header + payload in one buffer."""
         info, header_len = decode_header(stream)
         return info, self.decode(info, stream[header_len:])
 
-    def _decode_chunk(self, info, plan: CodecPlan, chunk_data: bytes, out_rows: np.ndarray):
+    # ------------------------------------------------------------------ internals
+
+    def _split_chunks(self, info, data: bytes, n_total: int):
+        """Walk the u32-framed chunk list (cloudini.cpp:645-661)."""
+        chunks = []
+        pos = 0
+        points_remaining = n_total
+        view = memoryview(data)
+        while pos < len(view):
+            if points_remaining == 0:
+                raise ValueError("Encoded data contains more chunks than declared points")
+            if pos + 4 > len(view):
+                raise ValueError("Invalid chunk size found while decoding")
+            (chunk_size,) = struct.unpack_from("<I", view, pos)
+            pos += 4
+            if chunk_size > len(view) - pos:
+                raise ValueError("Invalid chunk size found while decoding")
+            pts = min(points_remaining, POINTS_PER_CHUNK)
+            chunks.append((bytes(view[pos : pos + chunk_size]), pts))
+            pos += chunk_size
+            points_remaining -= pts
+        if points_remaining != 0:
+            raise ValueError("Encoded data ended before all declared points were decoded")
+        return chunks
+
+    def _use_device(self, plan: CodecPlan) -> bool:
+        if self._backend == "host":
+            return False
+        from ..ops.device_codec import decoder_supports_plan
+
+        ok = decoder_supports_plan(plan) and _device_available()
+        if self._backend == "device" and not ok:
+            raise NotImplementedError("plan is not device-decodable")
+        return ok
+
+    def _decode_chunks_device(self, info, plan, raws, chunks, out):
+        from ..ops.device_codec import DeviceStage1Decoder
+
+        c = len(raws)
+        c_pad = _bucket(c)
+        max_bytes = max((len(r) for r in raws), default=1)
+        max_bytes = -(-max_bytes // 1024) * 1024  # round to 1 KiB buckets
+        key = (id(plan.units), info.point_step, max_bytes)
+        if self._device_key != key:
+            self._device_dec = DeviceStage1Decoder(
+                plan, info.point_step, POINTS_PER_CHUNK, max_bytes
+            )
+            self._device_key = key
+        payloads = np.zeros((c_pad, max_bytes), dtype=np.uint8)
+        sizes = np.zeros(c_pad, dtype=np.int32)
+        n_valid = np.zeros(c_pad, dtype=np.int32)
+        for i, (raw, (_, pts)) in enumerate(zip(raws, chunks)):
+            payloads[i, : len(raw)] = np.frombuffer(raw, np.uint8)
+            sizes[i] = len(raw)
+            n_valid[i] = pts
+        rows_dev, consumed = self._device_dec.decode_chunks(payloads, sizes, n_valid)
+        rows_h = np.asarray(rows_dev)
+        consumed = np.asarray(consumed)
+        row = 0
+        for i, (raw, (_, pts)) in enumerate(zip(raws, chunks)):
+            out[row : row + pts] = rows_h[i, :pts]
+            if plan.adaptive:
+                data = np.frombuffer(raw, np.uint8)
+                pos = int(consumed[i])
+                for field in plan.adaptive:
+                    pos = np_v5.decode_section(field, data, pos, out[row : row + pts], pts)
+                if pos != len(data):
+                    raise ValueError("V5 chunk has trailing bytes after decode")
+            row += pts
+
+    def _decode_stage1_host(self, info, plan, data: np.ndarray, out_rows: np.ndarray):
         expected_points = out_rows.shape[0]
-        max_size = info.num_points * info.point_step
-        raw = decompress_chunk_bytes(info.compression_opt, chunk_data, max_size)
-        data = np.frombuffer(raw, dtype=np.uint8)
         consumed = np_stage1.decode_chunk(plan, data, out_rows, expected_points)
         if plan.adaptive:
             pos = consumed
@@ -152,7 +274,3 @@ class PointcloudDecoder:
                 pos = np_v5.decode_section(field, data, pos, out_rows, expected_points)
             if pos != len(data):
                 raise ValueError("V5 chunk has trailing bytes after decode")
-
-
-def decompress_chunk_bytes(compression: CompressionOption, data: bytes, max_size: int) -> bytes:
-    return stage2.decompress_chunk(compression, data, max_size)

@@ -356,7 +356,13 @@ class DeviceStage1Decoder:
             lanes = unit.num_lanes if unit.kind == UnitKind.FLOATN_LOSSY else 1
             out = self._store_unit(unit, svals[0], nan, t0, lanes, out)
             t0 += lanes
-        return out
+        # bytes consumed by the regular stream per chunk: end of the last token
+        # actually present (token count = n_valid * T); V5 adaptive sections
+        # start right after (decoded host-side)
+        last_tok = jnp.clip(n_valid * T - 1, 0, K - 1)
+        consumed = jnp.take_along_axis(ends, last_tok[:, None], axis=-1)[:, 0] + 1
+        consumed = jnp.where(n_valid > 0, consumed, 0).astype(jnp.int32)
+        return out, consumed
 
     def _store_unit(self, unit: CodecUnit, svals, nan, t0: int, lanes: int, out):
         pair_mode = isinstance(svals, tuple)

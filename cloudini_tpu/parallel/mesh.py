@@ -64,7 +64,7 @@ class ShardedChunkCodec:
             dec._fn = jax.jit(
                 dec._decode,
                 in_shardings=(NamedSharding(self.mesh, P(self.axis, None)), shard, shard),
-                out_shardings=NamedSharding(self.mesh, P(self.axis, None, None)),
+                out_shardings=(NamedSharding(self.mesh, P(self.axis, None, None)), shard),
             )
             self._dec = dec
         return self._dec

@@ -74,7 +74,9 @@ def _compare_encode(info, rows):
 
 def _compare_decode(info, plan, payloads, sizes, chunks, n_valid):
     dec = _device_decoder(plan, info.point_step, max_bytes=payloads.shape[1])
-    out = np.asarray(dec.decode_chunks(payloads, sizes, n_valid))
+    out, consumed = dec.decode_chunks(payloads, sizes, n_valid)
+    out, consumed = np.asarray(out), np.asarray(consumed)
+    assert np.array_equal(consumed, sizes)  # regular stream consumes everything
     for i in range(chunks.shape[0]):
         got = out[i, : n_valid[i]]
         want = chunks[i, : n_valid[i]]

@@ -60,7 +60,8 @@ def test_sharded_encode_matches_reference_kernel():
     assert all(sizes[(n + CHUNK - 1) // CHUNK :] == 0)
 
     # sharded decode round-trips
-    out = np.asarray(codec.decode(payloads, sizes, n_valid))
+    out, _consumed = codec.decode(payloads, sizes, n_valid)
+    out = np.asarray(out)
     for i in range((n + CHUNK - 1) // CHUNK):
         got = out[i, : nv[i]]
         ref = np.zeros_like(got)
