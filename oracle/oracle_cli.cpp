@@ -24,6 +24,7 @@
 #include <vector>
 
 #include "cloudini_lib/cloudini.hpp"
+#include "cloudini_lib/ros_msg_utils.hpp"
 
 using namespace Cloudini;
 
@@ -149,6 +150,27 @@ int main(int argc, char** argv) {
       const auto enc_ns = std::chrono::duration_cast<std::chrono::nanoseconds>(t1 - t0).count() / iters;
       const auto dec_ns = std::chrono::duration_cast<std::chrono::nanoseconds>(t3 - t2).count() / iters;
       std::cout << enc_ns << " " << dec_ns << " " << raw.size() << " " << n << std::endl;
+    } else if (cmd == "dds-roundtrip") {
+      // dds-roundtrip <pc2_dds.bin> <out_compressed_msg.bin> <out_pc2_dds.bin> <resolution> <viz:0|1>
+      auto raw = readFile(argv[2]);
+      auto pc = cloudini_ros::getDeserializedPointCloudMessage(
+          Cloudini::ConstBufferView(raw.data(), raw.size()));
+      const float res = std::stof(argv[5]);
+      cloudini_ros::applyResolutionProfile({}, pc.fields, res);
+      if (argc > 6 && std::string(argv[6]) == "1") {
+        cloudini_ros::applyVizLossyPreprocessing(pc);
+      }
+      auto info = cloudini_ros::toEncodingInfo(pc);
+      std::vector<uint8_t> compressed_msg;
+      cloudini_ros::convertPointCloud2ToCompressedCloud(pc, info, compressed_msg);
+      writeFile(argv[3], compressed_msg.data(), compressed_msg.size());
+
+      auto cpc = cloudini_ros::getDeserializedPointCloudMessage(
+          Cloudini::ConstBufferView(compressed_msg.data(), compressed_msg.size()));
+      std::vector<uint8_t> pc2_msg;
+      cloudini_ros::convertCompressedCloudToPointCloud2(cpc, pc2_msg);
+      writeFile(argv[4], pc2_msg.data(), pc2_msg.size());
+      std::cout << compressed_msg.size() << " " << pc2_msg.size() << std::endl;
     } else {
       std::cerr << "unknown command: " << cmd << std::endl;
       return 2;
