@@ -1,0 +1,157 @@
+"""mcap_codec_benchmark — per-topic codec benchmark on an MCAP bag (equivalent
+of tools/src/mcap_codec_benchmark.cpp: V4/V5 x plain/viz modes, enc/dec MB/s,
+ratio, and the FNV-1a decoded-output fingerprint correctness gate).
+
+Usage:
+  python -m cloudini_tpu.tools.codec_benchmark -f bag.mcap [--zstd] [--mode V5]
+         [--hash] [--decode-repeat N] [--backend auto|host|device]
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from collections import defaultdict
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..codec.pipeline import PointcloudDecoder, PointcloudEncoder
+from ..core.header import decode_header
+from ..core.types import CompressionOption
+from ..io import ros_definitions as defs
+from ..io.mcap import McapReader
+from ..io.ros_msgs import (
+    apply_resolution_profile,
+    get_deserialized_point_cloud_message,
+    to_encoding_info,
+)
+from ..preprocess import apply_viz_lossy_preprocessing
+
+FNV_OFFSET = np.uint64(14695981039346656037)
+FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a(data: bytes, state: np.uint64 = FNV_OFFSET) -> np.uint64:
+    """FNV-1a over all bytes (the reference's --hash gate,
+    mcap_codec_benchmark.cpp:537-560)."""
+    np.seterr(over="ignore")
+    h = np.uint64(state)
+    arr = np.frombuffer(data, dtype=np.uint8)
+    # block-wise to keep the Python loop short
+    for chunk in np.array_split(arr, max(1, len(arr) // 65536)):
+        for b in chunk.astype(np.uint64):
+            h = (h ^ b) * FNV_PRIME
+    return h
+
+
+def fnv1a_fast(data: bytes) -> int:
+    """Vectorized order-sensitive fingerprint (role of the reference's FNV-1a
+    gate, but parallelizable; fnv1a() above is the byte-serial original)."""
+    arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
+    np.seterr(over="ignore")
+    k = np.arange(len(arr), dtype=np.uint64)
+    weights = np.left_shift(np.uint64(1), (k * np.uint64(7)) % np.uint64(61))
+    return int(((arr + np.uint64(0x9E3779B9)) * weights).sum(dtype=np.uint64))
+
+
+@dataclass
+class ModeStats:
+    in_bytes: int = 0
+    out_bytes: int = 0
+    enc_s: float = 0.0
+    dec_s: float = 0.0
+    msgs: int = 0
+    fingerprint: int = 0
+
+
+def run(path: str, modes, use_zstd: bool, resolution: float, do_hash: bool,
+        decode_repeat: int, backend: str):
+    reader = McapReader(path)
+    comp = CompressionOption.ZSTD if use_zstd else CompressionOption.NONE
+    stats = {m: defaultdict(ModeStats) for m in modes}
+    encoders = {}
+    decoder = PointcloudDecoder(backend=backend)
+
+    for ch, schema, msg in reader.messages():
+        if schema is None or schema.name != defs.POINTCLOUD_SCHEMA_NAME:
+            continue
+        pc = get_deserialized_point_cloud_message(msg.data)
+        for mode in modes:
+            version = 4 if mode.startswith("V4") else 5
+            viz = mode.endswith("viz")
+            fields = apply_resolution_profile({}, pc.fields, default_resolution=resolution)
+            rows = np.frombuffer(pc.data, np.uint8).reshape(-1, pc.point_step)
+            if viz:
+                fields, rows = apply_viz_lossy_preprocessing(fields, rows)
+            info = to_encoding_info(pc).with_(
+                fields=tuple(fields), width=rows.shape[0], height=1,
+                version=version, compression_opt=comp,
+            )
+            key = (info.fields, info.point_step, version, comp)
+            if key not in encoders:
+                encoders[key] = PointcloudEncoder(info.with_(width=0), backend=backend)
+            enc = encoders[key]
+            enc.info = info  # width varies per message; header is rebuilt below
+            from ..core.header import encode_header
+
+            enc.header = encode_header(info)
+
+            st = stats[mode][ch.topic]
+            t0 = time.perf_counter()
+            payload = enc.encode(rows)
+            st.enc_s += time.perf_counter() - t0
+            st.in_bytes += rows.nbytes
+            st.out_bytes += len(payload)
+            st.msgs += 1
+
+            t0 = time.perf_counter()
+            for _ in range(max(1, decode_repeat)):
+                dinfo, hlen = decode_header(payload)
+                decoded = decoder.decode(dinfo, payload[hlen:])
+            st.dec_s += (time.perf_counter() - t0) / max(1, decode_repeat)
+            if do_hash:
+                st.fingerprint ^= fnv1a_fast(decoded.tobytes())
+    return stats
+
+
+def print_table(stats, do_hash: bool):
+    cols = f"{'topic':30s} {'mode':8s} {'Out MiB':>9s} {'ratio %':>8s} {'Enc MB/s':>9s} {'Dec MB/s':>9s}"
+    if do_hash:
+        cols += f" {'fingerprint':>18s}"
+    print(cols)
+    for mode, topics in stats.items():
+        for topic, st in sorted(topics.items()):
+            if st.msgs == 0:
+                continue
+            line = (
+                f"{topic:30s} {mode:8s} {st.out_bytes/2**20:9.2f} "
+                f"{100.0*st.out_bytes/max(1,st.in_bytes):8.2f} "
+                f"{st.in_bytes/max(1e-12,st.enc_s)/1e6:9.1f} "
+                f"{st.in_bytes/max(1e-12,st.dec_s)/1e6:9.1f}"
+            )
+            if do_hash:
+                line += f" {st.fingerprint:#18x}"
+            print(line)
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="mcap_codec_benchmark")
+    p.add_argument("-f", "--filename", required=True)
+    p.add_argument("--zstd", action="store_true", help="enable stage-2 ZSTD")
+    p.add_argument("--mode", choices=["V4", "V5", "V4viz", "V5viz", "all"], default="all")
+    p.add_argument("-r", "--resolution", type=float, default=0.001)
+    p.add_argument("--hash", action="store_true", help="print decoded-output fingerprints")
+    p.add_argument("--decode-repeat", type=int, default=1)
+    p.add_argument("--backend", choices=["auto", "host", "device"], default="auto")
+    args = p.parse_args(argv)
+
+    modes = ["V4", "V5", "V4viz", "V5viz"] if args.mode == "all" else [args.mode]
+    stats = run(args.filename, modes, args.zstd, args.resolution, args.hash,
+                args.decode_repeat, args.backend)
+    print_table(stats, args.hash)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
