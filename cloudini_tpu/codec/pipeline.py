@@ -131,6 +131,18 @@ class PointcloudEncoder:
         if n_chunks == 0:
             return []
         if self._device_enc is None:
+            from .. import native
+
+            if native.available() and len(self.plan.units) <= 64:
+                mpb = self.plan.max_encoded_point_bytes
+                return [
+                    native.encode_chunk(
+                        self.plan,
+                        points[i * self.chunk_points : (i + 1) * self.chunk_points],
+                        mpb,
+                    )
+                    for i in range(n_chunks)
+                ]
             return [
                 np_stage1.encode_chunk(
                     self.plan, points[i * self.chunk_points : (i + 1) * self.chunk_points]

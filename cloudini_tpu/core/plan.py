@@ -104,6 +104,20 @@ class CodecPlan:
     def min_encoded_point_bytes(self) -> int:
         return sum(u.min_input_bytes for u in self.units)
 
+    @property
+    def max_encoded_point_bytes(self) -> int:
+        """Worst-case serialized bytes per point for the regular stream
+        (reference: MaxSerializedFieldSize, codec_common.cpp:29-67)."""
+        total = 0
+        for u in self.units:
+            if u.kind in (UnitKind.FLOATN_LOSSY, UnitKind.FLOAT_LOSSY, UnitKind.INT_DELTA):
+                total += 10 * u.num_lanes
+            elif u.kind == UnitKind.GORILLA:
+                total += 11 if size_of(u.types[0]) == 8 else 7
+            else:
+                total += int(u.fixed_size)
+        return total
+
 
 def _unit_for_field(info: EncodingInfo, f, for_decode: bool) -> CodecUnit:
     """Single-field dispatch (reference: CreateCompatibleEncoder/Decoder,

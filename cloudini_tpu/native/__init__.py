@@ -1,0 +1,185 @@
+"""Native host runtime loader: compiles runtime.cpp on first use (g++, cached
+by source mtime) and exposes it via ctypes. All sequential host hot paths
+(mixed-stream decode, Gorilla coding, host-fallback encode) live here."""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import pathlib
+import subprocess
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+from ..core.plan import CodecPlan, CodecUnit, UnitKind
+
+_DIR = pathlib.Path(__file__).resolve().parent
+_SRC = _DIR / "runtime.cpp"
+_BUILD = _DIR / "_build"
+
+_KIND_CODE = {
+    UnitKind.FLOATN_LOSSY: 0,
+    UnitKind.FLOAT_LOSSY: 1,
+    UnitKind.INT_DELTA: 2,
+    UnitKind.FLOAT_XOR: 3,
+    UnitKind.GORILLA: 4,
+    UnitKind.COPY: 5,
+}
+
+_ERRORS = {
+    -1: "truncated input",
+    -2: "varint overflow",
+    -3: "decodeVarint: unexpected NaN marker",
+    -4: "output buffer full",
+    -5: "unsupported unit",
+}
+
+
+class _UnitSpec(ctypes.Structure):
+    _fields_ = [
+        ("kind", ctypes.c_int32),
+        ("lanes", ctypes.c_int32),
+        ("type_code", ctypes.c_int32),
+        ("_pad", ctypes.c_int32),
+        ("offsets", ctypes.c_uint32 * 4),
+        ("res", ctypes.c_float * 4),
+    ]
+
+
+_lib = None
+_lib_lock = threading.Lock()
+_disabled = False
+
+
+def _compile() -> Optional[pathlib.Path]:
+    _BUILD.mkdir(exist_ok=True)
+    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    so_path = _BUILD / f"runtime-{tag}.so"
+    if so_path.exists():
+        return so_path
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(so_path)],
+            check=True, capture_output=True, timeout=300,
+        )
+    except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
+        return None
+    return so_path
+
+
+def get_lib():
+    """Returns the loaded runtime or None when unavailable (no toolchain)."""
+    global _lib, _disabled
+    if _lib is not None or _disabled:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _disabled:
+            return _lib
+        so = _compile()
+        if so is None:
+            _disabled = True
+            return None
+        lib = ctypes.CDLL(str(so))
+        lib.cldn_decode_chunk.restype = ctypes.c_longlong
+        lib.cldn_decode_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+        ]
+        lib.cldn_encode_chunk.restype = ctypes.c_longlong
+        lib.cldn_encode_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_longlong,
+        ]
+        lib.cldn_gorilla_encode_column.restype = ctypes.c_longlong
+        lib.cldn_gorilla_encode_column.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+        ]
+        lib.cldn_gorilla_decode_column.restype = ctypes.c_longlong
+        lib.cldn_gorilla_decode_column.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int, ctypes.c_void_p,
+        ]
+        _lib = lib
+        return _lib
+
+
+def _specs(plan: CodecPlan) -> ctypes.Array:
+    arr = (_UnitSpec * len(plan.units))()
+    for i, u in enumerate(plan.units):
+        arr[i].kind = _KIND_CODE[u.kind]
+        arr[i].lanes = u.num_lanes
+        arr[i].type_code = int(u.types[0])
+        for lane in range(u.num_lanes):
+            arr[i].offsets[lane] = u.offsets[lane]
+            arr[i].res[lane] = 0.0 if u.resolutions[lane] is None else u.resolutions[lane]
+    return arr
+
+
+def _check(rc: int) -> int:
+    if rc < 0:
+        raise ValueError(_ERRORS.get(rc, f"native runtime error {rc}"))
+    return rc
+
+
+def decode_chunk(plan: CodecPlan, data: np.ndarray, out_rows: np.ndarray, n_points: int) -> int:
+    """Native sequential decode of the interleaved regular stream. Returns
+    bytes consumed."""
+    lib = get_lib()
+    assert lib is not None
+    if len(plan.units) > 64:
+        raise ValueError("too many units for the native runtime")
+    data = np.ascontiguousarray(data)
+    assert out_rows.flags["C_CONTIGUOUS"]
+    rc = lib.cldn_decode_chunk(
+        data.ctypes.data, data.size, _specs(plan), len(plan.units),
+        out_rows.ctypes.data, out_rows.shape[1], n_points,
+    )
+    return _check(rc)
+
+
+def encode_chunk(plan: CodecPlan, rows: np.ndarray, max_point_bytes: int) -> np.ndarray:
+    """Native sequential encode (host fallback for Gorilla / FLOAT64 plans)."""
+    lib = get_lib()
+    assert lib is not None
+    if len(plan.units) > 64:
+        raise ValueError("too many units for the native runtime")
+    rows = np.ascontiguousarray(rows)
+    n = rows.shape[0]
+    out = np.empty(n * max_point_bytes + 1024, dtype=np.uint8)
+    rc = lib.cldn_encode_chunk(
+        rows.ctypes.data, rows.shape[1], n, _specs(plan), len(plan.units),
+        out.ctypes.data, out.size,
+    )
+    return out[: _check(rc)]
+
+
+def gorilla_encode_column(bits: np.ndarray, type_bits: int):
+    """Returns (payload bytes, per-value lengths)."""
+    lib = get_lib()
+    assert lib is not None
+    bits = np.ascontiguousarray(bits.astype(np.uint64, copy=False))
+    n = bits.size
+    cap = n * (type_bits // 8 + 3) + 16
+    out = np.empty(cap, dtype=np.uint8)
+    lengths = np.empty(n, dtype=np.int32)
+    rc = lib.cldn_gorilla_encode_column(
+        bits.ctypes.data, n, type_bits, out.ctypes.data, cap, lengths.ctypes.data
+    )
+    return out[: _check(rc)], lengths
+
+
+def gorilla_decode_column(data: np.ndarray, count: int, type_bits: int):
+    """Returns (uint64 bit patterns, bytes consumed)."""
+    lib = get_lib()
+    assert lib is not None
+    data = np.ascontiguousarray(data)
+    out = np.empty(count, dtype=np.uint64)
+    rc = lib.cldn_gorilla_decode_column(data.ctypes.data, data.size, count, type_bits, out.ctypes.data)
+    return out, _check(rc)
+
+
+def available() -> bool:
+    return get_lib() is not None

@@ -127,7 +127,13 @@ def encode_unit(unit: CodecUnit, points: np.ndarray) -> List[TokenStream]:
         width = size_of(unit.types[0])
         bits_dtype = np.uint64 if width == 8 else np.uint32
         b = _col(points, unit.offsets[0], bits_dtype)
-        payload, lengths = gorilla.encode_column(b, width * 8)
+        from .. import native
+
+        if native.available():
+            payload_arr, lengths = native.gorilla_encode_column(b, width * 8)
+            payload = payload_arr.tobytes()
+        else:
+            payload, lengths = gorilla.encode_column(b, width * 8)
         max_len = int(lengths.max()) if n else 0
         mat = np.zeros((n, max_len), dtype=np.uint8)
         flat = np.frombuffer(payload, dtype=np.uint8)
@@ -233,9 +239,13 @@ def _decode_unit_columnar(unit: CodecUnit, deltas_i64, nan_mask, out) -> None:
 
 
 def _decode_chunk_sequential(plan, data, out, n_points) -> int:
-    """Reference-faithful sequential walk for streams that mix self-delimiting
-    varints with fixed-size or Gorilla tokens. Cold path; the native runtime
-    owns the fast version of this."""
+    """Sequential walk for streams that mix self-delimiting varints with
+    fixed-size or Gorilla tokens. The native C++ runtime owns this path;
+    the Python walk (seqdecode) is the fallback oracle."""
+    from .. import native
+
+    if native.available():
+        return native.decode_chunk(plan, data, out, n_points)
     from .seqdecode import decode_chunk_sequential
 
     return decode_chunk_sequential(plan, data, out, n_points)
