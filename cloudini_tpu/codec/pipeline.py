@@ -267,6 +267,8 @@ class PointcloudDecoder:
         consumed = np.asarray(consumed)
         row = 0
         for i, (raw, (_, pts)) in enumerate(zip(raws, chunks)):
+            if consumed[i] > len(raw):
+                raise ValueError("Truncated encoded data: not enough bytes for a complete point")
             out[row : row + pts] = rows_h[i, :pts]
             if plan.adaptive:
                 data = np.frombuffer(raw, np.uint8)
