@@ -27,6 +27,9 @@ constexpr int kErrNanMarker = -3;
 constexpr int kErrOutputFull = -4;
 constexpr int kErrBadUnit = -5;
 
+// Field decoded (stream consumed) but not stored (basic_types.hpp:71).
+constexpr uint32_t kSkipStore = 0xFFFFFFFFu;
+
 // unit kinds (must match cloudini_tpu.core.plan.UnitKind order used by the loader)
 enum UnitKind : int32_t {
   kFloatNLossy = 0,
@@ -279,7 +282,7 @@ long long cldn_decode_chunk(
             if (data[pos] == 0) {  // NaN marker
               st.prev_i32[lane] = 0;
               const uint32_t qnan = 0x7FC00000u;
-              store_le(row + spec.offsets[lane], qnan, 4);
+              if (spec.offsets[lane] != kSkipStore) store_le(row + spec.offsets[lane], qnan, 4);
               pos += 1;
               continue;
             }
@@ -293,7 +296,7 @@ long long cldn_decode_chunk(
             const float f = static_cast<float>(v) * spec.res[lane];
             uint32_t bits;
             std::memcpy(&bits, &f, 4);
-            store_le(row + spec.offsets[lane], bits, 4);
+            if (spec.offsets[lane] != kSkipStore) store_le(row + spec.offsets[lane], bits, 4);
           }
         } break;
         case kFloatLossy: {
@@ -301,10 +304,12 @@ long long cldn_decode_chunk(
           if (pos >= size) { err = kErrTruncated; break; }
           if (data[pos] == 0) {
             st.prev_i64[0] = 0;
-            if (f64) {
-              store_le(row + spec.offsets[0], 0x7FF8000000000000ULL, 8);
-            } else {
-              store_le(row + spec.offsets[0], 0x7FC00000u, 4);
+            if (spec.offsets[0] != kSkipStore) {
+              if (f64) {
+                store_le(row + spec.offsets[0], 0x7FF8000000000000ULL, 8);
+              } else {
+                store_le(row + spec.offsets[0], 0x7FC00000u, 4);
+              }
             }
             pos += 1;
             break;
@@ -315,7 +320,8 @@ long long cldn_decode_chunk(
           pos += n;
           const int64_t v = st.prev_i64[0] + diff;
           st.prev_i64[0] = v;
-          if (f64) {
+          if (spec.offsets[0] == kSkipStore) {
+          } else if (f64) {
             const double f = static_cast<double>(v) * static_cast<double>(spec.res[0]);
             uint64_t bits;
             std::memcpy(&bits, &f, 8);
@@ -334,7 +340,8 @@ long long cldn_decode_chunk(
           pos += n;
           const int64_t v = st.prev_i64[0] + diff;
           st.prev_i64[0] = v;
-          store_le(row + spec.offsets[0], static_cast<uint64_t>(v), field_width(spec.type_code));
+          if (spec.offsets[0] != kSkipStore)
+            store_le(row + spec.offsets[0], static_cast<uint64_t>(v), field_width(spec.type_code));
         } break;
         case kFloatXor: {
           const int w = field_width(spec.type_code);
@@ -343,7 +350,7 @@ long long cldn_decode_chunk(
           pos += w;
           const uint64_t v = resid ^ st.prev_bits;
           st.prev_bits = v;
-          store_le(row + spec.offsets[0], v, w);
+          if (spec.offsets[0] != kSkipStore) store_le(row + spec.offsets[0], v, w);
         } break;
         case kGorilla: {
           uint64_t v;
@@ -351,12 +358,12 @@ long long cldn_decode_chunk(
           const int rc = gorilla_get(st.gorilla, data + pos, size - pos, &v, &consumed);
           if (rc < 0) { err = rc; break; }
           pos += consumed;
-          store_le(row + spec.offsets[0], v, field_width(spec.type_code));
+          if (spec.offsets[0] != kSkipStore) store_le(row + spec.offsets[0], v, field_width(spec.type_code));
         } break;
         case kCopy: {
           const int w = field_width(spec.type_code);
           if (pos + w > size) { err = kErrTruncated; break; }
-          std::memcpy(row + spec.offsets[0], data + pos, w);
+          if (spec.offsets[0] != kSkipStore) std::memcpy(row + spec.offsets[0], data + pos, w);
           pos += w;
         } break;
         default:

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.plan import CodecPlan, CodecUnit, UnitKind
-from ..core.types import FieldType, size_of
+from ..core.types import DECODE_BUT_SKIP_STORE, FieldType, size_of
 from . import columns as C
 from . import u64
 
@@ -374,7 +374,8 @@ class DeviceStage1Decoder:
                 f = q.astype(jnp.float32) * np.float32(unit.resolutions[lane])
                 bits = jax.lax.bitcast_convert_type(f, jnp.uint32)
                 bits = jnp.where(nan[..., t], _F32_NAN_BITS, bits)
-                out = C.store_bytes(out, unit.offsets[lane], C.split_bytes(bits, 4))
+                if unit.offsets[lane] != DECODE_BUT_SKIP_STORE:
+                    out = C.store_bytes(out, unit.offsets[lane], C.split_bytes(bits, 4))
             return out
         if unit.kind == UnitKind.FLOAT_LOSSY:
             assert pair_mode
@@ -384,11 +385,15 @@ class DeviceStage1Decoder:
             f = u64.i64_to_f32(q) * np.float32(unit.resolutions[0])
             bits = jax.lax.bitcast_convert_type(f, jnp.uint32)
             bits = jnp.where(nm, _F32_NAN_BITS, bits)
+            if unit.offsets[0] == DECODE_BUT_SKIP_STORE:
+                return out
             return C.store_bytes(out, unit.offsets[0], C.split_bytes(bits, 4))
         if unit.kind == UnitKind.INT_DELTA:
             assert pair_mode
             d = (svals[0][..., t0], svals[1][..., t0])
             q = _segmented_undelta_u64(d, None)
+            if unit.offsets[0] == DECODE_BUT_SKIP_STORE:
+                return out
             width = size_of(unit.types[0])
             return C.store_bytes(out, unit.offsets[0], u64.to_bytes(q, width))
         raise NotImplementedError(unit.kind)

@@ -163,6 +163,10 @@ def decode_chunk_sequential(plan: CodecPlan, data: np.ndarray, out: np.ndarray, 
             vals = np.array(acc[ui], dtype=np.uint64).astype(udtype)
             _store(out, unit.offsets[0], vals)
         elif unit.kind == UnitKind.COPY:
+            from ..core.types import DECODE_BUT_SKIP_STORE
+
+            if unit.offsets[0] == DECODE_BUT_SKIP_STORE:
+                continue
             width = size_of(unit.types[0])
             mat = np.frombuffer(b"".join(acc[ui]), dtype=np.uint8).reshape(n_points, width)
             out[:, unit.offsets[0] : unit.offsets[0] + width] = mat
@@ -170,5 +174,9 @@ def decode_chunk_sequential(plan: CodecPlan, data: np.ndarray, out: np.ndarray, 
 
 
 def _store(out: np.ndarray, offset: int, values: np.ndarray) -> None:
+    from ..core.types import DECODE_BUT_SKIP_STORE
+
+    if offset == DECODE_BUT_SKIP_STORE:
+        return
     b = values.reshape(-1, 1).view(np.uint8)
     out[:, offset : offset + values.dtype.itemsize] = b.reshape(len(values), values.dtype.itemsize)

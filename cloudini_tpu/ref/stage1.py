@@ -40,7 +40,13 @@ def _col(points: np.ndarray, offset: int, dtype) -> np.ndarray:
 
 
 def _store_col(out: np.ndarray, offset: int, values: np.ndarray) -> None:
-    """Write a typed column back into (n, point_step) uint8 rows."""
+    """Write a typed column back into (n, point_step) uint8 rows. The
+    DECODE_BUT_SKIP_STORE sentinel consumes the stream but stores nothing
+    (reference: basic_types.hpp:71)."""
+    from ..core.types import DECODE_BUT_SKIP_STORE
+
+    if offset == DECODE_BUT_SKIP_STORE:
+        return
     b = values.reshape(-1, 1).view(np.uint8)
     out[:, offset : offset + values.dtype.itemsize] = b.reshape(len(values), values.dtype.itemsize)
 

@@ -312,9 +312,12 @@ def decode_section(
             diffs = np.repeat(run_diffs, run_lens)
             values = np.cumsum(diffs, dtype=np.int64)
 
-    vals = values.astype(dt)
-    b = vals.reshape(-1, 1).view(np.uint8)
-    out[:, field.offset : field.offset + dt.itemsize] = b.reshape(expected_points, dt.itemsize)
+    from ..core.types import DECODE_BUT_SKIP_STORE
+
+    if field.offset != DECODE_BUT_SKIP_STORE:
+        vals = values.astype(dt)
+        b = vals.reshape(-1, 1).view(np.uint8)
+        out[:, field.offset : field.offset + dt.itemsize] = b.reshape(expected_points, dt.itemsize)
     return pos
 
 
