@@ -95,6 +95,16 @@ class PointcloudEncoder:
         out: List[bytes] = [self.header] if write_header else []
         n_chunks = -(-n_points // self.chunk_points)
 
+        if self.plan.adaptive and self._device_enc is not None and n_chunks > 0:
+            # V5 on device: probe on host (first chunk, <=4096 pts), then the
+            # committed modes are STATIC for a per-modes compiled encoder that
+            # emits the complete stage-1 payload (regular stream + sections)
+            committed_modes = self._commit_modes(points[: self.chunk_points])
+            stage1_chunks = self._encode_device(points, n_chunks, committed_modes)
+            for s in stage1_chunks:
+                out.append(stage2.write_stage1_chunk(self.info.compression_opt, s.tobytes()))
+            return b"".join(out)
+
         regular_streams = self._encode_regular(points, n_chunks)
         committed_modes: Optional[Dict[int, int]] = None
         for i in range(n_chunks):
@@ -111,6 +121,32 @@ class PointcloudEncoder:
             stage1_bytes = np.concatenate(parts).tobytes() if len(parts) > 1 else parts[0].tobytes()
             out.append(stage2.write_stage1_chunk(self.info.compression_opt, stage1_bytes))
         return b"".join(out)
+
+    def _encode_device(self, points, n_chunks, committed_modes) -> List[np.ndarray]:
+        """Full stage-1 on device; per-modes encoder cache (the committed mode
+        is compile-time state, one program per (plan, modes))."""
+        from ..ops.device_codec import DeviceStage1Encoder
+
+        key = tuple(sorted(committed_modes.items()))
+        if not hasattr(self, "_adaptive_encoders"):
+            self._adaptive_encoders = {}
+        enc = self._adaptive_encoders.get(key)
+        if enc is None:
+            enc = DeviceStage1Encoder(
+                self.plan, self.info.point_step, self.chunk_points, adaptive_modes=committed_modes
+            )
+            self._adaptive_encoders[key] = enc
+        cp = self.chunk_points
+        c_pad = _bucket(n_chunks)
+        chunks = np.zeros((c_pad, cp, self.info.point_step), dtype=np.uint8)
+        n_valid = np.zeros(c_pad, dtype=np.int32)
+        for i in range(n_chunks):
+            part = points[i * cp : (i + 1) * cp]
+            chunks[i, : len(part)] = part
+            n_valid[i] = len(part)
+        payloads, sizes = enc.encode_chunks(chunks, n_valid)
+        payloads, sizes = np.asarray(payloads), np.asarray(sizes)
+        return [payloads[i, : sizes[i]] for i in range(n_chunks)]
 
     def _commit_modes(self, first_chunk: np.ndarray) -> Dict[int, int]:
         """V5 probe: first 4096 points of the first chunk, or the whole chunk

@@ -210,7 +210,12 @@ class DeviceStage1Encoder:
         -> (payloads (C, max_bytes) uint8, sizes (C,) int32)
     """
 
-    def __init__(self, plan: CodecPlan, point_step: int, chunk_points: int = 32 * 1024):
+    def __init__(self, plan: CodecPlan, point_step: int, chunk_points: int = 32 * 1024,
+                 adaptive_modes: dict | None = None):
+        """``adaptive_modes``: {field_index: committed V5 mode} — when given
+        (and covering every adaptive field), sections are emitted on device and
+        encode_chunks returns the COMPLETE stage-1 payload; otherwise only the
+        regular interleaved stream (host appends sections)."""
         if not encoder_supports_plan(plan):
             raise NotImplementedError(
                 "plan contains units that are not device-exact (Gorilla; FLOAT64 "
@@ -220,6 +225,9 @@ class DeviceStage1Encoder:
         self.plan = plan
         self.point_step = point_step
         self.chunk_points = chunk_points
+        self.adaptive_modes = dict(adaptive_modes) if adaptive_modes else None
+        if self.adaptive_modes is not None:
+            assert all(f.field_index in self.adaptive_modes for f in plan.adaptive)
         # worst-case bytes/point (MaxSerializedPointSize, codec_common.cpp:29-67)
         self.max_point_bytes = 0
         for u in plan.units:
@@ -229,7 +237,13 @@ class DeviceStage1Encoder:
                 self.max_point_bytes += 10
             else:
                 self.max_point_bytes += int(u.fixed_size)
-        self.max_bytes = chunk_points * self.max_point_bytes
+        self.regular_max_bytes = chunk_points * self.max_point_bytes
+        self.max_bytes = self.regular_max_bytes
+        if self.adaptive_modes is not None:
+            from . import adaptive as adaptive_ops
+
+            for f in plan.adaptive:
+                self.max_bytes += adaptive_ops.section_max_bytes(f, chunk_points)
         self._fn = jax.jit(self._encode)
 
     def _encode(self, rows: jnp.ndarray, n_valid: jnp.ndarray):
@@ -237,7 +251,21 @@ class DeviceStage1Encoder:
         streams = []
         for unit in self.plan.units:
             streams.extend(_encode_unit_tokens(unit, rows, valid))
-        return _interleave_scatter(streams, self.chunk_points, self.max_bytes)
+        out, sizes = _interleave_scatter(streams, self.chunk_points, self.max_bytes)
+        if self.adaptive_modes is None:
+            return out, sizes
+        from . import adaptive as adaptive_ops
+
+        c_idx = jnp.arange(out.shape[0], dtype=np.int32)[:, None]
+        for field in self.plan.adaptive:
+            mode = self.adaptive_modes[field.field_index]
+            smax = adaptive_ops.section_max_bytes(field, self.chunk_points)
+            sec, sec_size = adaptive_ops.encode_section_device(field, mode, rows, valid, smax)
+            ks = jnp.arange(smax, dtype=np.int32)
+            pos = jnp.where(ks[None, :] < sec_size[:, None], sizes[:, None] + ks[None, :], self.max_bytes)
+            out = out.at[c_idx, pos].set(sec, mode="drop")
+            sizes = sizes + sec_size
+        return out, sizes
 
     def encode_chunks(self, rows, n_valid):
         return self._fn(rows, n_valid)
