@@ -37,13 +37,11 @@ _F32_NAN_BITS = np.uint32(0x7FC00000)  # std::numeric_limits<float>::quiet_NaN()
 
 
 def encoder_supports_plan(plan: CodecPlan) -> bool:
-    """True when every unit is device-exact. Gorilla is a sequential bit
-    packer (host/native path for now). FLOAT64 lossy needs IEEE f64 multiply,
-    which TPU's emulated f64 does not guarantee (observed 1-ulp divergence);
-    bit-exactness pins that unit to the host."""
+    """True when every unit is device-exact. FLOAT64 lossy needs IEEE f64
+    multiply, which TPU's emulated f64 does not guarantee (observed 1-ulp
+    divergence); bit-exactness pins that unit to the host. Gorilla encodes on
+    device via the parallel window-chain construction (ops/gorilla.py)."""
     for u in plan.units:
-        if u.kind == UnitKind.GORILLA:
-            return False
         if u.kind == UnitKind.FLOAT_LOSSY and u.types[0] == FieldType.FLOAT64:
             return False
     return True
@@ -177,6 +175,16 @@ def _encode_unit_tokens(unit: CodecUnit, rows: jnp.ndarray, valid: jnp.ndarray):
         lengths = jnp.where(valid, width, 0).astype(jnp.int32)
         out.append((mat, lengths))
         return out
+    if unit.kind == UnitKind.GORILLA:
+        from . import gorilla
+
+        width = size_of(unit.types[0])
+        if width == 8:
+            bits = u64.from_bytes(rows[..., unit.offsets[0] : unit.offsets[0] + 8], 8, False)
+        else:
+            bits = C.extract_u32(rows, unit.offsets[0])
+        out.append(gorilla.gorilla_tokens(bits, width * 8, valid))
+        return out
     raise NotImplementedError(f"device encode does not support {unit.kind} yet (host fallback)")
 
 
@@ -218,8 +226,8 @@ class DeviceStage1Encoder:
         regular interleaved stream (host appends sections)."""
         if not encoder_supports_plan(plan):
             raise NotImplementedError(
-                "plan contains units that are not device-exact (Gorilla; FLOAT64 "
-                "lossy quantization — TPU f64 is emulated and diverges by 1 ulp); "
+                "plan contains units that are not device-exact (FLOAT64 lossy "
+                "quantization — TPU f64 is emulated and diverges by 1 ulp); "
                 "those chunks take the host path"
             )
         self.plan = plan
@@ -235,6 +243,9 @@ class DeviceStage1Encoder:
                 self.max_point_bytes += 5 * u.num_lanes
             elif u.kind in (UnitKind.FLOAT_LOSSY, UnitKind.INT_DELTA):
                 self.max_point_bytes += 10
+            elif u.kind == UnitKind.GORILLA:
+                # MaxSerializedFieldSize: 11B f64 / 7B f32 (codec_common.cpp:29-67)
+                self.max_point_bytes += 11 if size_of(u.types[0]) == 8 else 7
             else:
                 self.max_point_bytes += int(u.fixed_size)
         self.regular_max_bytes = chunk_points * self.max_point_bytes

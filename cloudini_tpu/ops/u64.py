@@ -214,6 +214,36 @@ def clz32(x: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.clz(x.astype(jnp.int32)).astype(jnp.int32)
 
 
+def ctz32(x: jnp.ndarray) -> jnp.ndarray:
+    """Trailing zero count of u32 lanes (x == 0 -> 32)."""
+    u = x.astype(_U32)
+    return jax.lax.population_count(~u & (u - np.uint32(1))).astype(jnp.int32)
+
+
+def clz64(v: U64) -> jnp.ndarray:
+    """Leading zero count of the pair (0 -> 64)."""
+    lo, hi = v
+    return jnp.where(hi != 0, clz32(hi), 32 + clz32(lo))
+
+
+def ctz64(v: U64) -> jnp.ndarray:
+    """Trailing zero count of the pair (0 -> 64)."""
+    lo, hi = v
+    return jnp.where(lo != 0, ctz32(lo), 32 + ctz32(hi))
+
+
+def shr_var(v: U64, s: jnp.ndarray) -> U64:
+    """Logical right shift by a per-lane dynamic amount s in [0, 63]."""
+    lo, hi = v
+    s = s.astype(_U32)
+    big = s >= np.uint32(32)
+    sh = jnp.where(big, s - np.uint32(32), s) & np.uint32(31)
+    # (hi << (32-sh)) is UB at sh == 0; select the unshifted lane instead
+    cross = jnp.where(sh == 0, _ZERO, hi << ((np.uint32(32) - sh) & np.uint32(31)))
+    lo_small = (lo >> sh) | cross
+    return jnp.where(big, hi >> sh, lo_small), jnp.where(big, _ZERO, hi >> sh)
+
+
 def i64_to_f32(v: U64) -> jnp.ndarray:
     """Correctly-rounded int64 -> float32 (round to nearest even), matching
     x86 cvtsi2ss — needed for the scalar lossy decode's
