@@ -7,8 +7,10 @@ Backends:
     LZ4/ZSTD run host-side overlapped with device compute (the reference's
     worker-thread double-buffering, cloudini.cpp:453-499, becomes XLA async
     dispatch + host stage-2)
-  * ``host`` (numpy): the wire kernel of truth; also the fallback for plans
-    the device path does not cover (Gorilla, FLOAT64 lossy)
+  * ``host`` (numpy): the wire kernel of truth; every plan also encodes on
+    device (Gorilla via ops/gorilla.py, FLOAT64 lossy via software IEEE
+    binary64 in ops/f64.py); mixed fixed-size/Gorilla streams still decode
+    host-side (token lengths depend on sequential window state)
   * ``auto`` (default): device when available and the plan is device-exact
 
 Both backends produce byte-identical streams (locked by tests/test_golden.py

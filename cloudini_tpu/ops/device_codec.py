@@ -37,13 +37,10 @@ _F32_NAN_BITS = np.uint32(0x7FC00000)  # std::numeric_limits<float>::quiet_NaN()
 
 
 def encoder_supports_plan(plan: CodecPlan) -> bool:
-    """True when every unit is device-exact. FLOAT64 lossy needs IEEE f64
-    multiply, which TPU's emulated f64 does not guarantee (observed 1-ulp
-    divergence); bit-exactness pins that unit to the host. Gorilla encodes on
-    device via the parallel window-chain construction (ops/gorilla.py)."""
-    for u in plan.units:
-        if u.kind == UnitKind.FLOAT_LOSSY and u.types[0] == FieldType.FLOAT64:
-            return False
+    """Every unit kind is device-exact: Gorilla via the parallel window-chain
+    construction (ops/gorilla.py), FLOAT64 lossy via software IEEE binary64 on
+    u32 pairs (ops/f64.py — TPU's emulated f64 is ~1 ulp off, so the exact
+    multiply is done in integer lanes)."""
     return True
 
 
@@ -135,7 +132,20 @@ def _encode_unit_tokens(unit: CodecUnit, rows: jnp.ndarray, valid: jnp.ndarray):
         return out
     if unit.kind == UnitKind.FLOAT_LOSSY:
         if unit.types[0] == FieldType.FLOAT64:
-            raise NotImplementedError("FLOAT64 lossy takes the host path")
+            from . import f64 as sf
+
+            bits = u64.from_bytes(rows[..., unit.offsets[0] : unit.offsets[0] + 8], 8, False)
+            _, exp_raw, mant = sf.decompose(bits)
+            nan = (exp_raw == 2047) & ~u64.is_zero(mant)
+            a = u64.select(nan, u64.const(0, nan.shape), bits)
+            mult = float(np.float64(1.0) / np.float64(np.float32(unit.resolutions[0])))
+            q = sf.round_away_to_i64(sf.mul_const(a, mult))
+            prev = u64.roll_prev(q)
+            prev = u64.select(
+                jnp.roll(nan, 1, axis=-1).at[..., 0].set(False), u64.const(0, nan.shape), prev
+            )
+            out.append(_zigzag64_tokens(u64.sub(q, prev), nan, valid))
+            return out
         x = C.extract_f32(rows, unit.offsets[0])
         m = np.float32(np.float64(1.0) / np.float64(np.float32(unit.resolutions[0])))
         nan = jnp.isnan(x)
@@ -224,12 +234,8 @@ class DeviceStage1Encoder:
         (and covering every adaptive field), sections are emitted on device and
         encode_chunks returns the COMPLETE stage-1 payload; otherwise only the
         regular interleaved stream (host appends sections)."""
-        if not encoder_supports_plan(plan):
-            raise NotImplementedError(
-                "plan contains units that are not device-exact (FLOAT64 lossy "
-                "quantization — TPU f64 is emulated and diverges by 1 ulp); "
-                "those chunks take the host path"
-            )
+        if not encoder_supports_plan(plan):  # currently always true
+            raise NotImplementedError("plan is not device-encodable")
         self.plan = plan
         self.point_step = point_step
         self.chunk_points = chunk_points
@@ -421,6 +427,16 @@ class DeviceStage1Decoder:
             d = (svals[0][..., t0], svals[1][..., t0])
             nm = nan[..., t0]
             q = _segmented_undelta_u64(d, nm)
+            if unit.types[0] == FieldType.FLOAT64:
+                from . import f64 as sf
+
+                # double(q) * double(float(res))  (field_decoder.hpp:110-130)
+                res_c = float(np.float64(np.float32(unit.resolutions[0])))
+                fb = sf.mul_const(sf.i64_to_f64(q), res_c)
+                fb = u64.select(nm, u64.const(0x7FF8000000000000, nm.shape), fb)
+                if unit.offsets[0] == DECODE_BUT_SKIP_STORE:
+                    return out
+                return C.store_bytes(out, unit.offsets[0], u64.to_bytes(fb, 8))
             f = u64.i64_to_f32(q) * np.float32(unit.resolutions[0])
             bits = jax.lax.bitcast_convert_type(f, jnp.uint32)
             bits = jnp.where(nm, _F32_NAN_BITS, bits)

@@ -174,17 +174,21 @@ def test_scalar_f32_and_int_device():
     _compare_decode(info, *args)
 
 
-def test_f64_lossy_not_device_supported():
-    """FLOAT64 lossy must refuse the device path (TPU f64 is 1-ulp inexact)."""
-    from cloudini_tpu.ops.device_codec import DeviceStage1Encoder
-
+def test_f64_lossy_device_roundtrip():
+    """FLOAT64 lossy on device: software IEEE binary64 (ops/f64.py) must match
+    the host path bit-for-bit (TPU's native emulated f64 is 1-ulp inexact)."""
+    n = CHUNK + 33
+    rng = np.random.default_rng(21)
+    t = 1.7e9 + np.cumsum(rng.exponential(1e-4, n))
+    t[rng.random(n) < 0.02] = np.nan
+    rows = np.ascontiguousarray(t).view(np.uint8).reshape(n, 8)
     info = EncodingInfo(
         fields=(PointField("t", 0, FieldType.FLOAT64, 1e-6),),
-        width=4, height=1, point_step=8,
+        width=n, height=1, point_step=8,
         encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
     )
-    with pytest.raises(NotImplementedError):
-        DeviceStage1Encoder(build_plan(info), 8, chunk_points=CHUNK)
+    args = _compare_encode(info, rows)
+    _compare_decode(info, *args)
 
 
 def test_copy_and_xor_device_encode():
