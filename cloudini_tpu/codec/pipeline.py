@@ -77,9 +77,11 @@ class PointcloudEncoder:
             raise ValueError(f"unknown backend {backend!r}")
         if backend in ("auto", "device"):
             try:
-                from ..ops.device_codec import DeviceStage1Encoder
+                from ..ops.device_codec import cached_encoder
 
-                self._device_enc = DeviceStage1Encoder(self.plan, info.point_step, chunk_points)
+                # value-keyed program cache: per-message encoders (streaming
+                # workloads carry width in EncodingInfo) share one compile
+                self._device_enc = cached_encoder(self.plan, info.point_step, chunk_points)
                 if not _device_available():
                     self._device_enc = None
             except NotImplementedError:
@@ -125,19 +127,13 @@ class PointcloudEncoder:
         return b"".join(out)
 
     def _encode_device(self, points, n_chunks, committed_modes) -> List[np.ndarray]:
-        """Full stage-1 on device; per-modes encoder cache (the committed mode
-        is compile-time state, one program per (plan, modes))."""
-        from ..ops.device_codec import DeviceStage1Encoder
+        """Full stage-1 on device; the committed mode is compile-time state —
+        one cached program per (plan, modes)."""
+        from ..ops.device_codec import cached_encoder
 
-        key = tuple(sorted(committed_modes.items()))
-        if not hasattr(self, "_adaptive_encoders"):
-            self._adaptive_encoders = {}
-        enc = self._adaptive_encoders.get(key)
-        if enc is None:
-            enc = DeviceStage1Encoder(
-                self.plan, self.info.point_step, self.chunk_points, adaptive_modes=committed_modes
-            )
-            self._adaptive_encoders[key] = enc
+        enc = cached_encoder(
+            self.plan, self.info.point_step, self.chunk_points, adaptive_modes=committed_modes
+        )
         cp = self.chunk_points
         c_pad = _bucket(n_chunks)
         chunks = np.zeros((c_pad, cp, self.info.point_step), dtype=np.uint8)
@@ -281,18 +277,13 @@ class PointcloudDecoder:
         return ok
 
     def _decode_chunks_device(self, info, plan, raws, chunks, out):
-        from ..ops.device_codec import DeviceStage1Decoder
+        from ..ops.device_codec import cached_decoder
 
         c = len(raws)
         c_pad = _bucket(c)
         max_bytes = max((len(r) for r in raws), default=1)
         max_bytes = -(-max_bytes // 1024) * 1024  # round to 1 KiB buckets
-        key = (id(plan.units), info.point_step, max_bytes)
-        if self._device_key != key:
-            self._device_dec = DeviceStage1Decoder(
-                plan, info.point_step, POINTS_PER_CHUNK, max_bytes
-            )
-            self._device_key = key
+        self._device_dec = cached_decoder(plan, info.point_step, POINTS_PER_CHUNK, max_bytes)
         payloads = np.zeros((c_pad, max_bytes), dtype=np.uint8)
         sizes = np.zeros(c_pad, dtype=np.int32)
         n_valid = np.zeros(c_pad, dtype=np.int32)

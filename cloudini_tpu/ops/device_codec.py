@@ -288,6 +288,37 @@ class DeviceStage1Encoder:
         return self._fn(rows, n_valid)
 
 
+# ---------------------------------------------------------------- program cache
+
+_PROGRAM_CACHE: dict = {}
+
+
+def cached_encoder(plan: CodecPlan, point_step: int, chunk_points: int = 32 * 1024,
+                   adaptive_modes: dict | None = None) -> "DeviceStage1Encoder":
+    """Compiled-program cache keyed by plan VALUE (CodecPlan is frozen), so
+    streaming workloads with per-message EncodingInfo (varying width) reuse one
+    jitted program per schema instead of re-tracing per message."""
+    key = (
+        "enc", plan, point_step, chunk_points,
+        tuple(sorted(adaptive_modes.items())) if adaptive_modes else None,
+    )
+    enc = _PROGRAM_CACHE.get(key)
+    if enc is None:
+        enc = DeviceStage1Encoder(plan, point_step, chunk_points, adaptive_modes)
+        _PROGRAM_CACHE[key] = enc
+    return enc
+
+
+def cached_decoder(plan: CodecPlan, point_step: int, chunk_points: int = 32 * 1024,
+                   max_bytes: int | None = None) -> "DeviceStage1Decoder":
+    key = ("dec", plan, point_step, chunk_points, max_bytes)
+    dec = _PROGRAM_CACHE.get(key)
+    if dec is None:
+        dec = DeviceStage1Decoder(plan, point_step, chunk_points, max_bytes)
+        _PROGRAM_CACHE[key] = dec
+    return dec
+
+
 # ===================================================================== decode
 
 

@@ -1,0 +1,97 @@
+"""Streaming topic-converter service — the ROS-node-capability equivalent
+(reference: cloudini_ros/src/topic_converter.cpp, plugin dynamic
+``cloudini_resolution`` parameter)."""
+
+import io
+import json
+import struct
+
+import numpy as np
+import pytest
+
+from cloudini_tpu.io.ros_msgs import get_deserialized_point_cloud_message
+from cloudini_tpu.tools.topic_converter import (
+    FRAME_CONTROL,
+    FRAME_DATA,
+    PointcloudConverterService,
+    serve_connection,
+)
+
+_HDR = struct.Struct("<BI")
+
+
+@pytest.fixture(scope="module")
+def raw_msg(dds_message_bin):
+    with open(dds_message_bin, "rb") as f:
+        return f.read()
+
+
+def _xyz(dds_bytes):
+    pc = get_deserialized_point_cloud_message(dds_bytes)
+    rows = np.frombuffer(pc.data, np.uint8).reshape(-1, pc.point_step)
+    off = {f.name: f.offset for f in pc.fields}
+    return np.stack(
+        [rows[:, off[k] : off[k] + 4].copy().view(np.float32).ravel() for k in "xyz"],
+        axis=1,
+    )
+
+
+def test_round_trip(raw_msg):
+    comp = PointcloudConverterService(mode="compress", resolution=0.001, backend="host")
+    decomp = PointcloudConverterService(mode="decompress", backend="host")
+    encoded = comp.convert(raw_msg)
+    assert len(encoded) < len(raw_msg) * 0.6
+    restored = decomp.convert(encoded)
+    got, want = _xyz(restored), _xyz(raw_msg)
+    assert np.nanmax(np.abs(got - want)) <= 0.001 * 0.51
+
+
+def test_dynamic_resolution_param(raw_msg):
+    svc = PointcloudConverterService(mode="compress", resolution=0.001, backend="host")
+    fine = svc.convert(raw_msg)
+    svc.set_param("cloudini_resolution", 0.05)  # coarser -> smaller output
+    coarse = svc.convert(raw_msg)
+    assert len(coarse) < len(fine)
+    restored = PointcloudConverterService(mode="decompress", backend="host").convert(coarse)
+    assert np.nanmax(np.abs(_xyz(restored) - _xyz(raw_msg))) <= 0.05 * 0.51
+
+
+def test_profile_param(raw_msg):
+    svc = PointcloudConverterService(
+        mode="compress", profile="xyz:0.001; timestamp:remove", backend="host"
+    )
+    out = svc.convert(raw_msg)
+    pc = get_deserialized_point_cloud_message(out)
+    names = {f.name for f in pc.fields}
+    assert "timestamp" not in names and {"x", "y", "z"} <= names
+
+
+def test_framed_stream_protocol(raw_msg):
+    svc = PointcloudConverterService(mode="compress", resolution=0.001, backend="host",
+                                     log=lambda m: None)
+    control = json.dumps({"cloudini_resolution": 0.01}).encode()
+    rfile = io.BytesIO(
+        _HDR.pack(FRAME_DATA, len(raw_msg)) + raw_msg
+        + _HDR.pack(FRAME_CONTROL, len(control)) + control
+        + _HDR.pack(FRAME_DATA, len(raw_msg)) + raw_msg
+    )
+    wfile = io.BytesIO()
+    served = serve_connection(svc, rfile, wfile)
+    assert served == 2
+    out = wfile.getvalue()
+    ftype, size1 = _HDR.unpack_from(out, 0)
+    assert ftype == FRAME_DATA
+    second_off = _HDR.size + size1
+    _, size2 = _HDR.unpack_from(out, second_off)
+    assert size2 < size1  # the control frame coarsened the resolution
+    assert svc.resolution == 0.01
+
+
+def test_bad_message_skip_and_warn():
+    logs = []
+    svc = PointcloudConverterService(mode="compress", backend="host", log=logs.append)
+    rfile = io.BytesIO(_HDR.pack(FRAME_DATA, 5) + b"junk!")
+    wfile = io.BytesIO()
+    assert serve_connection(svc, rfile, wfile) == 1
+    _, size = _HDR.unpack_from(wfile.getvalue(), 0)
+    assert size == 0 and any("failed" in m for m in logs)
