@@ -67,27 +67,41 @@ class PointcloudEncoder:
     chunk (device or host). Stage 2: LZ4/ZSTD per chunk with u32 framing."""
 
     def __init__(self, info: EncodingInfo, backend: str = "auto",
-                 chunk_points: int = POINTS_PER_CHUNK):
+                 chunk_points: int = POINTS_PER_CHUNK, device_stage2: bool = False):
+        """``device_stage2=True`` (LZ4 only) fuses stage-2 into the device
+        program (ops/lz4.py): the stage-1 payload never leaves the device and
+        the host only writes u32 chunk frames. The stream stays decodable by
+        the reference (any valid LZ4 block), but is not byte-identical to the
+        liblz4 host path, which remains the default."""
         self.info = info
         self.header = encode_header(info)
         self.plan = build_plan(info, for_decode=False)
         self.chunk_points = chunk_points
         self._device_enc = None
+        self._device_stage2 = False
         if backend not in ("auto", "host", "device"):
             raise ValueError(f"unknown backend {backend!r}")
+        if device_stage2 and info.compression_opt != CompressionOption.LZ4:
+            raise ValueError("device_stage2 requires LZ4 compression")
+        self._stage2_kind = "lz4" if device_stage2 else "none"
+        if backend in ("auto", "host") and device_stage2:
+            backend = "device"
         if backend in ("auto", "device"):
             try:
                 from ..ops.device_codec import cached_encoder
 
                 # value-keyed program cache: per-message encoders (streaming
                 # workloads carry width in EncodingInfo) share one compile
-                self._device_enc = cached_encoder(self.plan, info.point_step, chunk_points)
+                self._device_enc = cached_encoder(
+                    self.plan, info.point_step, chunk_points, stage2=self._stage2_kind
+                )
                 if not _device_available():
                     self._device_enc = None
             except NotImplementedError:
                 self._device_enc = None
             if backend == "device" and self._device_enc is None:
                 raise NotImplementedError("plan is not device-encodable")
+            self._device_stage2 = device_stage2 and self._device_enc is not None
 
     @property
     def backend(self) -> str:
@@ -106,7 +120,7 @@ class PointcloudEncoder:
             committed_modes = self._commit_modes(points[: self.chunk_points])
             stage1_chunks = self._encode_device(points, n_chunks, committed_modes)
             for s in stage1_chunks:
-                out.append(stage2.write_stage1_chunk(self.info.compression_opt, s.tobytes()))
+                out.append(self._frame(s.tobytes()))
             return b"".join(out)
 
         regular_streams = self._encode_regular(points, n_chunks)
@@ -123,8 +137,15 @@ class PointcloudEncoder:
                         np_v5.encode_section(field, committed_modes[field.field_index], signed, unsigned)
                     )
             stage1_bytes = np.concatenate(parts).tobytes() if len(parts) > 1 else parts[0].tobytes()
-            out.append(stage2.write_stage1_chunk(self.info.compression_opt, stage1_bytes))
+            out.append(self._frame(stage1_bytes))
         return b"".join(out)
+
+    def _frame(self, payload: bytes) -> bytes:
+        """u32 chunk framing; when stage 2 already ran on device the payload
+        is final (chunk_writer.cpp:27-48 framing only)."""
+        if self._device_stage2:
+            return struct.pack("<I", len(payload)) + payload
+        return stage2.write_stage1_chunk(self.info.compression_opt, payload)
 
     def _encode_device(self, points, n_chunks, committed_modes) -> List[np.ndarray]:
         """Full stage-1 on device; the committed mode is compile-time state —
@@ -132,7 +153,8 @@ class PointcloudEncoder:
         from ..ops.device_codec import cached_encoder
 
         enc = cached_encoder(
-            self.plan, self.info.point_step, self.chunk_points, adaptive_modes=committed_modes
+            self.plan, self.info.point_step, self.chunk_points,
+            adaptive_modes=committed_modes, stage2=self._stage2_kind,
         )
         cp = self.chunk_points
         c_pad = _bucket(n_chunks)

@@ -201,24 +201,29 @@ def _encode_unit_tokens(unit: CodecUnit, rows: jnp.ndarray, valid: jnp.ndarray):
 def _interleave_scatter(token_streams, n_points: int, max_bytes: int):
     """Columnar token matrices -> interleaved per-point layout.
 
-    lengths: per-stream (C, N); one flat scatter per stream into the padded
-    (C, max_bytes) output. Invalid slots scatter out of range (mode=drop).
+    lengths: per-stream (C, N); one flat scatter per stream into the output.
+    Inactive lanes (token slots past each token's length) park at UNIQUE
+    scratch slots appended after max_bytes — routing them all to one shared
+    drop index makes TPU scatter serialize the colliding updates (observed
+    ~1000x, data-dependent); the scratch region is sliced off on return.
     """
     lengths = jnp.stack([ln for _, ln in token_streams], axis=-1)  # (C, N, S)
     point_sizes = lengths.sum(axis=-1)  # (C, N)
     point_off = jnp.cumsum(point_sizes, axis=-1) - point_sizes  # exclusive
     intra = jnp.cumsum(lengths, axis=-1) - lengths  # (C, N, S) exclusive
     total = point_sizes.sum(axis=-1)  # (C,)
-    out = jnp.zeros(token_streams[0][0].shape[:-2] + (max_bytes,), jnp.uint8)
+    c = token_streams[0][0].shape[0]
+    scratch = max(mat.shape[-1] for mat, _ in token_streams) * n_points
+    out = jnp.zeros((c, max_bytes + scratch), jnp.uint8)
+    batch = jnp.arange(c, dtype=np.int32)[:, None]
     for s, (mat, ln) in enumerate(token_streams):
         L = mat.shape[-1]
         ks = np.arange(L, dtype=np.int32)
         pos = point_off[..., None] + intra[..., s : s + 1] + ks  # (C, N, L)
-        pos = jnp.where(ks < ln[..., None], pos, max_bytes)  # drop invalid
-        out = out.at[
-            jnp.arange(out.shape[0], dtype=np.int32)[:, None], pos.reshape(out.shape[0], -1)
-        ].set(mat.reshape(out.shape[0], -1), mode="drop")
-    return out, total.astype(jnp.int32)
+        park = max_bytes + jnp.arange(n_points * L, dtype=np.int32).reshape(n_points, L)
+        pos = jnp.where(ks < ln[..., None], pos, park)
+        out = out.at[batch, pos.reshape(c, -1)].set(mat.reshape(c, -1), mode="drop")
+    return out[:, :max_bytes], total.astype(jnp.int32)
 
 
 class DeviceStage1Encoder:
@@ -229,16 +234,25 @@ class DeviceStage1Encoder:
     """
 
     def __init__(self, plan: CodecPlan, point_step: int, chunk_points: int = 32 * 1024,
-                 adaptive_modes: dict | None = None):
+                 adaptive_modes: dict | None = None, stage2: str = "none"):
         """``adaptive_modes``: {field_index: committed V5 mode} — when given
         (and covering every adaptive field), sections are emitted on device and
         encode_chunks returns the COMPLETE stage-1 payload; otherwise only the
-        regular interleaved stream (host appends sections)."""
+        regular interleaved stream (host appends sections).
+
+        ``stage2="lz4"`` fuses the device LZ4 block compressor (ops/lz4.py)
+        into the same jitted program, so the stage-1 payload never leaves the
+        device (and never crosses a layout boundary — relayout of a host-fed
+        uint8 array round-trips through the host, which is catastrophic over
+        a remote-device tunnel)."""
         if not encoder_supports_plan(plan):  # currently always true
             raise NotImplementedError("plan is not device-encodable")
+        if stage2 not in ("none", "lz4"):
+            raise ValueError(f"unknown stage2 {stage2!r}")
         self.plan = plan
         self.point_step = point_step
         self.chunk_points = chunk_points
+        self.stage2 = stage2
         self.adaptive_modes = dict(adaptive_modes) if adaptive_modes else None
         if self.adaptive_modes is not None:
             assert all(f.field_index in self.adaptive_modes for f in plan.adaptive)
@@ -261,9 +275,22 @@ class DeviceStage1Encoder:
 
             for f in plan.adaptive:
                 self.max_bytes += adaptive_ops.section_max_bytes(f, chunk_points)
+        # lane-align every device buffer width: transferring a tiled uint8
+        # array whose minor dim is not a multiple of 128 falls off the fast
+        # DMA path (observed ~1000x slower D2H)
+        self.max_bytes = -(-self.max_bytes // 1024) * 1024
         self._fn = jax.jit(self._encode)
 
     def _encode(self, rows: jnp.ndarray, n_valid: jnp.ndarray):
+        out, sizes = self._stage1(rows, n_valid)
+        if self.stage2 == "lz4":
+            from .lz4 import compress_bound, lz4_compress_chunks
+
+            max_out = -(-compress_bound(self.max_bytes) // 1024) * 1024  # lane-align
+            return lz4_compress_chunks(out, sizes, max_out)
+        return out, sizes
+
+    def _stage1(self, rows: jnp.ndarray, n_valid: jnp.ndarray):
         valid = jnp.arange(self.chunk_points, dtype=np.int32)[None, :] < n_valid[:, None]
         streams = []
         for unit in self.plan.units:
@@ -279,8 +306,14 @@ class DeviceStage1Encoder:
             smax = adaptive_ops.section_max_bytes(field, self.chunk_points)
             sec, sec_size = adaptive_ops.encode_section_device(field, mode, rows, valid, smax)
             ks = jnp.arange(smax, dtype=np.int32)
-            pos = jnp.where(ks[None, :] < sec_size[:, None], sizes[:, None] + ks[None, :], self.max_bytes)
-            out = out.at[c_idx, pos].set(sec, mode="drop")
+            # inactive lanes park at unique scratch slots (see _interleave_scatter)
+            out = jnp.concatenate([out, jnp.zeros((out.shape[0], smax), jnp.uint8)], axis=-1)
+            pos = jnp.where(
+                ks[None, :] < sec_size[:, None],
+                sizes[:, None] + ks[None, :],
+                out.shape[1] - smax + ks[None, :],
+            )
+            out = out.at[c_idx, pos].set(sec, mode="drop")[:, : out.shape[1] - smax]
             sizes = sizes + sec_size
         return out, sizes
 
@@ -294,17 +327,19 @@ _PROGRAM_CACHE: dict = {}
 
 
 def cached_encoder(plan: CodecPlan, point_step: int, chunk_points: int = 32 * 1024,
-                   adaptive_modes: dict | None = None) -> "DeviceStage1Encoder":
+                   adaptive_modes: dict | None = None,
+                   stage2: str = "none") -> "DeviceStage1Encoder":
     """Compiled-program cache keyed by plan VALUE (CodecPlan is frozen), so
     streaming workloads with per-message EncodingInfo (varying width) reuse one
     jitted program per schema instead of re-tracing per message."""
     key = (
         "enc", plan, point_step, chunk_points,
         tuple(sorted(adaptive_modes.items())) if adaptive_modes else None,
+        stage2,
     )
     enc = _PROGRAM_CACHE.get(key)
     if enc is None:
-        enc = DeviceStage1Encoder(plan, point_step, chunk_points, adaptive_modes)
+        enc = DeviceStage1Encoder(plan, point_step, chunk_points, adaptive_modes, stage2)
         _PROGRAM_CACHE[key] = enc
     return enc
 

@@ -77,27 +77,35 @@ def _next_violation(lead_c: jnp.ndarray, trail_c: jnp.ndarray, levels: int) -> j
         block_t = mt[k][batch, p]
         ok = (pos + w <= n) & (block_l >= tl) & (block_t >= tt)
         pos = pos + jnp.where(ok, w, 0)
+        pos = jax.lax.optimization_barrier(pos)
     return jnp.minimum(pos, n)
 
 
 def _mark_reset_orbit(j: jnp.ndarray, start: jnp.ndarray, n: int, levels: int) -> jnp.ndarray:
-    """Reset set = orbit of ``start`` under successor J (pointer doubling).
+    """Reset set = orbit of ``start`` under successor J.
 
-    j: (..., N) successor indices in [1, N]; start: (...,) first candidate
-    index (N when the chunk has no candidates). Returns bool (..., N). After
-    m doubling steps ``reach`` covers the first 2**m orbit elements, so
-    ``levels`` (= ceil(log2 N)) steps cover any chain."""
+    j: (..., N) successor indices in [1, N], strictly forward; start: (...,)
+    first candidate index (N when the chunk has no candidates). Returns bool
+    (..., N). Scatter-free binary lifting (see ops/lz4.py::_orbit for why a
+    scatter-based set-image doubling degenerates on TPU): jump tables
+    F_k = J^(2**k) via gathers, then the greedy don't-overshoot descent from
+    ``start`` lands on the largest orbit element <= i; membership is
+    pos == i."""
     c = j.shape[0]
     batch = jnp.arange(c, dtype=jnp.int32)[:, None]
-    # extend with a fixpoint slot at N
-    jx = jnp.concatenate([j, jnp.full((c, 1), n, jnp.int32)], axis=-1)
-    reach = jnp.zeros((c, n + 1), jnp.int32)
-    reach = reach.at[batch, start[:, None]].set(1)
-    for _ in range(levels):
-        img = jnp.zeros((c, n + 1), jnp.int32).at[batch, jx].max(reach)
-        reach = jnp.maximum(reach, img)
-        jx = jx[batch, jx]
-    return reach[:, :n] > 0
+    f = jnp.concatenate([j, jnp.full((c, 1), n, jnp.int32)], axis=-1)
+    tables = [f]
+    for _ in range(levels - 1):
+        f = f[batch, f]
+        f = jax.lax.optimization_barrier(f)
+        tables.append(f)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.broadcast_to(start[:, None], (c, n)).astype(jnp.int32)
+    for k in range(levels - 1, -1, -1):
+        cand = tables[k][batch, jnp.minimum(pos, n)]
+        pos = jnp.where(cand <= idx, cand, pos)
+        pos = jax.lax.optimization_barrier(pos)
+    return pos == idx
 
 
 def gorilla_tokens(
