@@ -65,12 +65,30 @@ class ModeStats:
     fingerprint: int = 0
 
 
-def run(path: str, modes, use_zstd: bool, resolution: float, do_hash: bool,
-        decode_repeat: int, backend: str):
+def explain(info) -> str:
+    """Per-field codec decisions (the reference's --explain,
+    mcap_codec_benchmark.cpp)."""
+    from ..core.plan import build_plan
+
+    plan = build_plan(info)
+    lines = []
+    for u in plan.units:
+        names = [f.name for f in info.fields if f.offset in u.offsets]
+        lines.append(f"    {'+'.join(names) or u.offsets}: {u.kind.value}"
+                     + (f" res={u.resolutions}" if any(r for r in u.resolutions) else ""))
+    for a in plan.adaptive:
+        lines.append(f"    {info.fields[a.field_index].name}: V5 adaptive int section")
+    return "\n".join(lines)
+
+
+def run(path: str, modes, compression: CompressionOption, resolution: float,
+        do_hash: bool, decode_repeat: int, backend: str,
+        device_stage2: bool = False, do_explain: bool = False):
     reader = McapReader(path)
-    comp = CompressionOption.ZSTD if use_zstd else CompressionOption.NONE
+    comp = compression
     stats = {m: defaultdict(ModeStats) for m in modes}
     encoders = {}
+    explained = set()
     decoder = PointcloudDecoder(backend=backend)
 
     for ch, schema, msg in reader.messages():
@@ -90,7 +108,12 @@ def run(path: str, modes, use_zstd: bool, resolution: float, do_hash: bool,
             )
             key = (info.fields, info.point_step, version, comp)
             if key not in encoders:
-                encoders[key] = PointcloudEncoder(info.with_(width=0), backend=backend)
+                encoders[key] = PointcloudEncoder(
+                    info.with_(width=0), backend=backend, device_stage2=device_stage2
+                )
+                if do_explain and (ch.topic, mode) not in explained:
+                    explained.add((ch.topic, mode))
+                    print(f"  {ch.topic} [{mode}]:\n{explain(info)}")
             enc = encoders[key]
             enc.info = info  # width varies per message; header is rebuilt below
             from ..core.header import encode_header
@@ -139,16 +162,31 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="mcap_codec_benchmark")
     p.add_argument("-f", "--filename", required=True)
     p.add_argument("--zstd", action="store_true", help="enable stage-2 ZSTD")
+    p.add_argument("--lz4", action="store_true", help="enable stage-2 LZ4")
+    p.add_argument("--device-stage2", action="store_true",
+                   help="fuse the device LZ4 compressor into the encode program")
     p.add_argument("--mode", choices=["V4", "V5", "V4viz", "V5viz", "all"], default="all")
     p.add_argument("-r", "--resolution", type=float, default=0.001)
     p.add_argument("--hash", action="store_true", help="print decoded-output fingerprints")
+    p.add_argument("--explain", action="store_true", help="print per-field codec decisions")
     p.add_argument("--decode-repeat", type=int, default=1)
+    p.add_argument("--profile-sleep-ms", type=int, default=0,
+                   help="sleep before the run so a profiler can attach "
+                        "(mcap_codec_benchmark.cpp:561-566)")
     p.add_argument("--backend", choices=["auto", "host", "device"], default="auto")
     args = p.parse_args(argv)
 
+    if args.profile_sleep_ms:
+        time.sleep(args.profile_sleep_ms / 1000.0)
+    comp = CompressionOption.NONE
+    if args.zstd:
+        comp = CompressionOption.ZSTD
+    elif args.lz4 or args.device_stage2:
+        comp = CompressionOption.LZ4
     modes = ["V4", "V5", "V4viz", "V5viz"] if args.mode == "all" else [args.mode]
-    stats = run(args.filename, modes, args.zstd, args.resolution, args.hash,
-                args.decode_repeat, args.backend)
+    stats = run(args.filename, modes, comp, args.resolution, args.hash,
+                args.decode_repeat, args.backend, device_stage2=args.device_stage2,
+                do_explain=args.explain)
     print_table(stats, args.hash)
     return 0
 
