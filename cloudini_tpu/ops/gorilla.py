@@ -38,9 +38,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import u64
+from .orbit import mark_orbit
 
 _U32 = jnp.uint32
-_LOG2_CAP = 15  # chunks are <= 32768 points
 
 
 def _range_min_tables(x: jnp.ndarray, levels: int):
@@ -48,7 +48,7 @@ def _range_min_tables(x: jnp.ndarray, levels: int):
     positions past the end padded with the running minimum's identity (64)."""
     tables = [x]
     cur = x
-    for k in range(levels):
+    for k in range(levels - 1):
         w = 1 << k
         shifted = jnp.concatenate(
             [cur[..., w:], jnp.full(cur.shape[:-1] + (w,), 64, cur.dtype)], axis=-1
@@ -81,33 +81,6 @@ def _next_violation(lead_c: jnp.ndarray, trail_c: jnp.ndarray, levels: int) -> j
     return jnp.minimum(pos, n)
 
 
-def _mark_reset_orbit(j: jnp.ndarray, start: jnp.ndarray, n: int, levels: int) -> jnp.ndarray:
-    """Reset set = orbit of ``start`` under successor J.
-
-    j: (..., N) successor indices in [1, N], strictly forward; start: (...,)
-    first candidate index (N when the chunk has no candidates). Returns bool
-    (..., N). Scatter-free binary lifting (see ops/lz4.py::_orbit for why a
-    scatter-based set-image doubling degenerates on TPU): jump tables
-    F_k = J^(2**k) via gathers, then the greedy don't-overshoot descent from
-    ``start`` lands on the largest orbit element <= i; membership is
-    pos == i."""
-    c = j.shape[0]
-    batch = jnp.arange(c, dtype=jnp.int32)[:, None]
-    f = jnp.concatenate([j, jnp.full((c, 1), n, jnp.int32)], axis=-1)
-    tables = [f]
-    for _ in range(levels - 1):
-        f = f[batch, f]
-        f = jax.lax.optimization_barrier(f)
-        tables.append(f)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    pos = jnp.broadcast_to(start[:, None], (c, n)).astype(jnp.int32)
-    for k in range(levels - 1, -1, -1):
-        cand = tables[k][batch, jnp.minimum(pos, n)]
-        pos = jnp.where(cand <= idx, cand, pos)
-        pos = jax.lax.optimization_barrier(pos)
-    return pos == idx
-
-
 def gorilla_tokens(
     bits: u64.U64 | jnp.ndarray, type_bits: int, valid: jnp.ndarray
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -126,7 +99,7 @@ def gorilla_tokens(
         lo, hi = bits.astype(_U32), None
         shape = lo.shape
     c, n = shape
-    levels = max(1, min(_LOG2_CAP, int(n - 1).bit_length()))
+    levels = max(1, int(n - 1).bit_length())
     idx = jnp.arange(n, dtype=jnp.int32)
     first = idx == 0
 
@@ -149,7 +122,7 @@ def gorilla_tokens(
 
     j = _next_violation(lead_c, trail_c, levels)
     start = jnp.min(jnp.where(cand, idx, n), axis=-1)
-    resets = _mark_reset_orbit(j, start, n, levels)
+    resets = mark_orbit(j, start, n)
 
     # window in effect when encoding each token = last reset strictly before it
     # for reuse tokens (reset tokens replace it themselves)

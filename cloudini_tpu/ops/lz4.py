@@ -34,6 +34,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .orbit import mark_orbit
+
 # offsets searched: runs + typical LiDAR point strides and small periods
 DISTANCES = (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 18, 20, 22, 24, 26, 28, 32, 40, 48, 64)
 
@@ -57,33 +59,6 @@ def _run_lengths(eq: jnp.ndarray) -> jnp.ndarray:
     return rev - idx
 
 
-def _orbit(next_pos: jnp.ndarray, n: int, levels: int) -> jnp.ndarray:
-    """Mark the orbit of 0 under the successor function (greedy parse).
-    next_pos: (C, N), strictly forward (next_pos[i] > i), range [1, N].
-    Returns bool (C, N).
-
-    Scatter-free binary lifting: jump tables F_k = J^(2**k) are built with
-    gathers, then every position i runs the greedy descent "apply the largest
-    jump from 0 that does not overshoot i"; monotonicity makes the descent
-    land on the largest orbit element <= i, so membership is pos == i. A
-    scatter-based image-of-set doubling is catastolically slow here: long
-    matches make thousands of positions jump to the SAME target, and TPU
-    scatter serializes colliding updates."""
-    c = next_pos.shape[0]
-    batch = jnp.arange(c, dtype=jnp.int32)[:, None]
-    f = jnp.concatenate([next_pos, jnp.full((c, 1), n, jnp.int32)], axis=-1)
-    tables = [f]
-    for _ in range(levels - 1):
-        f = f[batch, f]
-        f = jax.lax.optimization_barrier(f)  # one kernel per squaring round
-        tables.append(f)
-    idx = jnp.arange(n, dtype=jnp.int32)
-    pos = jnp.zeros((c, n), jnp.int32)
-    for k in range(levels - 1, -1, -1):
-        cand = tables[k][batch, pos]
-        pos = jnp.where(cand <= idx, cand, pos)
-        pos = jax.lax.optimization_barrier(pos)
-    return pos == idx
 
 
 def _ext_count(n: jnp.ndarray) -> jnp.ndarray:
@@ -112,7 +87,6 @@ def lz4_compress_chunks(data: jnp.ndarray, sizes: jnp.ndarray, max_out: int):
     """data (C, B) uint8, sizes (C,) int32 -> (out (C, max_out) uint8,
     out_sizes (C,) int32). Each row is an independent LZ4 block."""
     c, b = data.shape
-    levels = max(1, min(21, int(b - 1).bit_length()))
     idx = jnp.arange(b, dtype=jnp.int32)
     batch = jnp.arange(c, dtype=jnp.int32)[:, None]
     size_col = sizes[:, None]
@@ -140,7 +114,7 @@ def lz4_compress_chunks(data: jnp.ndarray, sizes: jnp.ndarray, max_out: int):
 
     # ---- greedy parse: orbit of 0 under i + (match ? mlen : 1) ------------
     nxt = jnp.minimum(idx + jnp.where(valid, mlen, 1), b)
-    orbit = _orbit(nxt, b, levels)
+    orbit = mark_orbit(nxt, jnp.zeros((c,), jnp.int32), b)
     is_match = orbit & valid
 
     # ---- per-sequence geometry (computed in place at match positions) -----

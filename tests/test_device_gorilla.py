@@ -225,3 +225,21 @@ class TestPipelineParity:
         assert enc.backend == "device"
         dev = enc.encode(rows)
         assert dev == host
+
+
+def test_large_chunk_beyond_32k():
+    """Regression: orbit table count must scale with the chunk size — a fixed
+    log2 cap silently corrupted reset chains longer than 2^15 steps."""
+    rng = np.random.default_rng(42)
+    n = 40000
+    # alternating windows force a reset at (almost) every point
+    lead = np.where(np.arange(n) % 2 == 0, 2, 10)
+    trail = np.where(np.arange(n) % 2 == 0, 8, 0)
+    xors = np.zeros(n, dtype=np.uint64)
+    for i in range(1, n):
+        width = 64 - lead[i] - trail[i]
+        xors[i] = ((1 << width) - 1) << trail[i]
+    bits = np.zeros(n, dtype=np.uint64)
+    for i in range(1, n):
+        bits[i] = bits[i - 1] ^ xors[i]
+    _check(bits, 64)

@@ -175,3 +175,16 @@ def test_fused_stream_decodes_via_reference(oracle, tmp_path):
 def test_device_stage2_requires_lz4():
     with pytest.raises(ValueError):
         PointcloudEncoder(_xyzi_info(CompressionOption.ZSTD), device_stage2=True)
+
+
+def test_block_beyond_2mb():
+    """Regression: orbit depth must scale with the block size — a fixed cap
+    lost all matches past 2^21 greedy-parse steps."""
+    rng = np.random.default_rng(6)
+    n = (1 << 21) + 200000
+    arr = np.concatenate(
+        [rng.integers(0, 256, n - 150000, dtype=np.uint8), np.zeros(150000, np.uint8)]
+    )
+    blob = _device_lz4(arr)
+    assert _lz4_roundtrip(blob, n) == arr.tobytes()
+    assert len(blob) < n  # the zero tail must compress
