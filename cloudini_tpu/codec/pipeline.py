@@ -62,6 +62,18 @@ def _bucket(c: int) -> int:
     return 1 << (c - 1).bit_length() if c > 1 else 1
 
 
+def _pad_chunks(points: np.ndarray, n_chunks: int, chunk_points: int, point_step: int):
+    """Split rows into a zero-padded (bucketed) chunk batch + per-chunk counts."""
+    c_pad = _bucket(n_chunks)
+    chunks = np.zeros((c_pad, chunk_points, point_step), dtype=np.uint8)
+    n_valid = np.zeros(c_pad, dtype=np.int32)
+    for i in range(n_chunks):
+        part = points[i * chunk_points : (i + 1) * chunk_points]
+        chunks[i, : len(part)] = part
+        n_valid[i] = len(part)
+    return chunks, n_valid
+
+
 class PointcloudEncoder:
     """Two-stage encoder. Stage 1: columnar predictive coding per 32Ki-point
     chunk (device or host). Stage 2: LZ4/ZSTD per chunk with u32 framing."""
@@ -156,14 +168,7 @@ class PointcloudEncoder:
             self.plan, self.info.point_step, self.chunk_points,
             adaptive_modes=committed_modes, stage2=self._stage2_kind,
         )
-        cp = self.chunk_points
-        c_pad = _bucket(n_chunks)
-        chunks = np.zeros((c_pad, cp, self.info.point_step), dtype=np.uint8)
-        n_valid = np.zeros(c_pad, dtype=np.int32)
-        for i in range(n_chunks):
-            part = points[i * cp : (i + 1) * cp]
-            chunks[i, : len(part)] = part
-            n_valid[i] = len(part)
+        chunks, n_valid = _pad_chunks(points, n_chunks, self.chunk_points, self.info.point_step)
         payloads, sizes = enc.encode_chunks(chunks, n_valid)
         payloads, sizes = np.asarray(payloads), np.asarray(sizes)
         return [payloads[i, : sizes[i]] for i in range(n_chunks)]
@@ -205,16 +210,7 @@ class PointcloudEncoder:
                 )
                 for i in range(n_chunks)
             ]
-        import jax
-
-        cp = self.chunk_points
-        c_pad = _bucket(n_chunks)
-        chunks = np.zeros((c_pad, cp, self.info.point_step), dtype=np.uint8)
-        n_valid = np.zeros(c_pad, dtype=np.int32)
-        for i in range(n_chunks):
-            part = points[i * cp : (i + 1) * cp]
-            chunks[i, : len(part)] = part
-            n_valid[i] = len(part)
+        chunks, n_valid = _pad_chunks(points, n_chunks, self.chunk_points, self.info.point_step)
         payloads, sizes = self._device_enc.encode_chunks(chunks, n_valid)
         payloads = np.asarray(payloads)
         sizes = np.asarray(sizes)
@@ -224,10 +220,14 @@ class PointcloudEncoder:
 class PointcloudDecoder:
     """Chunked decoder; validates framing like the reference (cloudini.cpp:635-668)."""
 
-    def __init__(self, backend: str = "auto"):
+    def __init__(self, backend: str = "auto", chunk_points: int = POINTS_PER_CHUNK):
+        """``chunk_points`` must match the encoder's; conformant wire always
+        uses POINTS_PER_CHUNK (the size is not recoverable from the stream —
+        the reference hard-codes it, cloudini.cpp:652)."""
         if backend not in ("auto", "host", "device"):
             raise ValueError(f"unknown backend {backend!r}")
         self._backend = backend
+        self.chunk_points = chunk_points
         self._device_dec = None
         self._device_key = None
 
@@ -241,8 +241,8 @@ class PointcloudDecoder:
         if info.version >= 3:
             chunks = self._split_chunks(info, compressed_data, n_total)
             raws = [
-                stage2.decompress_chunk(info.compression_opt, c, n_total * info.point_step)
-                for c, _ in chunks
+                stage2.decompress_chunk(info.compression_opt, c, plan.max_stage1_chunk_bytes(pts))
+                for c, pts in chunks
             ]
             if self._use_device(plan):
                 self._decode_chunks_device(info, plan, raws, chunks, out)
@@ -254,7 +254,7 @@ class PointcloudDecoder:
                     row += pts
         else:
             raw = stage2.decompress_chunk(info.compression_opt, compressed_data,
-                                          n_total * info.point_step)
+                                          plan.max_stage1_chunk_bytes(n_total))
             self._decode_stage1_host(info, plan, np.frombuffer(raw, np.uint8), out)
         return out
 
@@ -280,7 +280,7 @@ class PointcloudDecoder:
             pos += 4
             if chunk_size > len(view) - pos:
                 raise ValueError("Invalid chunk size found while decoding")
-            pts = min(points_remaining, POINTS_PER_CHUNK)
+            pts = min(points_remaining, self.chunk_points)
             chunks.append((bytes(view[pos : pos + chunk_size]), pts))
             pos += chunk_size
             points_remaining -= pts
@@ -305,7 +305,7 @@ class PointcloudDecoder:
         c_pad = _bucket(c)
         max_bytes = max((len(r) for r in raws), default=1)
         max_bytes = -(-max_bytes // 1024) * 1024  # round to 1 KiB buckets
-        self._device_dec = cached_decoder(plan, info.point_step, POINTS_PER_CHUNK, max_bytes)
+        self._device_dec = cached_decoder(plan, info.point_step, self.chunk_points, max_bytes)
         payloads = np.zeros((c_pad, max_bytes), dtype=np.uint8)
         sizes = np.zeros(c_pad, dtype=np.int32)
         n_valid = np.zeros(c_pad, dtype=np.int32)

@@ -89,6 +89,11 @@ class AdaptiveField:
     def bytes_per_value(self) -> int:
         return size_of(self.type)
 
+    def section_max_bytes(self, pts: int) -> int:
+        """Worst-case section size: mode byte + run-count placeholder + per
+        value a raw copy plus a 10-byte varint (v5_codec.cpp:40-65)."""
+        return 8 + pts * (self.bytes_per_value + 10)
+
 
 @dataclass(frozen=True)
 class CodecPlan:
@@ -117,6 +122,16 @@ class CodecPlan:
             else:
                 total += int(u.fixed_size)
         return total
+
+    def max_stage1_chunk_bytes(self, pts: int) -> int:
+        """Worst-case stage-1 payload of a ``pts``-point chunk (regular stream
+        plus V5 adaptive sections) — the safe decompression bound; stage 1 can
+        EXPAND random data (up to 10 B/varint), so ``pts * point_step`` is not
+        a valid bound (reference sizes via MaxSerializedPointSize,
+        codec_common.cpp:29-67)."""
+        return pts * self.max_encoded_point_bytes + sum(
+            f.section_max_bytes(pts) for f in self.adaptive
+        )
 
 
 def _unit_for_field(info: EncodingInfo, f, for_decode: bool) -> CodecUnit:

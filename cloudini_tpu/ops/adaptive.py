@@ -57,16 +57,8 @@ def _diff_pair(v: u64.U64, valid: jnp.ndarray) -> u64.U64:
 def _uvarint_tokens(v: u64.U64, valid: jnp.ndarray):
     """Unsigned varint tokens (no zigzag/bias) for run lengths
     (v5_codec.cpp:160-174)."""
-    lo, hi = v
-    lengths = jnp.ones(lo.shape, jnp.int32)
-    for k in range(1, 5):
-        lengths += ((hi > 0) | (lo >= np.uint32(1 << (7 * k)))).astype(jnp.int32)
-    for k in range(5, 10):
-        lengths += (hi >= np.uint32(1 << (7 * k - 32))).astype(jnp.int32)
-    lengths = jnp.where(valid, lengths, 0)
-    groups = jnp.stack(
-        [u64.varint_group((lo, hi), jnp.zeros_like(lo, bool), k) for k in range(10)], axis=-1
-    )
+    lengths = jnp.where(valid, u64.varint_lengths(v), 0)
+    groups = jnp.stack([u64.varint_group(v, k) for k in range(10)], axis=-1)
     cont = np.arange(10, dtype=np.int32) < (lengths[..., None] - 1)
     mat = (groups | jnp.where(cont, np.uint32(0x80), np.uint32(0))).astype(jnp.uint8)
     return mat, lengths
@@ -80,21 +72,29 @@ def _raw_tokens(v: u64.U64, width: int, valid: jnp.ndarray):
 
 def _compact_streams(streams, base: int, max_bytes: int):
     """Token streams (per element, in element order) -> contiguous bytes
-    starting at offset ``base`` of a (C, max_bytes) buffer + total size."""
+    starting at offset ``base`` of a (C, max_bytes) buffer + total size.
+
+    Inactive lanes park at UNIQUE scratch slots appended after max_bytes —
+    a single shared drop index makes the TPU scatter serialize the colliding
+    updates (see device_codec._interleave_scatter); sliced off on return."""
     lengths = jnp.stack([ln for _, ln in streams], axis=-1)
     elem_sizes = lengths.sum(axis=-1)
     elem_off = jnp.cumsum(elem_sizes, axis=-1) - elem_sizes
     intra = jnp.cumsum(lengths, axis=-1) - lengths
-    out = jnp.zeros(streams[0][0].shape[:-2] + (max_bytes,), jnp.uint8)
+    n_elems = streams[0][0].shape[-2]
+    scratch = max(mat.shape[-1] for mat, _ in streams) * n_elems
+    out = jnp.zeros(streams[0][0].shape[:-2] + (max_bytes + scratch,), jnp.uint8)
     c_idx = jnp.arange(out.shape[0], dtype=np.int32)[:, None]
     for s, (mat, ln) in enumerate(streams):
-        ks = np.arange(mat.shape[-1], dtype=np.int32)
+        L = mat.shape[-1]
+        ks = np.arange(L, dtype=np.int32)
+        park = max_bytes + jnp.arange(n_elems * L, dtype=np.int32).reshape(n_elems, L)
         pos = base + elem_off[..., None] + intra[..., s : s + 1] + ks
-        pos = jnp.where(ks < ln[..., None], pos, max_bytes)
+        pos = jnp.where(ks < ln[..., None], pos, park)
         out = out.at[c_idx, pos.reshape(out.shape[0], -1)].set(
             mat.reshape(out.shape[0], -1), mode="drop"
         )
-    return out, base + elem_sizes.sum(axis=-1).astype(jnp.int32)
+    return out[:, :max_bytes], base + elem_sizes.sum(axis=-1).astype(jnp.int32)
 
 
 def _with_header(section: jnp.ndarray, mode: int, run_count: jnp.ndarray | None):
@@ -132,11 +132,12 @@ def _compact_runs(values: u64.U64, boundary, run_id, valid, n_points: int):
     run-id-indexed compact arrays (padded to n_points)."""
     c = boundary.shape[0]
     c_idx = jnp.arange(c, dtype=np.int32)[:, None]
-    slot = jnp.where(boundary, run_id, n_points)
-    run_lo = jnp.zeros((c, n_points), jnp.uint32).at[c_idx, slot].set(values[0], mode="drop")
-    run_hi = jnp.zeros((c, n_points), jnp.uint32).at[c_idx, slot].set(values[1], mode="drop")
     idx = jnp.broadcast_to(jnp.arange(n_points, dtype=jnp.int32), boundary.shape)
-    run_start = jnp.full((c, n_points), 0, jnp.int32).at[c_idx, slot].set(idx, mode="drop")
+    # non-boundary lanes park at unique scratch slots (see _compact_streams)
+    slot = jnp.where(boundary, run_id, n_points + idx)
+    run_lo = jnp.zeros((c, 2 * n_points), jnp.uint32).at[c_idx, slot].set(values[0])[:, :n_points]
+    run_hi = jnp.zeros((c, 2 * n_points), jnp.uint32).at[c_idx, slot].set(values[1])[:, :n_points]
+    run_start = jnp.zeros((c, 2 * n_points), jnp.int32).at[c_idx, slot].set(idx)[:, :n_points]
     n_valid = valid.sum(axis=-1).astype(jnp.int32)
     run_count = boundary.sum(axis=-1).astype(jnp.int32)
     run_ids = jnp.arange(n_points, dtype=jnp.int32)
@@ -194,25 +195,28 @@ def encode_palette(field: AdaptiveField, rows, valid, max_bytes: int):
     group_id = jnp.cumsum(boundary.astype(jnp.int32), axis=-1) - 1  # sorted-group rank
     count = boundary.sum(axis=-1).astype(jnp.int32)
     # group's first-occurrence original index = s_idx at the boundary (num_keys=3
-    # sorts by idx within equal values)
-    slot = jnp.where(boundary, group_id, n)
-    grp_first = jnp.full((c, n), 2**30, jnp.int32).at[c_idx, slot].set(s_idx, mode="drop")
-    grp_lo = jnp.zeros((c, n), jnp.uint32).at[c_idx, slot].set(s_lo, mode="drop")
-    grp_hi = jnp.zeros((c, n), jnp.uint32).at[c_idx, slot].set(s_hi, mode="drop")
+    # sorts by idx within equal values). Non-boundary lanes park at unique
+    # scratch slots [n, 2n) to keep the TPU scatter collision-free.
+    slot = jnp.where(boundary, group_id, n + idx)
+    grp_first = (
+        jnp.full((c, 2 * n), 2**30, jnp.int32).at[c_idx, slot].set(s_idx)[:, :n]
+    )
+    grp_lo = jnp.zeros((c, 2 * n), jnp.uint32).at[c_idx, slot].set(s_lo)[:, :n]
+    grp_hi = jnp.zeros((c, 2 * n), jnp.uint32).at[c_idx, slot].set(s_hi)[:, :n]
     # palette order = groups sorted by first occurrence
     p_first, p_lo, p_hi, p_gid = jax.lax.sort(
         (grp_first, grp_lo, grp_hi, jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (c, n))),
         dimension=-1, num_keys=1,
     )
-    # rank of each sorted-group in palette order
-    rank = jnp.zeros((c, n), jnp.int32).at[
-        c_idx, jnp.where(jnp.arange(n)[None, :] < count[:, None], p_gid, n)
-    ].set(jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (c, n)), mode="drop")
+    # rank of each sorted-group in palette order (unique scratch parking)
+    rank = jnp.zeros((c, 2 * n), jnp.int32).at[
+        c_idx, jnp.where(jnp.arange(n)[None, :] < count[:, None], p_gid, n + idx)
+    ].set(jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (c, n)))[:, :n]
     # per-element palette index, back in original order
     elem_rank_sorted = jnp.take_along_axis(rank, jnp.maximum(group_id, 0), axis=-1)
-    indexes = jnp.zeros((c, n), jnp.int32).at[c_idx, jnp.where(s_valid, s_idx, n)].set(
-        elem_rank_sorted, mode="drop"
-    )
+    indexes = jnp.zeros((c, 2 * n), jnp.int32).at[
+        c_idx, jnp.where(s_valid, s_idx, n + idx)
+    ].set(elem_rank_sorted)[:, :n]
 
     # bits per index (0 when count <= 1)
     count_m1 = jnp.maximum(count - 1, 0)
@@ -221,9 +225,12 @@ def encode_palette(field: AdaptiveField, rows, valid, max_bytes: int):
 
     width = field.bytes_per_value
     n_valid = valid.sum(axis=-1).astype(jnp.int32)
+    max_ib = 16  # palette count <= 32768 -> bits <= 15
 
-    # header: mode byte + u16 count
-    out = jnp.zeros((c, max_bytes), jnp.uint8)
+    # header: mode byte + u16 count. Inactive scatter lanes park at unique
+    # scratch slots past max_bytes (see _compact_streams); sliced off below.
+    scratch = n * max(width, max_ib)
+    out = jnp.zeros((c, max_bytes + scratch), jnp.uint8)
     out = out.at[:, 0].set(np.uint8(MODE_PALETTE))
     out = out.at[:, 1].set((count & 0xFF).astype(jnp.uint8))
     out = out.at[:, 2].set(((count >> 8) & 0xFF).astype(jnp.uint8))
@@ -233,26 +240,27 @@ def encode_palette(field: AdaptiveField, rows, valid, max_bytes: int):
     pal_bytes = u64.to_bytes((p_lo, p_hi), width)  # (c, n, width)
     ks = np.arange(width, dtype=np.int32)
     pos = 3 + jnp.arange(n, dtype=jnp.int32)[None, :, None] * width + ks
-    pos = jnp.where(pal_valid[..., None], pos, max_bytes)
+    park_val = max_bytes + jnp.arange(n * width, dtype=np.int32).reshape(n, width)
+    pos = jnp.where(pal_valid[..., None], pos, park_val)
     out = out.at[c_idx, pos.reshape(c, -1)].set(pal_bytes.reshape(c, -1), mode="drop")
 
     # bit-packed indexes: bit b of element i lands at bit (i*bits + b) of the
     # index area starting at 3 + count*width
     index_base = 3 + count * width  # (c,)
-    max_ib = 16  # palette count <= 32768 -> bits <= 15
     ib = np.arange(max_ib, dtype=np.int32)
     elem_bit = (indexes[..., None] >> ib) & 1  # (c, n, 16)
     bitpos = jnp.arange(n, dtype=jnp.int32)[None, :, None] * bits[:, None, None] + ib
     bit_valid = (ib[None, None, :] < bits[:, None, None]) & valid[..., None]
     byte_pos = index_base[:, None, None] + (bitpos >> 3)
-    byte_pos = jnp.where(bit_valid, byte_pos, max_bytes)
+    park_bit = max_bytes + jnp.arange(n * max_ib, dtype=np.int32).reshape(n, max_ib)
+    byte_pos = jnp.where(bit_valid, byte_pos, park_bit)
     # OR bits into bytes: scatter-add works because each (byte,bitslot) is unique
-    contrib = (elem_bit << (bitpos & 7)).astype(jnp.uint8)
+    contrib = jnp.where(bit_valid, elem_bit << (bitpos & 7), 0).astype(jnp.uint8)
     out = out.at[c_idx, byte_pos.reshape(c, -1)].add(contrib.reshape(c, -1), mode="drop")
 
     index_bytes = (bits * n_valid + 7) // 8
     size = index_base + index_bytes
-    return out, size.astype(jnp.int32)
+    return out[:, :max_bytes], size.astype(jnp.int32)
 
 
 def encode_section_device(field: AdaptiveField, mode: int, rows, valid, max_bytes: int):

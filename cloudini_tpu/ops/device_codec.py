@@ -45,8 +45,10 @@ def encoder_supports_plan(plan: CodecPlan) -> bool:
 
 
 def decoder_supports_plan(plan: CodecPlan) -> bool:
-    """Device decode additionally requires a fully self-delimiting stream."""
-    return plan.all_varint_class and encoder_supports_plan(plan)
+    """Device decode additionally requires a fully self-delimiting stream with
+    at least one regular unit (all-adaptive plans have an empty regular stream
+    — nothing to decode on device; V5 sections are decoded host-side)."""
+    return bool(plan.units) and plan.all_varint_class and encoder_supports_plan(plan)
 
 
 # ===================================================================== encode
@@ -77,14 +79,12 @@ def _zigzag32_tokens(delta_i32: jnp.ndarray, nan: jnp.ndarray | None, valid: jnp
 
 def _zigzag64_tokens(delta: u64.U64, nan: jnp.ndarray | None, valid: jnp.ndarray):
     """64-bit deltas (u32 pair) -> (bytes (..., 10), lengths)."""
-    biased, wrapped = u64.zigzag_biased(delta)
-    lengths = u64.varint_lengths(biased, wrapped)
+    biased = u64.zigzag_biased(delta)
     if nan is not None:
         biased = u64.select(nan, u64.const(0, nan.shape), biased)
-        lengths = jnp.where(nan, 1, lengths)
-        wrapped = wrapped & ~nan
+    lengths = u64.varint_lengths(biased)
     lengths = jnp.where(valid, lengths, 0)
-    groups = jnp.stack([u64.varint_group(biased, wrapped, k) for k in range(10)], axis=-1)
+    groups = jnp.stack([u64.varint_group(biased, k) for k in range(10)], axis=-1)
     cont = np.arange(10, dtype=np.int32) < (lengths[..., None] - 1)
     bytes_mat = (groups | jnp.where(cont, np.uint32(0x80), np.uint32(0))).astype(jnp.uint8)
     return bytes_mat, lengths
@@ -295,7 +295,12 @@ class DeviceStage1Encoder:
         streams = []
         for unit in self.plan.units:
             streams.extend(_encode_unit_tokens(unit, rows, valid))
-        out, sizes = _interleave_scatter(streams, self.chunk_points, self.max_bytes)
+        if streams:
+            out, sizes = _interleave_scatter(streams, self.chunk_points, self.max_bytes)
+        else:
+            # all-adaptive plan (every field a V5 int): empty regular stream
+            out = jnp.zeros((rows.shape[0], self.max_bytes), jnp.uint8)
+            sizes = jnp.zeros((rows.shape[0],), jnp.int32)
         if self.adaptive_modes is None:
             return out, sizes
         from . import adaptive as adaptive_ops
@@ -473,7 +478,14 @@ class DeviceStage1Decoder:
         last_tok = jnp.clip(n_valid * T - 1, 0, K - 1)
         consumed = jnp.take_along_axis(ends, last_tok[:, None], axis=-1)[:, 0] + 1
         consumed = jnp.where(n_valid > 0, consumed, 0).astype(jnp.int32)
-        return out, consumed
+        # validity, matching the host decoder's errors: a token over 10 bytes
+        # is a varint overflow (find_varint_boundaries raises 'varint too
+        # long'); flag it by forcing consumed past the buffer so the caller's
+        # bound check rejects the chunk instead of returning garbage rows.
+        # (Truncated streams already fail: missing terminators push ends to B.)
+        needed = jnp.arange(K, dtype=np.int32)[None, :] < (n_valid * T)[:, None]
+        overflow = jnp.any(needed & (tok_len > 10), axis=-1)
+        return out, jnp.where(overflow, np.int32(2**31 - 1), consumed)
 
     def _store_unit(self, unit: CodecUnit, svals, nan, t0: int, lanes: int, out):
         pair_mode = isinstance(svals, tuple)

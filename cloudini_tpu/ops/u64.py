@@ -116,14 +116,16 @@ def asr63_mask(a: U64) -> jnp.ndarray:
     return (a[1].astype(jnp.int32) >> 31).astype(_U32)
 
 
-def zigzag_biased(v: U64) -> Tuple[U64, jnp.ndarray]:
-    """(v << 1) ^ (v >> 63), then +1 (0 reserved for NaN). Returns (biased,
-    wrapped) where wrapped marks the INT64_MIN case (biased value 2**64 -> 0)."""
+def zigzag_biased(v: U64) -> U64:
+    """(v << 1) ^ (v >> 63), then +1 (0 reserved for NaN). The INT64_MIN
+    delta wraps to 0 and is emitted as the single byte 0x00, exactly like the
+    reference's uint64 wraparound (encoding_utils.hpp:55-67) — the reference
+    decoder then treats it as the NaN marker for floats and rejects it for
+    ints (encoding_utils.hpp:141-143)."""
     m = asr63_mask(v)
     s = shl1(v)
     u = (s[0] ^ m, s[1] ^ m)
-    wrapped = (u[0] == _ONES) & (u[1] == _ONES)
-    return add(u, const(1)), wrapped
+    return add(u, const(1))
 
 
 def unzigzag(u: U64) -> U64:
@@ -133,32 +135,26 @@ def unzigzag(u: U64) -> U64:
     return h[0] ^ m, h[1] ^ m
 
 
-def varint_lengths(biased: U64, wrapped: jnp.ndarray) -> jnp.ndarray:
-    """Encoded byte count (1..10) of the biased value; the 2**64 wrap case
-    needs the full 10 bytes."""
+def varint_lengths(biased: U64) -> jnp.ndarray:
+    """Encoded byte count (1..10) of the biased value (value 0 -> 1 byte)."""
     lo, hi = biased
     n = jnp.ones(lo.shape, jnp.int32)
     for k in range(1, 5):  # thresholds 2**7k below 2**32
-        n += (wrapped | (hi > 0) | (lo >= np.uint32(1 << (7 * k)))).astype(jnp.int32)
+        n += ((hi > 0) | (lo >= np.uint32(1 << (7 * k)))).astype(jnp.int32)
     for k in range(5, 10):  # thresholds 2**(7k) = 2**(7k-32) * 2**32
-        n += (wrapped | (hi >= np.uint32(1 << (7 * k - 32)))).astype(jnp.int32)
+        n += (hi >= np.uint32(1 << (7 * k - 32))).astype(jnp.int32)
     return n
 
 
-def varint_group(biased: U64, wrapped: jnp.ndarray, k: int) -> jnp.ndarray:
-    """7-bit group k (bits 7k..7k+6) of the biased value as u32; group 9 of the
-    2**64 wrap is patched to 0x02."""
+def varint_group(biased: U64, k: int) -> jnp.ndarray:
+    """7-bit group k (bits 7k..7k+6) of the biased value as u32."""
     lo, hi = biased
     sh = 7 * k
     if sh + 7 <= 32:
-        g = (lo >> np.uint32(sh)) & np.uint32(0x7F)
-    elif sh < 32:
-        g = ((lo >> np.uint32(sh)) | (hi << np.uint32(32 - sh))) & np.uint32(0x7F)
-    else:
-        g = (hi >> np.uint32(sh - 32)) & np.uint32(0x7F)
-    if k == 9:
-        g = jnp.where(wrapped, np.uint32(0x02), g)
-    return g
+        return (lo >> np.uint32(sh)) & np.uint32(0x7F)
+    if sh < 32:
+        return ((lo >> np.uint32(sh)) | (hi << np.uint32(32 - sh))) & np.uint32(0x7F)
+    return (hi >> np.uint32(sh - 32)) & np.uint32(0x7F)
 
 
 def assemble_group(u: U64, g: jnp.ndarray, k: int) -> U64:

@@ -93,6 +93,8 @@ def find_varint_boundaries(stream: np.ndarray, count: int, start: int = 0) -> Tu
     Returns (starts, lengths). Fully parallel: terminator bytes (MSB==0) mark
     ends; starts follow from an exclusive scan of the terminator mask.
     """
+    if count == 0:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int32)
     view = stream[start:]
     terminator = (view & np.uint8(0x80)) == 0
     ends = np.flatnonzero(terminator)

@@ -1,0 +1,103 @@
+"""Pipeline edge cases found by adversarial review.
+
+Each test is a regression lock for a confirmed failure:
+  * stage-1 EXPANSION under LZ4/ZSTD (random data -> 5-byte varints) used to
+    overflow the decompression bound n_total*point_step
+  * all-adaptive-int plans (zero regular units) used to crash both backends
+  * non-default chunk_points round trip (decoder must be told the size)
+  * INT64_MIN delta wraps to the single NaN-marker byte 0x00 on BOTH backends
+    (the reference's uint64 wraparound, encoding_utils.hpp:55-67)
+"""
+
+import numpy as np
+import pytest
+
+from cloudini_tpu.codec.pipeline import PointcloudDecoder, PointcloudEncoder
+from cloudini_tpu.core.types import (
+    CompressionOption,
+    EncodingInfo,
+    EncodingOptions,
+    FieldType,
+    PointField,
+)
+
+XYZ = (
+    PointField("x", 0, FieldType.FLOAT32, 0.001),
+    PointField("y", 4, FieldType.FLOAT32, 0.001),
+    PointField("z", 8, FieldType.FLOAT32, 0.001),
+)
+
+
+def _info(fields, n, step, compression, version=5, encoding=EncodingOptions.LOSSY):
+    return EncodingInfo(
+        fields=tuple(fields), width=n, height=1, point_step=step,
+        encoding_opt=encoding, compression_opt=compression, version=version,
+    )
+
+
+@pytest.mark.parametrize("comp", [CompressionOption.LZ4, CompressionOption.ZSTD])
+def test_stage1_expansion_decodes(comp):
+    """Uniform-random xyz makes stage 1 EXPAND (~15 B/point > 12 B raw)."""
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1e6, 1e6, (1000, 3)).astype(np.float32)
+    rows = np.ascontiguousarray(pts).view(np.uint8).reshape(-1, 12)
+    stage1 = PointcloudEncoder(
+        _info(XYZ, 1000, 12, CompressionOption.NONE), backend="host"
+    ).encode(rows, write_header=False)
+    assert len(stage1) > rows.nbytes  # stage 1 really did expand
+    info = _info(XYZ, 1000, 12, comp)
+    data = PointcloudEncoder(info, backend="host").encode(rows, write_header=False)
+    out = PointcloudDecoder(backend="host").decode(info, data)
+    err = np.abs(out.view(np.float32).reshape(-1, 3) - pts).max()
+    # at |x|~1e6 the quantized value ~1e9 exceeds float32's 24-bit mantissa,
+    # so the dominant error is the f32 ULP (64 quant units = 0.064), exactly
+    # as in the reference's float math — not the resolution
+    assert err <= 0.1
+
+
+@pytest.mark.parametrize("backend", ["host", "device"])
+def test_all_adaptive_plan(backend):
+    """V5 plan whose every field is an adaptive int: empty regular stream."""
+    fields = (
+        PointField("ring", 0, FieldType.UINT16, None),
+        PointField("count", 2, FieldType.INT32, None),
+    )
+    info = _info(fields, 500, 6, CompressionOption.NONE)
+    rows = np.random.default_rng(1).integers(0, 16, (500, 6), dtype=np.uint8)
+    data = PointcloudEncoder(info, backend=backend).encode(rows, write_header=False)
+    out = PointcloudDecoder(backend="auto").decode(info, data)
+    assert np.array_equal(out, rows)
+
+
+def test_all_adaptive_host_device_identical():
+    fields = (PointField("ring", 0, FieldType.UINT16, None),)
+    info = _info(fields, 300, 2, CompressionOption.NONE)
+    rows = np.random.default_rng(2).integers(0, 8, (300, 2), dtype=np.uint8)
+    host = PointcloudEncoder(info, backend="host").encode(rows, write_header=False)
+    dev = PointcloudEncoder(info, backend="device").encode(rows, write_header=False)
+    assert host == dev
+
+
+def test_custom_chunk_points_round_trip():
+    rng = np.random.default_rng(3)
+    pts = np.cumsum(rng.normal(0, 0.05, (20000, 3)), axis=0).astype(np.float32)
+    rows = np.ascontiguousarray(pts).view(np.uint8).reshape(-1, 12)
+    info = _info(XYZ, 20000, 12, CompressionOption.NONE)
+    data = PointcloudEncoder(info, backend="host", chunk_points=8192).encode(
+        rows, write_header=False
+    )
+    out = PointcloudDecoder(backend="host", chunk_points=8192).decode(info, data)
+    err = np.abs(out.view(np.float32).reshape(-1, 3) - pts).max()
+    assert err <= 0.001 * 1.0001
+
+
+def test_int64_min_delta_host_device_identical():
+    """+inf quantizes to an extreme int64; host and device must emit the same
+    wire bytes (the old device path patched the wrap to a 10-byte varint)."""
+    fields = (PointField("x", 0, FieldType.FLOAT32, 0.001),)
+    info = _info(fields, 4, 4, CompressionOption.NONE, version=4)
+    x = np.array([np.inf, 1.0, 1.0, 1.0], dtype=np.float32)
+    rows = x.view(np.uint8).reshape(-1, 4)
+    host = PointcloudEncoder(info, backend="host").encode(rows, write_header=False)
+    dev = PointcloudEncoder(info, backend="device").encode(rows, write_header=False)
+    assert host == dev
