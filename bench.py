@@ -11,6 +11,9 @@ reference's ``mcap_codec_benchmark --hash``.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value is
 encode+decode GB/s per chip and vs_baseline is the speedup over the reference
 C++ library (single core, same machine, same data, stage-1 NONE path).
+
+Timing is memoization-proof: the axon runtime caches executions by (program,
+argument contents), so every timed call uses content-unique inputs.
 """
 
 import json
@@ -126,24 +129,51 @@ def main():
     dec = DeviceStage1Decoder(plan, 16, chunk_points=CHUNK, max_bytes=int(payloads.shape[1]))
     decoded, _consumed = jax.block_until_ready(dec.decode_chunks(payloads, sizes, d_valid))
 
-    def _time_trials(fn, n_trials=3):
-        """Batch-dispatch ITERS calls, block once, then free the stale results
-        (remote buffer accumulation degrades the tunnel); report the best trial."""
-        best = float("inf")
-        for _ in range(n_trials):
-            results = []
-            t0 = time.perf_counter()
-            for _ in range(ITERS):
-                results.append(fn())
-            jax.block_until_ready(results)
-            best = min(best, (time.perf_counter() - t0) / ITERS)
-            for r in results:
-                jax.tree.map(lambda a: a.delete(), r)
-        return best
+    # CRITICAL honesty requirements (both empirically observed on axon):
+    #  * the runtime memoizes executions by (program, argument contents) —
+    #    re-timing identical calls measures a cache hit (~1000x inflation)
+    #  * batching independent dispatches and blocking once reports times far
+    #    below the serialized compute — results must form a DEPENDENCY CHAIN
+    # Every timed iteration therefore consumes the previous iteration's
+    # output (content-unique and serialized).
+    import jax.numpy as jnp
 
-    # timing FIRST (device->host pulls below disturb the remote buffer state)
-    t_enc = _time_trials(lambda: enc.encode_chunks(d_rows, d_valid))
-    t_dec = _time_trials(lambda: dec.decode_chunks(payloads, sizes, d_valid))
+    # chain folds the FULL large output of each step into the next input
+    # through a WIDE-entropy hash (a narrow chain state, e.g. one byte value,
+    # revisits earlier contents within a few iterations and the memoizer
+    # serves those dispatches)
+    _MULT = np.int32(-1640531535)  # 2654435761 (Knuth) as int32
+    _iota_pts = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+
+    @jax.jit
+    def _mix_rows(r, p, k):
+        st = (p.astype(jnp.int32) * _MULT).sum() + k * np.int32(40503)
+        v = (((st + _iota_pts * _MULT) >> 7) & 0x7F).astype(jnp.uint8)
+        return r.at[:, :, 12].set(v)
+
+    @jax.jit
+    def _mix_payload(p, o, k):
+        st = (o.astype(jnp.int32) * _MULT).sum() + k * np.int32(40503)
+        v = (((st + jnp.arange(N_CHUNKS, dtype=jnp.int32) * _MULT) >> 7) & 0x7F).astype(jnp.uint8)
+        return p.at[:, 0].set(v)
+
+    rr = jax.block_until_ready(_mix_rows(d_rows, payloads, jnp.int32(0)))
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        p_i, s_i = enc.encode_chunks(rr, d_valid)
+        rr = _mix_rows(rr, p_i, jnp.int32(i + 1))
+    jax.block_until_ready((p_i, s_i, rr))
+    t_enc = (time.perf_counter() - t0) / ITERS
+    rr.delete(), p_i.delete()
+
+    pp = jax.block_until_ready(_mix_payload(payloads, decoded, jnp.int32(0)))
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        o_i, c_i = dec.decode_chunks(pp, sizes, d_valid)
+        pp = _mix_payload(pp, o_i, jnp.int32(i + 1))
+    jax.block_until_ready((o_i, c_i, pp))
+    t_dec = (time.perf_counter() - t0) / ITERS
+    o_i.delete(), pp.delete()
 
     # correctness gate vs the numpy wire kernel (bit-exact to reference C++)
     sizes_h = np.asarray(sizes)

@@ -79,16 +79,28 @@ class PointcloudEncoder:
     chunk (device or host). Stage 2: LZ4/ZSTD per chunk with u32 framing."""
 
     def __init__(self, info: EncodingInfo, backend: str = "auto",
-                 chunk_points: int = POINTS_PER_CHUNK, device_stage2: bool = False):
+                 chunk_points: int = POINTS_PER_CHUNK, device_stage2: bool = False,
+                 viz: bool = False):
         """``device_stage2=True`` (LZ4 only) fuses stage-2 into the device
         program (ops/lz4.py): the stage-1 payload never leaves the device and
         the host only writes u32 chunk frames. The stream stays decodable by
         the reference (any valid LZ4 block), but is not byte-identical to the
-        liblz4 host path, which remains the default."""
+        liblz4 host path, which remains the default.
+
+        ``viz=True`` applies the visualization lossy preprocessing (NaN drop +
+        voxel dedup, ros_msg_utils.cpp:249-341) before encoding. ``info`` must
+        already carry the viz-adjusted resolutions (FLOAT64 without resolution
+        -> 1e-6); on the device backend (non-V5 plans) preprocessing is fused
+        into the encode program so points never round-trip to the host."""
         self.info = info
         self.header = encode_header(info)
         self.plan = build_plan(info, for_decode=False)
         self.chunk_points = chunk_points
+        self._viz = None
+        if viz:
+            from ..preprocess import _detect_triple
+
+            self._viz = _detect_triple(list(info.fields))  # (base, res) or None
         self._device_enc = None
         self._device_stage2 = False
         if backend not in ("auto", "host", "device"):
@@ -121,6 +133,8 @@ class PointcloudEncoder:
 
     def encode(self, cloud_data, write_header: bool = True) -> bytes:
         points = _as_point_rows(cloud_data, self.info.point_step)
+        if self._viz is not None:
+            return self._encode_viz(points, write_header)
         n_points = points.shape[0]
         out: List[bytes] = [self.header] if write_header else []
         n_chunks = -(-n_points // self.chunk_points)
@@ -151,6 +165,47 @@ class PointcloudEncoder:
             stage1_bytes = np.concatenate(parts).tobytes() if len(parts) > 1 else parts[0].tobytes()
             out.append(self._frame(stage1_bytes))
         return b"".join(out)
+
+    def _encode_viz(self, points: np.ndarray, write_header: bool) -> bytes:
+        """Viz preprocessing + encode. Device: ONE fused program (dedup never
+        leaves the device); host / V5-adaptive: numpy preprocess then the
+        regular path. Header width is the post-dedup point count."""
+        n = points.shape[0]
+        base_res = self._viz
+        if (
+            self._device_enc is not None
+            and not self.plan.adaptive
+            and base_res is not None
+            and n > 0
+        ):
+            base, res = base_res
+            cp = self.chunk_points
+            c_pad = _bucket(-(-n // cp))
+            flat = np.zeros((c_pad * cp, self.info.point_step), np.uint8)
+            flat[:n] = points
+            fn = self._device_enc.viz_program(base, res)
+            payloads, sizes, n_kept = fn(flat, np.int32(n))
+            payloads, sizes, n_kept = np.asarray(payloads), np.asarray(sizes), int(n_kept)
+            out: List[bytes] = []
+            if write_header:
+                out.append(encode_header(self.info.with_(width=n_kept, height=1)))
+            for i in range(-(-n_kept // cp) if n_kept else 0):
+                out.append(self._frame(payloads[i, : sizes[i]].tobytes()))
+            return b"".join(out)
+        from ..preprocess import apply_viz_lossy_preprocessing
+
+        if base_res is None:
+            rows = points  # no xyz triple detected: filtering is a no-op
+        else:
+            _, rows = apply_viz_lossy_preprocessing(list(self.info.fields), points)
+        header = encode_header(self.info.with_(width=rows.shape[0], height=1))
+        sub = PointcloudEncoder(
+            self.info.with_(width=rows.shape[0], height=1),
+            backend="host" if self._device_enc is None else "auto",
+            chunk_points=self.chunk_points,
+        )
+        payload = sub.encode(rows, write_header=False)
+        return (header + payload) if write_header else payload
 
     def _frame(self, payload: bytes) -> bytes:
         """u32 chunk framing; when stage 2 already ran on device the payload
@@ -303,8 +358,11 @@ class PointcloudDecoder:
 
         c = len(raws)
         c_pad = _bucket(c)
-        max_bytes = max((len(r) for r in raws), default=1)
-        max_bytes = -(-max_bytes // 1024) * 1024  # round to 1 KiB buckets
+        # +1 guarantees the buffer exceeds every raw size so the decoder's
+        # clamped-at-B truncation sentinel is always > the real size;
+        # round to 1 KiB buckets to bound recompiles
+        max_bytes = max((len(r) for r in raws), default=0) + 1
+        max_bytes = -(-max_bytes // 1024) * 1024
         self._device_dec = cached_decoder(plan, info.point_step, self.chunk_points, max_bytes)
         payloads = np.zeros((c_pad, max_bytes), dtype=np.uint8)
         sizes = np.zeros(c_pad, dtype=np.int32)

@@ -14,9 +14,7 @@ Design (TPU-first, not a port):
     JAX's global x64 emulation
 
 Wire-format equivalences are asserted against the numpy kernel of truth and the
-reference C++ oracle in tests/test_device_codec.py. Measured on TPU v5e with
-16x32768-point XYZI chunks: ~270 GB/s encode, ~200 GB/s decode (vs 0.64 / 0.55
-GB/s for the reference C++ on one host core).
+reference C++ oracle in tests/test_device_codec.py.
 """
 
 from __future__ import annotations
@@ -45,10 +43,18 @@ def encoder_supports_plan(plan: CodecPlan) -> bool:
 
 
 def decoder_supports_plan(plan: CodecPlan) -> bool:
-    """Device decode additionally requires a fully self-delimiting stream with
-    at least one regular unit (all-adaptive plans have an empty regular stream
-    — nothing to decode on device; V5 sections are decoded host-side)."""
-    return bool(plan.units) and plan.all_varint_class and encoder_supports_plan(plan)
+    """Device decode requires position-independent token lengths: varints are
+    self-delimiting (terminator bit) and COPY/XOR tokens have static widths, so
+    point boundaries are discoverable in parallel (terminator prefix-sums for
+    pure-varint plans; speculative successor + binary lifting for mixed plans).
+    Gorilla token lengths depend on the sequential window state
+    (field_decoder.hpp:155-300) — those plans decode host/native-side. Plans
+    with no regular units (all V5-adaptive) have nothing to decode on device."""
+    return (
+        bool(plan.units)
+        and all(u.kind != UnitKind.GORILLA for u in plan.units)
+        and encoder_supports_plan(plan)
+    )
 
 
 # ===================================================================== encode
@@ -280,6 +286,7 @@ class DeviceStage1Encoder:
         # DMA path (observed ~1000x slower D2H)
         self.max_bytes = -(-self.max_bytes // 1024) * 1024
         self._fn = jax.jit(self._encode)
+        self._viz_programs: dict = {}
 
     def _encode(self, rows: jnp.ndarray, n_valid: jnp.ndarray):
         out, sizes = self._stage1(rows, n_valid)
@@ -324,6 +331,35 @@ class DeviceStage1Encoder:
 
     def encode_chunks(self, rows, n_valid):
         return self._fn(rows, n_valid)
+
+    # ------------------------------------------------------------- viz fusion
+
+    def viz_program(self, base: int, res: float):
+        """Fused viz-preprocess + encode as ONE jitted program (points never
+        leave the device between preprocessing and stage 1; see
+        applyVizLossyPreprocessing, ros_msg_utils.cpp:249-341).
+
+        Returns fn(rows_flat (C*N, step) uint8, n_total ()) ->
+        (payloads (C, max_bytes), sizes (C,), n_kept ()). The caller builds
+        the plan from the viz-adjusted fields (FLOAT64 res 1e-6)."""
+        cached = self._viz_programs.get((base, float(res)))
+        if cached is not None:
+            return cached
+        from .viz import viz_compact
+
+        N = self.chunk_points
+
+        def _encode_viz(rows_flat: jnp.ndarray, n_total: jnp.ndarray):
+            rows_flat, n_kept = viz_compact(rows_flat, n_total, base, res)
+            c = rows_flat.shape[0] // N
+            rows = rows_flat.reshape(c, N, self.point_step)
+            n_valid = jnp.clip(n_kept - jnp.arange(c, dtype=np.int32) * N, 0, N)
+            out, sizes = self._encode(rows, n_valid)
+            return out, sizes, n_kept
+
+        fn = jax.jit(_encode_viz)
+        self._viz_programs[(base, float(res))] = fn
+        return fn
 
 
 # ---------------------------------------------------------------- program cache
@@ -394,6 +430,79 @@ def _segmented_undelta_u64(deltas: u64.U64, nan: jnp.ndarray | None) -> u64.U64:
     return u64.select(nan, zero, u64.sub(total, base))
 
 
+def _assemble_varint32(payloads, batch, starts, tok_len, B: int):
+    """Gather+decode <=5-byte zigzag varints at ``starts``; returns (int32
+    value, nan mask). NaN marker is the single byte 0; a longer all-zero token
+    is the biased-value wrap (delta INT32_MIN) — u-1 then yields INT32_MIN
+    exactly like the reference's 64-bit decode + int32 truncation."""
+    u = jnp.zeros(starts.shape, jnp.uint32)
+    for k in range(5):
+        idx = jnp.clip(starts + k, 0, B - 1)
+        byte = payloads[batch, idx].astype(jnp.uint32)
+        u = u | jnp.where(k < tok_len, (byte & np.uint32(0x7F)) << np.uint32(7 * k), 0)
+    nan = (u == 0) & (tok_len == 1)
+    uu = u - jnp.where(nan, np.uint32(0), np.uint32(1))
+    m = (np.uint32(0) - (uu & np.uint32(1))).astype(jnp.uint32)
+    sval = ((uu >> 1) ^ m).astype(jnp.int32)
+    return jnp.where(nan, 0, sval), nan
+
+
+def _assemble_varint64(payloads, batch, starts, tok_len, B: int):
+    """Gather+decode <=10-byte zigzag varints; returns (i64 value as u32 pair,
+    nan mask)."""
+    lo = jnp.zeros(starts.shape, jnp.uint32)
+    hi = jnp.zeros(starts.shape, jnp.uint32)
+    for k in range(10):
+        idx = jnp.clip(starts + k, 0, B - 1)
+        byte = payloads[batch, idx].astype(jnp.uint32)
+        g = jnp.where(k < tok_len, byte & np.uint32(0x7F), np.uint32(0))
+        lo, hi = u64.assemble_group((lo, hi), g, k)
+    nan = u64.is_zero((lo, hi)) & (tok_len == 1)
+    biased = u64.sub((lo, hi), u64.select(nan, u64.const(0, nan.shape), u64.const(1, nan.shape)))
+    v = u64.unzigzag(biased)
+    return u64.select(nan, u64.const(0, nan.shape), v), nan
+
+
+def _dequant_store_floatn_lane(unit: CodecUnit, lane: int, d32, nan_l, out):
+    """int32 deltas (C, N) of one fused-FloatN lane -> dequantized f32 column."""
+    q = _segmented_undelta_i32(d32, nan_l)
+    f = q.astype(jnp.float32) * np.float32(unit.resolutions[lane])
+    bits = jax.lax.bitcast_convert_type(f, jnp.uint32)
+    bits = jnp.where(nan_l, _F32_NAN_BITS, bits)
+    if unit.offsets[lane] == DECODE_BUT_SKIP_STORE:
+        return out
+    return C.store_bytes(out, unit.offsets[lane], C.split_bytes(bits, 4))
+
+
+def _dequant_store_float_lossy(unit: CodecUnit, d: u64.U64, nm, out):
+    """u64-pair deltas (C, N) of a scalar lossy float -> f32/f64 column."""
+    q = _segmented_undelta_u64(d, nm)
+    if unit.types[0] == FieldType.FLOAT64:
+        from . import f64 as sf
+
+        # double(q) * double(float(res))  (field_decoder.hpp:110-130)
+        res_c = float(np.float64(np.float32(unit.resolutions[0])))
+        fb = sf.mul_const(sf.i64_to_f64(q), res_c)
+        fb = u64.select(nm, u64.const(0x7FF8000000000000, nm.shape), fb)
+        if unit.offsets[0] == DECODE_BUT_SKIP_STORE:
+            return out
+        return C.store_bytes(out, unit.offsets[0], u64.to_bytes(fb, 8))
+    f = u64.i64_to_f32(q) * np.float32(unit.resolutions[0])
+    bits = jax.lax.bitcast_convert_type(f, jnp.uint32)
+    bits = jnp.where(nm, _F32_NAN_BITS, bits)
+    if unit.offsets[0] == DECODE_BUT_SKIP_STORE:
+        return out
+    return C.store_bytes(out, unit.offsets[0], C.split_bytes(bits, 4))
+
+
+def _undelta_store_int(unit: CodecUnit, d: u64.U64, out):
+    q = _segmented_undelta_u64(d, None)
+    if unit.offsets[0] == DECODE_BUT_SKIP_STORE:
+        return out
+    width = size_of(unit.types[0])
+    return C.store_bytes(out, unit.offsets[0], u64.to_bytes(q, width))
+
+
 class DeviceStage1Decoder:
     """Per-plan compiled chunk decoder for fully varint-class plans (the hot
     LiDAR schemas). Mixed fixed-size/Gorilla streams use the host path.
@@ -405,10 +514,14 @@ class DeviceStage1Decoder:
     def __init__(self, plan: CodecPlan, point_step: int, chunk_points: int = 32 * 1024,
                  max_bytes: int | None = None):
         if not decoder_supports_plan(plan):
-            raise NotImplementedError("device decode requires a device-exact varint-class plan")
+            raise NotImplementedError(
+                "device decode requires varint/fixed-width units (no Gorilla)"
+            )
         self.plan = plan
         self.point_step = point_step
         self.chunk_points = chunk_points
+        # mixed fixed-size/varint plans use the successor + binary-lifting path
+        self.general = not plan.all_varint_class
         self.tokens_per_point = sum(
             u.num_lanes if u.kind == UnitKind.FLOATN_LOSSY else 1 for u in plan.units
         )
@@ -417,13 +530,13 @@ class DeviceStage1Decoder:
             5 if u.kind == UnitKind.FLOATN_LOSSY else 10 for u in plan.units
         )
         if max_bytes is None:
-            max_bytes = chunk_points * sum(
-                5 * u.num_lanes if u.kind == UnitKind.FLOATN_LOSSY else 10 for u in plan.units
-            )
+            max_bytes = chunk_points * plan.max_encoded_point_bytes + 1
         self.max_bytes = max_bytes
-        self._fn = jax.jit(self._decode)
+        self._fn = jax.jit(self._decode_general if self.general else self._decode)
 
     def _decode(self, payloads: jnp.ndarray, sizes: jnp.ndarray, n_valid: jnp.ndarray):
+        """Pure-varint plans: every byte belongs to a self-delimiting token, so
+        the k-th token's end is the k-th terminator byte (one prefix sum)."""
         Cn, B = payloads.shape
         N, T = self.chunk_points, self.tokens_per_point
         K = N * T
@@ -437,32 +550,10 @@ class DeviceStage1Decoder:
         rows_idx = jnp.arange(Cn, dtype=np.int32)[:, None]
 
         if self.max_token_bytes <= 5:
-            u = jnp.zeros((Cn, K), jnp.uint32)
-            for k in range(5):
-                idx = jnp.clip(starts + k, 0, B - 1)
-                byte = payloads[rows_idx, idx].astype(jnp.uint32)
-                u = u | jnp.where(k < tok_len, (byte & np.uint32(0x7F)) << np.uint32(7 * k), 0)
-            # NaN marker is the single byte 0; a longer all-zero token is the
-            # biased-value wrap (delta INT32_MIN) — u-1 then yields INT32_MIN
-            # exactly like the reference's 64-bit decode + int32 truncation
-            nan = (u == 0) & (tok_len == 1)
-            uu = u - jnp.where(nan, np.uint32(0), np.uint32(1))
-            m = (np.uint32(0) - (uu & np.uint32(1))).astype(jnp.uint32)
-            sval = ((uu >> 1) ^ m).astype(jnp.int32)
-            sval = jnp.where(nan, 0, sval)
+            sval, nan = _assemble_varint32(payloads, rows_idx, starts, tok_len, B)
             svals = (sval.reshape(Cn, N, T), None)  # (i32, no hi limb)
         else:
-            lo = jnp.zeros((Cn, K), jnp.uint32)
-            hi = jnp.zeros((Cn, K), jnp.uint32)
-            for k in range(10):
-                idx = jnp.clip(starts + k, 0, B - 1)
-                byte = payloads[rows_idx, idx].astype(jnp.uint32)
-                g = jnp.where(k < tok_len, byte & np.uint32(0x7F), np.uint32(0))
-                lo, hi = u64.assemble_group((lo, hi), g, k)
-            nan = u64.is_zero((lo, hi)) & (tok_len == 1)
-            biased = u64.sub((lo, hi), u64.select(nan, u64.const(0, nan.shape), u64.const(1, nan.shape)))
-            v = u64.unzigzag(biased)
-            v = u64.select(nan, u64.const(0, nan.shape), v)
+            v, nan = _assemble_varint64(payloads, rows_idx, starts, tok_len, B)
             svals = ((v[0].reshape(Cn, N, T), v[1].reshape(Cn, N, T)), None)
         nan = nan.reshape(Cn, N, T)
 
@@ -487,48 +578,131 @@ class DeviceStage1Decoder:
         overflow = jnp.any(needed & (tok_len > 10), axis=-1)
         return out, jnp.where(overflow, np.int32(2**31 - 1), consumed)
 
+    def _decode_general(self, payloads: jnp.ndarray, sizes: jnp.ndarray, n_valid: jnp.ndarray):
+        """Mixed varint + fixed-width (COPY/XOR) plans.
+
+        Terminator counting no longer works (fixed-token bytes have arbitrary
+        MSBs), but token lengths are still position-independent, so the point
+        record length starting at ANY byte b is computable in parallel:
+        succ(b) = b advanced over every unit's token. Point starts are then
+        succ^i(0), evaluated for all i at once by binary lifting on succ
+        (log2(N) gather rounds — the same construction as ops/orbit.py)."""
+        Cn, B = payloads.shape
+        N = self.chunk_points
+        batch = jnp.arange(Cn, dtype=np.int32)[:, None]
+        units = self.plan.units
+        has_varint = any(u.is_varint_class for u in units)
+
+        nt = None
+        if has_varint:
+            # nt[b] = position of first terminator byte at-or-after b (B if none)
+            idxb = jnp.arange(B, dtype=np.int32)
+            term_pos = jnp.where((payloads & 0x80) == 0, idxb[None, :], B)
+            nt = jnp.flip(jax.lax.cummin(jnp.flip(term_pos, -1), axis=1), -1)
+
+        if not has_varint:
+            stride = sum(int(u.fixed_size) for u in units)
+            starts = jnp.broadcast_to(
+                (jnp.arange(N, dtype=np.int32) * stride)[None, :], (Cn, N)
+            )
+            out, _ = self._extract_store_general(payloads, batch, starts, nt, n_valid)
+            return out, (n_valid * stride).astype(jnp.int32)
+
+        # successor of every byte position (as a point-record start)
+        cur = jnp.broadcast_to(jnp.arange(B, dtype=np.int32)[None, :], (Cn, B))
+        for unit in units:
+            if unit.is_varint_class:
+                for _ in range(unit.num_lanes):
+                    nxt = nt[batch, jnp.clip(cur, 0, B - 1)]
+                    cur = jnp.where(cur >= B, B, jnp.minimum(nxt + 1, B))
+            else:
+                cur = jnp.minimum(cur + int(unit.fixed_size), B)
+        # binary lifting: pos_i = succ^i(0); domain [0, B] with fixpoint B
+        F = jnp.concatenate([cur, jnp.full((Cn, 1), B, jnp.int32)], axis=-1)
+        levels = int(N).bit_length()
+        ibits = jnp.arange(N, dtype=np.int32)
+        pos = jnp.zeros((Cn, N), jnp.int32)
+        pos_c = jnp.zeros((Cn,), jnp.int32)  # succ^{n_valid}(0) = bytes consumed
+        Fk = F
+        for k in range(levels):
+            pos = jnp.where(((ibits >> k) & 1) > 0, Fk[batch, pos], pos)
+            pos_c = jnp.where(
+                ((n_valid >> k) & 1) > 0, Fk[jnp.arange(Cn, dtype=np.int32), pos_c], pos_c
+            )
+            pos = jax.lax.optimization_barrier(pos)
+            if k < levels - 1:
+                Fk = jax.lax.optimization_barrier(Fk[batch, Fk])
+        out, overflow = self._extract_store_general(payloads, batch, pos, nt, n_valid)
+        consumed = jnp.where(n_valid > 0, pos_c, 0).astype(jnp.int32)
+        return out, jnp.where(overflow, np.int32(2**31 - 1), consumed)
+
+    def _extract_store_general(self, payloads, batch, starts, nt, n_valid):
+        """Walk each unit's token at every point start; decode + store columns."""
+        Cn, B = payloads.shape
+        N = self.chunk_points
+        valid = jnp.arange(N, dtype=np.int32)[None, :] < n_valid[:, None]
+        out = jnp.zeros((Cn, N, self.point_step), jnp.uint8)
+        overflow = jnp.zeros((Cn,), bool)
+        cur = starts
+        for unit in self.plan.units:
+            if unit.is_varint_class:
+                lanes = unit.num_lanes if unit.kind == UnitKind.FLOATN_LOSSY else 1
+                for lane in range(lanes):
+                    tok_end = nt[batch, jnp.clip(cur, 0, B - 1)]
+                    tok_len = tok_end - cur + 1
+                    overflow = overflow | jnp.any(valid & (tok_len > 10), axis=-1)
+                    if unit.kind == UnitKind.FLOATN_LOSSY:
+                        sval, nan_l = _assemble_varint32(payloads, batch, cur, tok_len, B)
+                        out = _dequant_store_floatn_lane(unit, lane, sval, nan_l, out)
+                    elif unit.kind == UnitKind.FLOAT_LOSSY:
+                        v, nan_l = _assemble_varint64(payloads, batch, cur, tok_len, B)
+                        out = _dequant_store_float_lossy(unit, v, nan_l, out)
+                    else:  # INT_DELTA
+                        v, _ = _assemble_varint64(payloads, batch, cur, tok_len, B)
+                        out = _undelta_store_int(unit, v, out)
+                    cur = tok_end + 1
+            else:  # COPY / FLOAT_XOR: static width
+                width = int(unit.fixed_size)
+                cols = jnp.stack(
+                    [payloads[batch, jnp.clip(cur + k, 0, B - 1)] for k in range(width)],
+                    axis=-1,
+                )  # (C, N, width)
+                if unit.kind == UnitKind.COPY:
+                    if unit.offsets[0] != DECODE_BUT_SKIP_STORE:
+                        out = C.store_bytes(out, unit.offsets[0], cols)
+                else:  # FLOAT_XOR: value = XOR-prefix-scan of residuals
+                    limbs = []
+                    for limb in range(width // 4):
+                        r = cols[..., 4 * limb].astype(jnp.uint32)
+                        for k in range(1, 4):
+                            r = r | (cols[..., 4 * limb + k].astype(jnp.uint32) << (8 * k))
+                        limbs.append(jax.lax.associative_scan(jnp.bitwise_xor, r, axis=-1))
+                    if unit.offsets[0] != DECODE_BUT_SKIP_STORE:
+                        if width == 8:
+                            out = C.store_bytes(
+                                out, unit.offsets[0], u64.to_bytes((limbs[0], limbs[1]), 8)
+                            )
+                        else:
+                            out = C.store_bytes(out, unit.offsets[0], C.split_bytes(limbs[0], 4))
+                cur = cur + width
+        return out, overflow
+
     def _store_unit(self, unit: CodecUnit, svals, nan, t0: int, lanes: int, out):
         pair_mode = isinstance(svals, tuple)
         if unit.kind == UnitKind.FLOATN_LOSSY:
             for lane in range(lanes):
                 t = t0 + lane
                 d32 = (svals[0][..., t] if pair_mode else svals[..., t]).astype(jnp.int32)
-                q = _segmented_undelta_i32(d32, nan[..., t])
-                f = q.astype(jnp.float32) * np.float32(unit.resolutions[lane])
-                bits = jax.lax.bitcast_convert_type(f, jnp.uint32)
-                bits = jnp.where(nan[..., t], _F32_NAN_BITS, bits)
-                if unit.offsets[lane] != DECODE_BUT_SKIP_STORE:
-                    out = C.store_bytes(out, unit.offsets[lane], C.split_bytes(bits, 4))
+                out = _dequant_store_floatn_lane(unit, lane, d32, nan[..., t], out)
             return out
         if unit.kind == UnitKind.FLOAT_LOSSY:
             assert pair_mode
             d = (svals[0][..., t0], svals[1][..., t0])
-            nm = nan[..., t0]
-            q = _segmented_undelta_u64(d, nm)
-            if unit.types[0] == FieldType.FLOAT64:
-                from . import f64 as sf
-
-                # double(q) * double(float(res))  (field_decoder.hpp:110-130)
-                res_c = float(np.float64(np.float32(unit.resolutions[0])))
-                fb = sf.mul_const(sf.i64_to_f64(q), res_c)
-                fb = u64.select(nm, u64.const(0x7FF8000000000000, nm.shape), fb)
-                if unit.offsets[0] == DECODE_BUT_SKIP_STORE:
-                    return out
-                return C.store_bytes(out, unit.offsets[0], u64.to_bytes(fb, 8))
-            f = u64.i64_to_f32(q) * np.float32(unit.resolutions[0])
-            bits = jax.lax.bitcast_convert_type(f, jnp.uint32)
-            bits = jnp.where(nm, _F32_NAN_BITS, bits)
-            if unit.offsets[0] == DECODE_BUT_SKIP_STORE:
-                return out
-            return C.store_bytes(out, unit.offsets[0], C.split_bytes(bits, 4))
+            return _dequant_store_float_lossy(unit, d, nan[..., t0], out)
         if unit.kind == UnitKind.INT_DELTA:
             assert pair_mode
             d = (svals[0][..., t0], svals[1][..., t0])
-            q = _segmented_undelta_u64(d, None)
-            if unit.offsets[0] == DECODE_BUT_SKIP_STORE:
-                return out
-            width = size_of(unit.types[0])
-            return C.store_bytes(out, unit.offsets[0], u64.to_bytes(q, width))
+            return _undelta_store_int(unit, d, out)
         raise NotImplementedError(unit.kind)
 
     def decode_chunks(self, payloads, sizes, n_valid):

@@ -26,7 +26,6 @@ from ..io.ros_msgs import (
     get_deserialized_point_cloud_message,
     to_encoding_info,
 )
-from ..preprocess import apply_viz_lossy_preprocessing
 
 FNV_OFFSET = np.uint64(14695981039346656037)
 FNV_PRIME = np.uint64(1099511628211)
@@ -101,15 +100,24 @@ def run(path: str, modes, compression: CompressionOption, resolution: float,
             fields = apply_resolution_profile({}, pc.fields, default_resolution=resolution)
             rows = np.frombuffer(pc.data, np.uint8).reshape(-1, pc.point_step)
             if viz:
-                fields, rows = apply_viz_lossy_preprocessing(fields, rows)
+                # the preprocessing itself runs inside the encoder (fused on
+                # device); only the static field adjustment happens here
+                # (FLOAT64 without resolution -> 1e-6, ros_msg_utils.cpp:335)
+                fields = [
+                    f.__class__(f.name, f.offset, f.type, 1e-6)
+                    if f.type.name == "FLOAT64" and f.resolution is None
+                    else f
+                    for f in fields
+                ]
             info = to_encoding_info(pc).with_(
                 fields=tuple(fields), width=rows.shape[0], height=1,
                 version=version, compression_opt=comp,
             )
-            key = (info.fields, info.point_step, version, comp)
+            key = (info.fields, info.point_step, version, comp, viz)
             if key not in encoders:
                 encoders[key] = PointcloudEncoder(
-                    info.with_(width=0), backend=backend, device_stage2=device_stage2
+                    info.with_(width=0), backend=backend, device_stage2=device_stage2,
+                    viz=viz,
                 )
                 if do_explain and (ch.topic, mode) not in explained:
                     explained.add((ch.topic, mode))
