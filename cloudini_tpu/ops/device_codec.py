@@ -207,11 +207,12 @@ def _encode_unit_tokens(unit: CodecUnit, rows: jnp.ndarray, valid: jnp.ndarray):
 def _interleave_scatter(token_streams, n_points: int, max_bytes: int):
     """Columnar token matrices -> interleaved per-point layout.
 
-    lengths: per-stream (C, N); one flat scatter per stream into the output.
-    Inactive lanes (token slots past each token's length) park at UNIQUE
-    scratch slots appended after max_bytes — routing them all to one shared
-    drop index makes TPU scatter serialize the colliding updates (observed
-    ~1000x, data-dependent); the scratch region is sliced off on return.
+    Data movement is ONE stable sort by destination byte position: valid
+    token-byte lanes key on their output offset (each offset occurs exactly
+    once, so the sorted payload IS the stream); invalid lanes key on 2^32-1
+    and fall off the tail. On this TPU, sort moves bytes ~5x cheaper than
+    scatter and ~10x cheaper than gather (see .claude/skills/verify/SKILL.md),
+    and it carries every stream in a single pass.
     """
     lengths = jnp.stack([ln for _, ln in token_streams], axis=-1)  # (C, N, S)
     point_sizes = lengths.sum(axis=-1)  # (C, N)
@@ -219,17 +220,40 @@ def _interleave_scatter(token_streams, n_points: int, max_bytes: int):
     intra = jnp.cumsum(lengths, axis=-1) - lengths  # (C, N, S) exclusive
     total = point_sizes.sum(axis=-1)  # (C,)
     c = token_streams[0][0].shape[0]
-    scratch = max(mat.shape[-1] for mat, _ in token_streams) * n_points
-    out = jnp.zeros((c, max_bytes + scratch), jnp.uint8)
-    batch = jnp.arange(c, dtype=np.int32)[:, None]
+    # the byte value rides in the key's low 8 bits (positions < 2^24, so
+    # key = pos<<8 | byte still fits u32 and sorts by position) — a single
+    # one-word sort instead of key+payload; two-word fallback for plans whose
+    # worst-case chunk exceeds 16 MiB (never for 32Ki-point chunks)
+    packed = max_bytes < (1 << 24)
+    keys = []
+    vals = []
     for s, (mat, ln) in enumerate(token_streams):
         L = mat.shape[-1]
         ks = np.arange(L, dtype=np.int32)
         pos = point_off[..., None] + intra[..., s : s + 1] + ks  # (C, N, L)
-        park = max_bytes + jnp.arange(n_points * L, dtype=np.int32).reshape(n_points, L)
-        pos = jnp.where(ks < ln[..., None], pos, park)
-        out = out.at[batch, pos.reshape(c, -1)].set(mat.reshape(c, -1), mode="drop")
-    return out[:, :max_bytes], total.astype(jnp.int32)
+        if packed:
+            k = (pos.astype(jnp.uint32) << 8) | mat.astype(jnp.uint32)
+        else:
+            k = pos.astype(jnp.uint32)
+            vals.append(mat.reshape(c, -1))
+        k = jnp.where(ks < ln[..., None], k, np.uint32(0xFFFFFFFF))
+        keys.append(k.reshape(c, -1))
+    key = jnp.concatenate(keys, axis=-1)
+    if packed:
+        stream = (jax.lax.sort(key, dimension=1) & np.uint32(0xFF)).astype(jnp.uint8)
+    else:
+        _, stream = jax.lax.sort(
+            (key, jnp.concatenate(vals, axis=-1)), dimension=1, num_keys=1
+        )
+    slots = key.shape[1]
+    if slots < max_bytes:
+        stream = jnp.concatenate(
+            [stream, jnp.zeros((c, max_bytes - slots), jnp.uint8)], axis=-1
+        )
+    out = stream[:, :max_bytes]
+    # lanes past each chunk's total hold garbage from invalid keys: zero them
+    out = jnp.where(jnp.arange(max_bytes, dtype=np.int32)[None, :] < total[:, None], out, 0)
+    return out, total.astype(jnp.int32)
 
 
 class DeviceStage1Encoder:
@@ -535,26 +559,70 @@ class DeviceStage1Decoder:
         self._fn = jax.jit(self._decode_general if self.general else self._decode)
 
     def _decode(self, payloads: jnp.ndarray, sizes: jnp.ndarray, n_valid: jnp.ndarray):
-        """Pure-varint plans: every byte belongs to a self-delimiting token, so
-        the k-th token's end is the k-th terminator byte (one prefix sum)."""
+        """Pure-varint plans, gather-free.
+
+        Every byte computes its token-local contribution (group << 7*pos, all
+        elementwise + prefix scans), a u64-pair prefix sum accumulates them
+        along the stream, and ONE sort compacts the per-token running sums
+        from terminator byte positions to dense token order; token values are
+        then adjacent differences of the compacted prefix sums. No
+        searchsorted (log-B rounds of 10ns/element gathers dominated the old
+        path), no byte gathers.
+        """
         Cn, B = payloads.shape
         N, T = self.chunk_points, self.tokens_per_point
         K = N * T
-        in_range = jnp.arange(B, dtype=np.int32)[None, :] < sizes[:, None]
+        idxb = jnp.arange(B, dtype=np.int32)[None, :]
+        in_range = idxb < sizes[:, None]
         term = ((payloads & 0x80) == 0) & in_range
-        csum = jnp.cumsum(term.astype(jnp.int32), axis=-1)
-        targets = jnp.arange(1, K + 1, dtype=jnp.int32)
-        ends = jax.vmap(lambda c: jnp.searchsorted(c, targets, side="left"))(csum)  # (C, K)
-        starts = jnp.roll(ends, 1, axis=-1).at[:, 0].set(-1) + 1
-        tok_len = ends - starts + 1
-        rows_idx = jnp.arange(Cn, dtype=np.int32)[:, None]
-
-        if self.max_token_bytes <= 5:
-            sval, nan = _assemble_varint32(payloads, rows_idx, starts, tok_len, B)
-            svals = (sval.reshape(Cn, N, T), None)  # (i32, no hi limb)
-        else:
-            v, nan = _assemble_varint64(payloads, rows_idx, starts, tok_len, B)
-            svals = ((v[0].reshape(Cn, N, T), v[1].reshape(Cn, N, T)), None)
+        # token id OWNING each byte = count of terminators strictly before it
+        csum_term = jnp.cumsum(term.astype(jnp.int32), axis=-1)
+        tok_id = csum_term - term.astype(jnp.int32)
+        # position within token: previous terminator via exclusive cummax
+        prev_term = jax.lax.cummax(jnp.where(term, idxb, -1), axis=1)
+        prev_term_excl = jnp.roll(prev_term, 1, axis=-1).at[:, 0].set(-1)
+        pos_in_tok = idxb - prev_term_excl - 1  # 0-based group index
+        # u64-pair contribution of each byte; groups past 9 are overflow
+        g = (payloads & np.uint8(0x7F)).astype(jnp.uint32)
+        sh = jnp.minimum(pos_in_tok, 9) * 7
+        lo = jnp.where(sh < 32, g << sh.astype(jnp.uint32), 0)
+        hi = jnp.where(
+            sh >= 32,
+            g << jnp.clip(sh - 32, 0, 31).astype(jnp.uint32),
+            jnp.where(sh > 25, g >> jnp.clip(32 - sh, 0, 31).astype(jnp.uint32), 0),
+        )
+        mask = in_range & (pos_in_tok < 10)
+        contrib = (jnp.where(mask, lo, 0), jnp.where(mask, hi, 0))
+        run = u64.cumsum(contrib)  # running sum along the whole stream
+        # compact (running sums, token length) at terminator lanes to dense
+        # token order with ONE sort; invalid lanes key to 2^32-1
+        tok_len = (idxb - prev_term_excl).astype(jnp.uint32)  # valid at terms
+        needed = term & (tok_id < (n_valid * T)[:, None])
+        # NaN-marker flag rides in the key's low bit (saves a sort payload)
+        nan_flag = ((tok_len == 1) & (payloads == 0)).astype(jnp.uint32)
+        key = jnp.where(
+            needed,
+            (tok_id.astype(jnp.uint32) << 1) | nan_flag,
+            np.uint32(0xFFFFFFFF),
+        )
+        run_lo, run_hi = run
+        if B < K:  # tiny buffers: pad so the dense token slice below exists
+            pad = jnp.full((Cn, K - B), np.uint32(0xFFFFFFFF))
+            zpad = jnp.zeros((Cn, K - B), jnp.uint32)
+            key = jnp.concatenate([key, pad], axis=-1)
+            run_lo = jnp.concatenate([run_lo, zpad], axis=-1)
+            run_hi = jnp.concatenate([run_hi, zpad], axis=-1)
+        s_key, s_lo, s_hi = jax.lax.sort((key, run_lo, run_hi), dimension=1, num_keys=1)
+        s_key, s_lo, s_hi = s_key[:, :K], s_lo[:, :K], s_hi[:, :K]
+        # token value = this terminator's running sum minus the previous one
+        p_lo = jnp.roll(s_lo, 1, axis=-1).at[:, 0].set(0)
+        p_hi = jnp.roll(s_hi, 1, axis=-1).at[:, 0].set(0)
+        biased = u64.sub((s_lo, s_hi), (p_lo, p_hi))
+        nan = (s_key & 1) != 0
+        uu = u64.sub(biased, u64.select(nan, u64.const(0, nan.shape), u64.const(1, nan.shape)))
+        v = u64.unzigzag(uu)
+        v = u64.select(nan, u64.const(0, nan.shape), v)
+        svals = ((v[0].reshape(Cn, N, T), v[1].reshape(Cn, N, T)), None)
         nan = nan.reshape(Cn, N, T)
 
         out = jnp.zeros((Cn, N, self.point_step), jnp.uint8)
@@ -563,20 +631,23 @@ class DeviceStage1Decoder:
             lanes = unit.num_lanes if unit.kind == UnitKind.FLOATN_LOSSY else 1
             out = self._store_unit(unit, svals[0], nan, t0, lanes, out)
             t0 += lanes
-        # bytes consumed by the regular stream per chunk: end of the last token
-        # actually present (token count = n_valid * T); V5 adaptive sections
-        # start right after (decoded host-side)
-        last_tok = jnp.clip(n_valid * T - 1, 0, K - 1)
-        consumed = jnp.take_along_axis(ends, last_tok[:, None], axis=-1)[:, 0] + 1
-        consumed = jnp.where(n_valid > 0, consumed, 0).astype(jnp.int32)
-        # validity, matching the host decoder's errors: a token over 10 bytes
-        # is a varint overflow (find_varint_boundaries raises 'varint too
-        # long'); flag it by forcing consumed past the buffer so the caller's
-        # bound check rejects the chunk instead of returning garbage rows.
-        # (Truncated streams already fail: missing terminators push ends to B.)
-        needed = jnp.arange(K, dtype=np.int32)[None, :] < (n_valid * T)[:, None]
+        # bytes consumed by the regular stream per chunk = bytes owned by the
+        # first n_valid*T tokens; V5 adaptive sections start right after
+        # (decoded host-side)
+        K_valid = n_valid * T
+        consumed = jnp.sum(
+            (in_range & (tok_id < K_valid[:, None])).astype(jnp.int32), axis=-1
+        )
+        # validity, matching the host decoder's errors (find_varint_boundaries
+        # raises 'truncated varint stream' / 'varint too long'): flag by
+        # forcing consumed past the buffer so the caller's bound check rejects
+        # the chunk instead of returning garbage rows
+        total_terms = csum_term[:, -1]
+        truncated = total_terms < K_valid
         overflow = jnp.any(needed & (tok_len > 10), axis=-1)
-        return out, jnp.where(overflow, np.int32(2**31 - 1), consumed)
+        bad = truncated | overflow
+        consumed = jnp.where(n_valid > 0, consumed, 0).astype(jnp.int32)
+        return out, jnp.where(bad, np.int32(2**31 - 1), consumed)
 
     def _decode_general(self, payloads: jnp.ndarray, sizes: jnp.ndarray, n_valid: jnp.ndarray):
         """Mixed varint + fixed-width (COPY/XOR) plans.

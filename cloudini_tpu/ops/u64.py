@@ -172,12 +172,21 @@ def assemble_group(u: U64, g: jnp.ndarray, k: int) -> U64:
 
 
 def cumsum(v: U64, axis: int = -1) -> U64:
-    """Inclusive 64-bit prefix sum along ``axis`` (the un-delta scan)."""
-    def combine(a, b):
-        return add((a[0], a[1]), (b[0], b[1]))
+    """Inclusive 64-bit prefix sum along ``axis`` (the un-delta scan).
 
-    lo, hi = jax.lax.associative_scan(combine, (v[0], v[1]), axis=axis)
-    return lo, hi
+    Two plain u32 prefix sums instead of a tuple associative_scan (which
+    compiles pathologically on TPU): the low limb wraps mod 2^32, and a wrap
+    happened at step i iff the running low sum DECREASED (each addend is
+    < 2^32), so the carry stream is just that comparison, prefix-summed into
+    the high limb."""
+    lo_run = jnp.cumsum(v[0], axis=axis, dtype=jnp.uint32)
+    prev = jnp.roll(lo_run, 1, axis=axis)
+    idx = [slice(None)] * lo_run.ndim
+    idx[axis] = 0
+    prev = prev.at[tuple(idx)].set(0)
+    wrap = (lo_run < prev).astype(jnp.uint32)
+    hi_run = jnp.cumsum(v[1] + wrap, axis=axis, dtype=jnp.uint32)
+    return lo_run, hi_run
 
 
 def roll_prev(v: U64) -> U64:
