@@ -74,27 +74,39 @@ def _compact_streams(streams, base: int, max_bytes: int):
     """Token streams (per element, in element order) -> contiguous bytes
     starting at offset ``base`` of a (C, max_bytes) buffer + total size.
 
-    Inactive lanes park at UNIQUE scratch slots appended after max_bytes —
-    a single shared drop index makes the TPU scatter serialize the colliding
-    updates (see device_codec._interleave_scatter); sliced off on return."""
+    ONE single-word sort: each valid token byte keys on its destination
+    offset with the byte value packed in the key's low 8 bits; invalid lanes
+    key to 2^32-1 and fall off the tail (see
+    device_codec._interleave_scatter for the movement-cost rationale)."""
     lengths = jnp.stack([ln for _, ln in streams], axis=-1)
     elem_sizes = lengths.sum(axis=-1)
     elem_off = jnp.cumsum(elem_sizes, axis=-1) - elem_sizes
     intra = jnp.cumsum(lengths, axis=-1) - lengths
-    n_elems = streams[0][0].shape[-2]
-    scratch = max(mat.shape[-1] for mat, _ in streams) * n_elems
-    out = jnp.zeros(streams[0][0].shape[:-2] + (max_bytes + scratch,), jnp.uint8)
-    c_idx = jnp.arange(out.shape[0], dtype=np.int32)[:, None]
+    c = streams[0][0].shape[0]
+    keys = []
     for s, (mat, ln) in enumerate(streams):
         L = mat.shape[-1]
         ks = np.arange(L, dtype=np.int32)
-        park = max_bytes + jnp.arange(n_elems * L, dtype=np.int32).reshape(n_elems, L)
         pos = base + elem_off[..., None] + intra[..., s : s + 1] + ks
-        pos = jnp.where(ks < ln[..., None], pos, park)
-        out = out.at[c_idx, pos.reshape(out.shape[0], -1)].set(
-            mat.reshape(out.shape[0], -1), mode="drop"
+        k = (pos.astype(jnp.uint32) << 8) | mat.astype(jnp.uint32)
+        k = jnp.where(ks < ln[..., None], k, np.uint32(0xFFFFFFFF))
+        keys.append(k.reshape(c, -1))
+    key = jnp.concatenate(keys, axis=-1)
+    stream = (jax.lax.sort(key, dimension=1, is_stable=False) & np.uint32(0xFF)).astype(jnp.uint8)
+    # sorted lane j holds the byte for position base+j: shift right by base
+    # (static) and pad/trim to the section buffer width
+    stream = jnp.concatenate([jnp.zeros((c, base), jnp.uint8), stream], axis=-1)
+    slots = stream.shape[1]
+    if slots < max_bytes:
+        stream = jnp.concatenate(
+            [stream, jnp.zeros((c, max_bytes - slots), jnp.uint8)], axis=-1
         )
-    return out[:, :max_bytes], base + elem_sizes.sum(axis=-1).astype(jnp.int32)
+    out = stream[:, :max_bytes]
+    total = base + elem_sizes.sum(axis=-1).astype(jnp.int32)
+    # zero the tail (incl. the header area [0, base) rewritten by _with_header)
+    idx = jnp.arange(max_bytes, dtype=np.int32)[None, :]
+    out = jnp.where(idx < total[:, None], out, 0)
+    return out, total
 
 
 def _with_header(section: jnp.ndarray, mode: int, run_count: jnp.ndarray | None):
@@ -187,7 +199,7 @@ def encode_palette(field: AdaptiveField, rows, valid, max_bytes: int):
     # invalid entries sort to the end (max key)
     lo = jnp.where(valid, raw[0], np.uint32(0xFFFFFFFF))
     hi = jnp.where(valid, raw[1], np.uint32(0xFFFFFFFF))
-    s_hi, s_lo, s_idx = jax.lax.sort((hi, lo, idx), dimension=-1, num_keys=3)
+    s_hi, s_lo, s_idx = jax.lax.sort((hi, lo, idx), dimension=-1, num_keys=3, is_stable=False)
     s_valid = jnp.take_along_axis(valid, s_idx, axis=-1)
     prev_lo = jnp.roll(s_lo, 1, axis=-1)
     prev_hi = jnp.roll(s_hi, 1, axis=-1)
@@ -206,7 +218,7 @@ def encode_palette(field: AdaptiveField, rows, valid, max_bytes: int):
     # palette order = groups sorted by first occurrence
     p_first, p_lo, p_hi, p_gid = jax.lax.sort(
         (grp_first, grp_lo, grp_hi, jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (c, n))),
-        dimension=-1, num_keys=1,
+        dimension=-1, num_keys=1, is_stable=False,
     )
     # rank of each sorted-group in palette order (unique scratch parking)
     rank = jnp.zeros((c, 2 * n), jnp.int32).at[

@@ -70,7 +70,9 @@ def viz_compact(
     key_lo = jnp.where(finite, key_lo, np.uint32(0xFFFFFFFF))
     key_hi = jnp.where(finite, key_hi, np.uint32(0xFFFFFFFF))
 
-    s_hi, s_lo, s_idx = jax.lax.sort((key_hi, key_lo, idx), dimension=0, num_keys=3)
+    s_hi, s_lo, s_idx = jax.lax.sort(
+        (key_hi, key_lo, idx), dimension=0, num_keys=3, is_stable=False
+    )
     s_finite = finite[s_idx]
     first = (
         (s_lo != jnp.roll(s_lo, 1)) | (s_hi != jnp.roll(s_hi, 1))
