@@ -627,45 +627,80 @@ class DeviceStage1Decoder:
         prev_term = jax.lax.cummax(jnp.where(term, idxb, -1), axis=1)
         prev_term_excl = jnp.roll(prev_term, 1, axis=-1).at[:, 0].set(-1)
         pos_in_tok = idxb - prev_term_excl - 1  # 0-based group index
-        # u64-pair contribution of each byte; groups past 9 are overflow
         g = (payloads & np.uint8(0x7F)).astype(jnp.uint32)
-        sh = jnp.minimum(pos_in_tok, 9) * 7
-        lo = jnp.where(sh < 32, g << sh.astype(jnp.uint32), 0)
-        hi = jnp.where(
-            sh >= 32,
-            g << jnp.clip(sh - 32, 0, 31).astype(jnp.uint32),
-            jnp.where(sh > 25, g >> jnp.clip(32 - sh, 0, 31).astype(jnp.uint32), 0),
-        )
-        mask = in_range & (pos_in_tok < 10)
-        contrib = (jnp.where(mask, lo, 0), jnp.where(mask, hi, 0))
-        run = u64.cumsum(contrib)  # running sum along the whole stream
-        # compact (running sums, token length) at terminator lanes to dense
-        # token order with ONE sort; invalid lanes key to 2^32-1
         tok_len = (idxb - prev_term_excl).astype(jnp.uint32)  # valid at terms
         needed = term & (tok_id < (n_valid * T)[:, None])
         # NaN-marker flag rides in the key's low bit (saves a sort payload)
         nan_flag = ((tok_len == 1) & (payloads == 0)).astype(jnp.uint32)
-        key = jnp.where(
-            needed,
-            (tok_id.astype(jnp.uint32) << 1) | nan_flag,
-            np.uint32(0xFFFFFFFF),
-        )
-        run_lo, run_hi = run
-        if B < K:  # tiny buffers: pad so the dense token slice below exists
-            pad = jnp.full((Cn, K - B), np.uint32(0xFFFFFFFF))
-            zpad = jnp.zeros((Cn, K - B), jnp.uint32)
-            key = jnp.concatenate([key, pad], axis=-1)
-            run_lo = jnp.concatenate([run_lo, zpad], axis=-1)
-            run_hi = jnp.concatenate([run_hi, zpad], axis=-1)
-        s_key, s_lo, s_hi = jax.lax.sort(
-            (key, run_lo, run_hi), dimension=1, num_keys=1, is_stable=False
-        )
-        s_key, s_lo, s_hi = s_key[:, :K], s_lo[:, :K], s_hi[:, :K]
-        # token value = this terminator's running sum minus the previous one
-        p_lo = jnp.roll(s_lo, 1, axis=-1).at[:, 0].set(0)
-        p_hi = jnp.roll(s_hi, 1, axis=-1).at[:, 0].set(0)
-        biased = u64.sub((s_lo, s_hi), (p_lo, p_hi))
-        nan = (s_key & 1) != 0
+        max_len = 10
+
+        # <=5-byte plans (fused FloatN, the LiDAR hot path): the biased value
+        # is < 2^35 and splits into plane a (groups 0-3, <2^28) and plane b
+        # (group 4, <2^7). Plane b's running sum mod 2^9 rides in the KEY next
+        # to the NaN bit (its per-token diff is <2^8, so mod-2^9 diffs are
+        # exact), leaving a TWO-word sort: key + plane-a running sum.
+        planes = self.max_token_bytes <= 5 and self.max_bytes <= (1 << 21)
+        if planes:
+            max_len = 5  # 6..10-byte tokens only exist in corrupt streams
+            sh = jnp.minimum(pos_in_tok, 3) * 7
+            a = jnp.where(in_range & (pos_in_tok < 4), g << sh.astype(jnp.uint32), 0)
+            b = jnp.where(in_range & (pos_in_tok == 4), g, 0)
+            run_a = jnp.cumsum(a, axis=-1, dtype=jnp.uint32)
+            run_b = jnp.cumsum(b, axis=-1, dtype=jnp.uint32)
+            key = jnp.where(
+                needed,
+                (tok_id.astype(jnp.uint32) << 10)
+                | ((run_b & np.uint32(0x1FF)) << 1)
+                | nan_flag,
+                np.uint32(0xFFFFFFFF),
+            )
+            if B < K:
+                key = jnp.concatenate(
+                    [key, jnp.full((Cn, K - B), np.uint32(0xFFFFFFFF))], axis=-1
+                )
+                run_a = jnp.concatenate([run_a, jnp.zeros((Cn, K - B), jnp.uint32)], axis=-1)
+            s_key, s_a = jax.lax.sort((key, run_a), dimension=1, num_keys=1, is_stable=False)
+            s_key, s_a = s_key[:, :K], s_a[:, :K]
+            a_val = s_a - jnp.roll(s_a, 1, axis=-1).at[:, 0].set(0)
+            b_prev = jnp.roll(s_key >> 1, 1, axis=-1).at[:, 0].set(0)
+            b_val = (((s_key >> 1) - b_prev) & np.uint32(0x1FF))
+            # biased = a + b*2^28 (< 2^36) as a u32 pair
+            carry = (a_val >> 28) + b_val
+            b_lo = (a_val & np.uint32(0x0FFFFFFF)) | ((carry & np.uint32(0xF)) << 28)
+            biased = (b_lo, carry >> 4)
+            nan = (s_key & 1) != 0
+        else:
+            # u64-pair contribution of each byte; groups past 9 are overflow
+            sh = jnp.minimum(pos_in_tok, 9) * 7
+            lo = jnp.where(sh < 32, g << sh.astype(jnp.uint32), 0)
+            hi = jnp.where(
+                sh >= 32,
+                g << jnp.clip(sh - 32, 0, 31).astype(jnp.uint32),
+                jnp.where(sh > 25, g >> jnp.clip(32 - sh, 0, 31).astype(jnp.uint32), 0),
+            )
+            mask = in_range & (pos_in_tok < 10)
+            run = u64.cumsum((jnp.where(mask, lo, 0), jnp.where(mask, hi, 0)))
+            key = jnp.where(
+                needed,
+                (tok_id.astype(jnp.uint32) << 1) | nan_flag,
+                np.uint32(0xFFFFFFFF),
+            )
+            run_lo, run_hi = run
+            if B < K:  # tiny buffers: pad so the dense token slice below exists
+                pad = jnp.full((Cn, K - B), np.uint32(0xFFFFFFFF))
+                zpad = jnp.zeros((Cn, K - B), jnp.uint32)
+                key = jnp.concatenate([key, pad], axis=-1)
+                run_lo = jnp.concatenate([run_lo, zpad], axis=-1)
+                run_hi = jnp.concatenate([run_hi, zpad], axis=-1)
+            s_key, s_lo, s_hi = jax.lax.sort(
+                (key, run_lo, run_hi), dimension=1, num_keys=1, is_stable=False
+            )
+            s_key, s_lo, s_hi = s_key[:, :K], s_lo[:, :K], s_hi[:, :K]
+            # token value = this terminator's running sum minus the previous one
+            p_lo = jnp.roll(s_lo, 1, axis=-1).at[:, 0].set(0)
+            p_hi = jnp.roll(s_hi, 1, axis=-1).at[:, 0].set(0)
+            biased = u64.sub((s_lo, s_hi), (p_lo, p_hi))
+            nan = (s_key & 1) != 0
         uu = u64.sub(biased, u64.select(nan, u64.const(0, nan.shape), u64.const(1, nan.shape)))
         v = u64.unzigzag(uu)
         v = u64.select(nan, u64.const(0, nan.shape), v)
@@ -691,7 +726,7 @@ class DeviceStage1Decoder:
         # the chunk instead of returning garbage rows
         total_terms = csum_term[:, -1]
         truncated = total_terms < K_valid
-        overflow = jnp.any(needed & (tok_len > 10), axis=-1)
+        overflow = jnp.any(needed & (tok_len > max_len), axis=-1)
         bad = truncated | overflow
         consumed = jnp.where(n_valid > 0, consumed, 0).astype(jnp.int32)
         return out, jnp.where(bad, np.int32(2**31 - 1), consumed)
