@@ -112,8 +112,12 @@ class PointcloudEncoder:
             backend = "device"
         if backend in ("auto", "device"):
             try:
-                from ..ops.device_codec import cached_encoder
+                from ..ops.device_codec import cached_encoder, encoder_prefers_device
 
+                # auto only picks the device when it actually wins there
+                # (Gorilla plans measure ~10x faster on the host codec)
+                if backend == "auto" and not encoder_prefers_device(self.plan):
+                    raise NotImplementedError
                 # value-keyed program cache: per-message encoders (streaming
                 # workloads carry width in EncodingInfo) share one compile
                 self._device_enc = cached_encoder(
@@ -346,12 +350,15 @@ class PointcloudDecoder:
     def _use_device(self, plan: CodecPlan) -> bool:
         if self._backend == "host":
             return False
-        from ..ops.device_codec import decoder_supports_plan
+        from ..ops.device_codec import decoder_prefers_device, decoder_supports_plan
 
-        ok = decoder_supports_plan(plan) and _device_available()
-        if self._backend == "device" and not ok:
-            raise NotImplementedError("plan is not device-decodable")
-        return ok
+        if self._backend == "device":
+            if not (decoder_supports_plan(plan) and _device_available()):
+                raise NotImplementedError("plan is not device-decodable")
+            return True
+        # auto: only when the device path actually wins (pure-varint plans;
+        # the mixed-plan binary-lifting path loses to host/native by ~100x)
+        return decoder_prefers_device(plan) and _device_available()
 
     def _decode_chunks_device(self, info, plan, raws, chunks, out):
         from ..ops.device_codec import cached_decoder

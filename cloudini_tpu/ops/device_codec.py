@@ -42,6 +42,22 @@ def encoder_supports_plan(plan: CodecPlan) -> bool:
     return True
 
 
+def encoder_prefers_device(plan: CodecPlan) -> bool:
+    """Whether the ``auto`` backend should pick the device encoder. Gorilla's
+    parallel window-chain construction (binary lifting = log-rounds of
+    ~10ns/element gathers) is correct but measured ~10x slower than the host
+    codec on real hardware — those plans default to host/native."""
+    return all(u.kind != UnitKind.GORILLA for u in plan.units)
+
+
+def decoder_prefers_device(plan: CodecPlan) -> bool:
+    """Whether the ``auto`` backend should pick the device decoder. The
+    general mixed fixed/varint path (speculative successor + binary lifting)
+    is gather-bound and loses to the host/native sequential decoder by ~100x;
+    only the pure-varint scan+sort path wins on device."""
+    return decoder_supports_plan(plan) and plan.all_varint_class
+
+
 def decoder_supports_plan(plan: CodecPlan) -> bool:
     """Device decode requires position-independent token lengths: varints are
     self-delimiting (terminator bit) and COPY/XOR tokens have static widths, so
