@@ -17,7 +17,12 @@ from .core.types import (
     PointField,
     POINTS_PER_CHUNK,
 )
-from .codec.pipeline import PointcloudDecoder, PointcloudEncoder
+from .codec.pipeline import (
+    PointcloudDecoder,
+    PointcloudEncoder,
+    max_compressed_size,
+    max_serialized_point_size,
+)
 
 __version__ = "0.1.0"
 
@@ -35,4 +40,6 @@ __all__ = [
     "encode_header",
     "encoding_info_from_yaml",
     "encoding_info_to_yaml",
+    "max_compressed_size",
+    "max_serialized_point_size",
 ]

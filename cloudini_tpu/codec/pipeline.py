@@ -74,6 +74,62 @@ def _pad_chunks(points: np.ndarray, n_chunks: int, chunk_points: int, point_step
     return chunks, n_valid
 
 
+def max_serialized_point_size(info: EncodingInfo) -> int:
+    """Worst-case stage-1 bytes per point over ALL fields (reference:
+    MaxSerializedFieldSize/MaxSerializedPointSize, codec_common.cpp:29-67)."""
+    return sum(_max_serialized_field_size(f, info.encoding_opt) for f in info.fields)
+
+
+def _max_serialized_field_size(field, encoding_opt) -> int:
+    from ..core.types import EncodingOptions, FieldType
+
+    t = field.type
+    if t in (FieldType.INT16, FieldType.UINT16, FieldType.INT32,
+             FieldType.UINT32, FieldType.INT64, FieldType.UINT64):
+        return 10
+    if t == FieldType.FLOAT32:
+        if encoding_opt == EncodingOptions.LOSSY and field.resolution is not None:
+            return 10
+        return 7  # Gorilla/XOR worst case + alignment slop
+    if t == FieldType.FLOAT64:
+        if encoding_opt == EncodingOptions.LOSSY and field.resolution is not None:
+            return 10
+        return 11
+    if t in (FieldType.INT8, FieldType.UINT8):
+        return 1
+    raise ValueError(f"Unsupported field type {t} in max_serialized_point_size")
+
+
+def max_compressed_size(info: EncodingInfo, points_count: int,
+                        include_header: bool = True) -> int:
+    """Worst-case serialized stream size — the preallocation bound
+    (reference: MaxCompressedSize, cloudini.cpp:249-292; byte-identical
+    math including the V5 adaptive-section slack)."""
+    from ..core.types import uses_v5_codec
+    from . import stage2 as _s2
+
+    if info.point_step == 0:
+        raise ValueError("point_step cannot be 0")
+    chunks = -(-points_count // POINTS_PER_CHUNK) if points_count else 0
+    per_point = max_serialized_point_size(info)
+    total = len(encode_header(info)) if include_header else 0
+    left = points_count
+    for _ in range(chunks):
+        pts = min(left, POINTS_PER_CHUNK)
+        left -= pts
+        chunk_in = pts * per_point
+        if uses_v5_codec(info):
+            chunk_in += len(info.fields) * 32 + 1024
+        total += 4
+        if info.compression_opt == CompressionOption.LZ4:
+            total += _s2.lz4_compress_bound(chunk_in)
+        elif info.compression_opt == CompressionOption.ZSTD:
+            total += _s2.zstd_compress_bound(chunk_in)
+        else:
+            total += chunk_in
+    return total
+
+
 class PointcloudEncoder:
     """Two-stage encoder. Stage 1: columnar predictive coding per 32Ki-point
     chunk (device or host). Stage 2: LZ4/ZSTD per chunk with u32 framing."""

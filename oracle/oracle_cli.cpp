@@ -124,6 +124,12 @@ int main(int argc, char** argv) {
       EncodeHeader(info, out);
       writeFile(argv[3], out.data(), out.size());
       std::cout << out.size() << std::endl;
+    } else if (cmd == "bound") {
+      // bound <spec> <points_count> [0|1 include_header] -> prints MaxCompressedSize
+      EncodingInfo info = parseSpec(argv[2]);
+      const size_t pts = static_cast<size_t>(std::stoull(argv[3]));
+      const bool with_header = argc < 5 || std::stoi(argv[4]) != 0;
+      std::cout << Cloudini::MaxCompressedSize(info, pts, with_header) << std::endl;
     } else if (cmd == "bench") {
       // bench <spec> <raw_points.bin> <iters> -> prints "enc_ns dec_ns bytes compressed_bytes"
       EncodingInfo info = parseSpec(argv[2]);

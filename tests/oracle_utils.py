@@ -58,3 +58,16 @@ class Oracle:
             (d / "spec").write_text(spec_text(info))
             self._run("header", str(d / "spec"), str(d / "out"))
             return (d / "out").read_bytes()
+
+    def bound(self, info: EncodingInfo, points: int, include_header: bool = True) -> int:
+        with tempfile.TemporaryDirectory() as d:
+            d = Path(d)
+            (d / "spec").write_text(spec_text(info))
+            r = subprocess.run(
+                [self.binary, "bound", str(d / "spec"), str(points),
+                 "1" if include_header else "0"],
+                capture_output=True, text=True,
+            )
+            if r.returncode != 0:
+                raise RuntimeError(f"oracle_cli bound failed: {r.stderr.strip()}")
+            return int(r.stdout.strip())
