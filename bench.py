@@ -131,8 +131,6 @@ def main():
     payloads, sizes = jax.block_until_ready(enc.encode_chunks(d_rows, d_valid))  # warmup/compile
     # size the decode buffer from the actual chunk sizes (1 KiB buckets, +1 so
     # the truncation sentinel exceeds any real size), like the pipeline does
-    import jax.numpy as _jnp
-
     b_act = int(-(-(int(np.asarray(sizes).max()) + 1) // 1024) * 1024)
     payloads = jax.block_until_ready(jax.jit(lambda p: p[:, :b_act])(payloads))
     dec = DeviceStage1Decoder(plan, 16, chunk_points=CHUNK, max_bytes=b_act)
@@ -190,19 +188,49 @@ def main():
         t_dec = min(t_dec, (time.perf_counter() - t0) / ITERS)
         o_i.delete(), pp.delete()
 
-    # correctness gate vs the numpy wire kernel (bit-exact to reference C++).
-    # Only chunk 0 is pulled to the host: D2H over this tunnel runs ~40 KB/s.
+    # correctness gate vs the numpy wire kernel (bit-exact to reference C++),
+    # covering EVERY chunk. Raw buffers are never pulled (D2H over this tunnel
+    # runs ~40 KB/s); instead int32-wrapping weighted fingerprints are reduced
+    # per chunk ON DEVICE and only the (C,) scalars come back.
+    np.seterr(over="ignore")
     sizes_h = np.asarray(sizes)
-    want = np_stage1.encode_chunk(plan, chunks[0])
-    pay0 = np.asarray(payloads[0, : int(sizes_h[0])])
-    assert sizes_h[0] == len(want) and np.array_equal(pay0, want), (
-        "device encode diverges from reference wire bytes"
-    )
-    ref_rows = np.zeros_like(chunks[0])
-    np_stage1.decode_chunk(build_plan(info, for_decode=True), pay0, ref_rows, CHUNK)
-    dec0 = np.asarray(decoded[0])
-    assert np.array_equal(dec0, ref_rows), "device decode diverges from reference output"
-    fingerprint = _fnv1a(dec0.tobytes())
+    dplan = build_plan(info, for_decode=True)
+    ref_payloads = [np_stage1.encode_chunk(plan, chunks[i]) for i in range(N_CHUNKS)]
+    ref_rows = np.zeros_like(chunks)
+    for i in range(N_CHUNKS):
+        np_stage1.decode_chunk(dplan, ref_payloads[i], ref_rows[i], CHUNK)
+
+
+
+    def _fp_host(a):
+        flat = a.reshape(-1).astype(np.int32)
+        w = np.arange(flat.shape[0], dtype=np.int32) % 251 + 1
+        return int(np.sum(flat * w, dtype=np.int32))
+
+    @jax.jit
+    def _fp_dev_rows(x):  # (C, N, step) -> (C,) int32 wrapping fingerprints
+        flat = x.reshape(x.shape[0], -1).astype(jnp.int32)
+        w = jnp.arange(flat.shape[1], dtype=jnp.int32) % 251 + 1
+        return jnp.sum(flat * w, axis=1, dtype=jnp.int32)
+
+    @jax.jit
+    def _fp_dev_payload(p, s):  # fingerprint only the valid prefix per chunk
+        w = jnp.arange(p.shape[1], dtype=jnp.int32) % 251 + 1
+        valid = jnp.arange(p.shape[1], dtype=jnp.int32)[None, :] < s[:, None]
+        return jnp.sum(jnp.where(valid, p.astype(jnp.int32) * w, 0), axis=1,
+                       dtype=jnp.int32)
+
+    enc_fps = np.asarray(_fp_dev_payload(payloads, sizes))
+    dec_fps = np.asarray(_fp_dev_rows(decoded))
+    for i in range(N_CHUNKS):
+        assert sizes_h[i] == len(ref_payloads[i]), f"chunk {i} size mismatch"
+        assert enc_fps[i] == _fp_host(ref_payloads[i]), (
+            f"device encode diverges from reference wire bytes (chunk {i})"
+        )
+        assert dec_fps[i] == _fp_host(ref_rows[i]), (
+            f"device decode diverges from reference output (chunk {i})"
+        )
+    fingerprint = _fnv1a(ref_rows.tobytes())
 
     gbps = total_bytes / (t_enc + t_dec) / 1e9
     result = {

@@ -171,8 +171,15 @@ class PointcloudEncoder:
                 from ..ops.device_codec import cached_encoder, encoder_prefers_device
 
                 # auto only picks the device when it actually wins there
-                # (Gorilla plans measure ~10x faster on the host codec)
-                if backend == "auto" and not encoder_prefers_device(self.plan):
+                # (Gorilla plans measure ~10x faster on the NATIVE host codec;
+                # without the native runtime the device still beats numpy)
+                from .. import native
+
+                if (
+                    backend == "auto"
+                    and not encoder_prefers_device(self.plan)
+                    and native.available()
+                ):
                     raise NotImplementedError
                 # value-keyed program cache: per-message encoders (streaming
                 # workloads carry width in EncodingInfo) share one compile
@@ -412,9 +419,16 @@ class PointcloudDecoder:
             if not (decoder_supports_plan(plan) and _device_available()):
                 raise NotImplementedError("plan is not device-decodable")
             return True
-        # auto: only when the device path actually wins (pure-varint plans;
-        # the mixed-plan binary-lifting path loses to host/native by ~100x)
-        return decoder_prefers_device(plan) and _device_available()
+        # auto: only when the device path actually wins — pure-varint plans
+        # (the mixed-plan binary-lifting path loses to the NATIVE sequential
+        # decoder by ~100x, but still beats the pure-Python seqdecode walk
+        # used when the native runtime cannot build)
+        from .. import native
+
+        prefer = decoder_prefers_device(plan) or (
+            decoder_supports_plan(plan) and not native.available()
+        )
+        return prefer and _device_available()
 
     def _decode_chunks_device(self, info, plan, raws, chunks, out):
         from ..ops.device_codec import cached_decoder

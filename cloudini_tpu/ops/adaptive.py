@@ -83,16 +83,30 @@ def _compact_streams(streams, base: int, max_bytes: int):
     elem_off = jnp.cumsum(elem_sizes, axis=-1) - elem_sizes
     intra = jnp.cumsum(lengths, axis=-1) - lengths
     c = streams[0][0].shape[0]
+    # byte-in-key packing needs positions < 2^24 (same guard as
+    # device_codec._interleave_scatter); two-word fallback otherwise
+    packed = max_bytes < (1 << 24)
     keys = []
+    vals = []
     for s, (mat, ln) in enumerate(streams):
         L = mat.shape[-1]
         ks = np.arange(L, dtype=np.int32)
         pos = base + elem_off[..., None] + intra[..., s : s + 1] + ks
-        k = (pos.astype(jnp.uint32) << 8) | mat.astype(jnp.uint32)
+        if packed:
+            k = (pos.astype(jnp.uint32) << 8) | mat.astype(jnp.uint32)
+        else:
+            k = pos.astype(jnp.uint32)
+            vals.append(mat.reshape(c, -1))
         k = jnp.where(ks < ln[..., None], k, np.uint32(0xFFFFFFFF))
         keys.append(k.reshape(c, -1))
     key = jnp.concatenate(keys, axis=-1)
-    stream = (jax.lax.sort(key, dimension=1, is_stable=False) & np.uint32(0xFF)).astype(jnp.uint8)
+    if packed:
+        stream = (jax.lax.sort(key, dimension=1, is_stable=False) & np.uint32(0xFF)).astype(jnp.uint8)
+    else:
+        _, stream = jax.lax.sort(
+            (key, jnp.concatenate(vals, axis=-1)), dimension=1, num_keys=1,
+            is_stable=False,
+        )
     # sorted lane j holds the byte for position base+j: shift right by base
     # (static) and pad/trim to the section buffer width
     stream = jnp.concatenate([jnp.zeros((c, base), jnp.uint8), stream], axis=-1)

@@ -743,7 +743,25 @@ class DeviceStage1Decoder:
         total_terms = csum_term[:, -1]
         truncated = total_terms < K_valid
         overflow = jnp.any(needed & (tok_len > max_len), axis=-1)
+        # the NaN-marker byte 0x00 is only legal in lossy-FLOAT lanes; the
+        # host/reference decoder raises for integer lanes
+        # (ref/varint.py decode_varint_scalar 'unexpected NaN marker')
+        int_lanes = []
+        t = 0
+        for unit in self.plan.units:
+            lanes = unit.num_lanes if unit.kind == UnitKind.FLOATN_LOSSY else 1
+            if unit.kind == UnitKind.INT_DELTA:
+                int_lanes.extend(range(t, t + lanes))
+            t += lanes
         bad = truncated | overflow
+        if int_lanes:
+            pts_valid = (
+                jnp.arange(N, dtype=np.int32)[None, :] < n_valid[:, None]
+            )  # (C, N)
+            illegal = jnp.zeros((Cn,), bool)
+            for lane in int_lanes:
+                illegal = illegal | jnp.any(nan[..., lane] & pts_valid, axis=-1)
+            bad = bad | illegal
         consumed = jnp.where(n_valid > 0, consumed, 0).astype(jnp.int32)
         return out, jnp.where(bad, np.int32(2**31 - 1), consumed)
 
@@ -827,7 +845,10 @@ class DeviceStage1Decoder:
                         v, nan_l = _assemble_varint64(payloads, batch, cur, tok_len, B)
                         out = _dequant_store_float_lossy(unit, v, nan_l, out)
                     else:  # INT_DELTA
-                        v, _ = _assemble_varint64(payloads, batch, cur, tok_len, B)
+                        v, nan_l = _assemble_varint64(payloads, batch, cur, tok_len, B)
+                        # NaN marker is illegal in integer lanes (the host
+                        # decoder raises): flag the chunk instead of storing 0
+                        overflow = overflow | jnp.any(valid & nan_l, axis=-1)
                         out = _undelta_store_int(unit, v, out)
                     cur = tok_end + 1
             else:  # COPY / FLOAT_XOR: static width

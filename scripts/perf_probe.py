@@ -109,7 +109,7 @@ def main():
         v = (((st + jnp.arange(C, dtype=jnp.int32) * MULT) >> 7) & 0x7F).astype(jnp.uint8)
         return p.at[:, 0].set(v)
 
-    stamp("correctness ok; timing encode chain...")
+    stamp("timing encode chain...")
     rr = jax.block_until_ready(mix_r(rows, p, jnp.int32(0)))
     t0 = time.perf_counter()
     for i in range(n_it):

@@ -91,6 +91,32 @@ def test_custom_chunk_points_round_trip():
     assert err <= 0.001 * 1.0001
 
 
+def test_nan_marker_in_int_lane_rejected_on_device():
+    """0x00 tokens are only legal in lossy-float lanes; the host decoder
+    raises for integer lanes and the device must flag the chunk too."""
+    import struct
+
+    fields = (
+        PointField("x", 0, FieldType.FLOAT32, 0.001),
+        PointField("y", 4, FieldType.FLOAT32, 0.001),
+        PointField("z", 8, FieldType.FLOAT32, 0.001),
+        PointField("seq", 12, FieldType.UINT32, None),
+    )
+    info = _info(fields, 2, 16, CompressionOption.NONE, version=4)
+    rows = np.zeros((2, 16), np.uint8)
+    data = PointcloudEncoder(info, backend="host").encode(rows, write_header=False)
+    payload = bytearray(data[4:])
+    # point layout: x y z seq tokens; zero values -> each token is 1 byte.
+    # corrupt point 0's seq token (4th byte) into the NaN marker
+    assert payload[3] != 0
+    payload[3] = 0
+    bad = struct.pack("<I", len(payload)) + bytes(payload)
+    with pytest.raises(ValueError):
+        PointcloudDecoder(backend="host").decode(info, bad)
+    with pytest.raises(ValueError):
+        PointcloudDecoder(backend="device").decode(info, bad)
+
+
 def test_int64_min_delta_host_device_identical():
     """+inf quantizes to an extreme int64; host and device must emit the same
     wire bytes (the old device path patched the wrap to a 10-byte varint)."""
