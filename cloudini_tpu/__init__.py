@@ -7,6 +7,34 @@ engineered for TPU hardware — columnar chunk-parallel kernels, SPMD scaling
 over device meshes, and a host runtime for streams/bags.
 """
 
+import os as _os
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: per-schema codec programs compile in
+    12-60 s (remote compile), so streaming tools would pay that per process.
+    Measured: a 15.7 s compile replays from cache in 0.6 s. Opt out with
+    CLOUDINI_TPU_NO_COMPILE_CACHE=1; an explicit jax cache dir wins."""
+    if _os.environ.get("CLOUDINI_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir:
+            return
+        cache = _os.environ.get(
+            "CLOUDINI_TPU_COMPILE_CACHE",
+            _os.path.join(_os.path.expanduser("~"), ".cache", "cloudini_tpu", "jax"),
+        )
+        _os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # cache is an optimization; never block import
+
+
+_enable_compile_cache()
+
 from .core.header import decode_header, encode_header, encoding_info_from_yaml, encoding_info_to_yaml
 from .core.plan import build_plan
 from .core.types import (

@@ -254,22 +254,32 @@ def _interleave_scatter(token_streams, n_points: int, max_bytes: int):
     # the byte value rides in the key's low 8 bits (positions < 2^24, so
     # key = pos<<8 | byte still fits u32 and sorts by position) — a single
     # one-word sort instead of key+payload; two-word fallback for plans whose
-    # worst-case chunk exceeds 16 MiB (never for 32Ki-point chunks)
+    # worst-case chunk exceeds 16 MiB (never for 32Ki-point chunks).
+    # Streams of equal token width build their keys in ONE stacked expression
+    # (fewer HLO thunks: each op dispatch costs ~0.2-0.5 ms over the tunnel).
     packed = max_bytes < (1 << 24)
+    by_width: dict = {}
+    for s, (mat, ln) in enumerate(token_streams):
+        by_width.setdefault(mat.shape[-1], []).append(s)
     keys = []
     vals = []
-    for s, (mat, ln) in enumerate(token_streams):
-        L = mat.shape[-1]
+    for L, idxs in by_width.items():
         ks = np.arange(L, dtype=np.int32)
-        pos = point_off[..., None] + intra[..., s : s + 1] + ks  # (C, N, L)
+        mat_g = jnp.stack([token_streams[s][0] for s in idxs], axis=-2)  # (C,N,G,L)
+        ln_g = jnp.stack([token_streams[s][1] for s in idxs], axis=-1)  # (C,N,G)
+        pos = (
+            point_off[..., None, None]
+            + intra[..., np.asarray(idxs, np.int32), None]
+            + ks
+        )  # (C, N, G, L)
         if packed:
-            k = (pos.astype(jnp.uint32) << 8) | mat.astype(jnp.uint32)
+            k = (pos.astype(jnp.uint32) << 8) | mat_g.astype(jnp.uint32)
         else:
             k = pos.astype(jnp.uint32)
-            vals.append(mat.reshape(c, -1))
-        k = jnp.where(ks < ln[..., None], k, np.uint32(0xFFFFFFFF))
+            vals.append(mat_g.reshape(c, -1))
+        k = jnp.where(ks < ln_g[..., None], k, np.uint32(0xFFFFFFFF))
         keys.append(k.reshape(c, -1))
-    key = jnp.concatenate(keys, axis=-1)
+    key = jnp.concatenate(keys, axis=-1) if len(keys) > 1 else keys[0]
     if packed:
         stream = (jax.lax.sort(key, dimension=1, is_stable=False) & np.uint32(0xFF)).astype(jnp.uint8)
     else:
