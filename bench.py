@@ -29,8 +29,8 @@ REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 CHUNK = 32 * 1024
-N_CHUNKS = 16
-ITERS = 10
+N_CHUNKS = 32
+ITERS = 8
 # measured on this machine (1-core reference C++, lidar.pcd XYZI, stage-1 only):
 # encode 2.866 ms + decode 3.334 ms for 1 846 160 B  ->  0.2977 GB/s round trip
 FALLBACK_BASELINE_GBPS = 0.2977
