@@ -58,16 +58,18 @@ def _uvarint_tokens(v: u64.U64, valid: jnp.ndarray):
     """Unsigned varint tokens (no zigzag/bias) for run lengths
     (v5_codec.cpp:160-174)."""
     lengths = jnp.where(valid, u64.varint_lengths(v), 0)
-    groups = jnp.stack([u64.varint_group(v, k) for k in range(10)], axis=-1)
-    cont = np.arange(10, dtype=np.int32) < (lengths[..., None] - 1)
-    mat = (groups | jnp.where(cont, np.uint32(0x80), np.uint32(0))).astype(jnp.uint8)
-    return mat, lengths
+    lanes = [
+        u64.varint_group(v, k).astype(jnp.uint32)
+        | jnp.where(k < lengths - 1, np.uint32(0x80), np.uint32(0))
+        for k in range(10)
+    ]
+    return lanes, lengths
 
 
 def _raw_tokens(v: u64.U64, width: int, valid: jnp.ndarray):
-    mat = u64.to_bytes(v, width)
+    lanes = [u64.byte_lane(v, k) for k in range(width)]
     lengths = jnp.where(valid, width, 0).astype(jnp.int32)
-    return mat, lengths
+    return lanes, lengths
 
 
 def _compact_streams(streams, base: int, max_bytes: int):
@@ -78,27 +80,30 @@ def _compact_streams(streams, base: int, max_bytes: int):
     offset with the byte value packed in the key's low 8 bits; invalid lanes
     key to 2^32-1 and fall off the tail (see
     device_codec._interleave_scatter for the movement-cost rationale)."""
-    lengths = jnp.stack([ln for _, ln in streams], axis=-1)
-    elem_sizes = lengths.sum(axis=-1)
+    # streams hold per-lane 2D (C, N) byte arrays (see device_codec's
+    # _zigzag32_tokens for why 3D (C, N, L) tensors are banned on TPU)
+    elem_sizes = streams[0][1]
+    for _, ln in streams[1:]:
+        elem_sizes = elem_sizes + ln
     elem_off = jnp.cumsum(elem_sizes, axis=-1) - elem_sizes
-    intra = jnp.cumsum(lengths, axis=-1) - lengths
-    c = streams[0][0].shape[0]
+    c = elem_sizes.shape[0]
     # byte-in-key packing needs positions < 2^24 (same guard as
     # device_codec._interleave_scatter); two-word fallback otherwise
     packed = max_bytes < (1 << 24)
     keys = []
     vals = []
-    for s, (mat, ln) in enumerate(streams):
-        L = mat.shape[-1]
-        ks = np.arange(L, dtype=np.int32)
-        pos = base + elem_off[..., None] + intra[..., s : s + 1] + ks
-        if packed:
-            k = (pos.astype(jnp.uint32) << 8) | mat.astype(jnp.uint32)
-        else:
-            k = pos.astype(jnp.uint32)
-            vals.append(mat.reshape(c, -1))
-        k = jnp.where(ks < ln[..., None], k, np.uint32(0xFFFFFFFF))
-        keys.append(k.reshape(c, -1))
+    intra = None
+    for lanes, ln in streams:
+        tok_start = base + elem_off if intra is None else base + elem_off + intra
+        intra = ln if intra is None else intra + ln
+        for k, lane in enumerate(lanes):
+            pos = tok_start + k
+            if packed:
+                key_l = (pos.astype(jnp.uint32) << 8) | lane.astype(jnp.uint32)
+            else:
+                key_l = pos.astype(jnp.uint32)
+                vals.append(lane.astype(jnp.uint8))
+            keys.append(jnp.where(k < ln, key_l, np.uint32(0xFFFFFFFF)))
     key = jnp.concatenate(keys, axis=-1)
     if packed:
         stream = (jax.lax.sort(key, dimension=1, is_stable=False) & np.uint32(0xFF)).astype(jnp.uint8)

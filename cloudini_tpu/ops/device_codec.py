@@ -77,8 +77,14 @@ def decoder_supports_plan(plan: CodecPlan) -> bool:
 
 
 def _zigzag32_tokens(delta_i32: jnp.ndarray, nan: jnp.ndarray | None, valid: jnp.ndarray):
-    """int32 deltas -> (bytes (..., 5), lengths). Pure 32-bit lanes; the single
-    wrap case (delta == INT32_MIN -> biased 2**32) is patched explicitly."""
+    """int32 deltas -> (per-lane byte list [5 x (C, N) u32], lengths). Pure
+    32-bit lanes; the single wrap case (delta == INT32_MIN -> biased 2**32) is
+    patched explicitly.
+
+    Token bytes are a LIST of 2D (C, N) lanes, never a (C, N, 5) tensor: a
+    tiny trailing dim tiles to (8, 128) on TPU and every downstream reshape
+    materializes ~25x-padded copies (measured ~7 ms/iter of pure layout
+    copies at 16 chunks)."""
     d = delta_i32
     u = (d.astype(jnp.uint32) << 1) ^ (d >> 31).astype(jnp.uint32)
     ovf = u == np.uint32(0xFFFFFFFF)
@@ -91,25 +97,28 @@ def _zigzag32_tokens(delta_i32: jnp.ndarray, nan: jnp.ndarray | None, valid: jnp
         lengths = jnp.where(nan, 1, lengths)
         ovf = ovf & ~nan
     lengths = jnp.where(valid, lengths, 0)
-    ks = np.arange(5, dtype=np.uint32)
-    groups = (b[..., None] >> (np.uint32(7) * ks)) & np.uint32(0x7F)
-    groups = jnp.where(ovf[..., None] & (ks == 4), np.uint32(0x10), groups)
-    cont = np.arange(5, dtype=np.int32) < (lengths[..., None] - 1)
-    bytes_mat = (groups | jnp.where(cont, np.uint32(0x80), np.uint32(0))).astype(jnp.uint8)
-    return bytes_mat, lengths
+    lanes = []
+    for k in range(5):
+        g = (b >> np.uint32(7 * k)) & np.uint32(0x7F)
+        if k == 4:
+            g = jnp.where(ovf, np.uint32(0x10), g)
+        lanes.append(g | jnp.where(k < lengths - 1, np.uint32(0x80), np.uint32(0)))
+    return lanes, lengths
 
 
 def _zigzag64_tokens(delta: u64.U64, nan: jnp.ndarray | None, valid: jnp.ndarray):
-    """64-bit deltas (u32 pair) -> (bytes (..., 10), lengths)."""
+    """64-bit deltas (u32 pair) -> (per-lane byte list [10 x (C, N) u32],
+    lengths). See _zigzag32_tokens for the 2D-lanes rationale."""
     biased = u64.zigzag_biased(delta)
     if nan is not None:
         biased = u64.select(nan, u64.const(0, nan.shape), biased)
     lengths = u64.varint_lengths(biased)
     lengths = jnp.where(valid, lengths, 0)
-    groups = jnp.stack([u64.varint_group(biased, k) for k in range(10)], axis=-1)
-    cont = np.arange(10, dtype=np.int32) < (lengths[..., None] - 1)
-    bytes_mat = (groups | jnp.where(cont, np.uint32(0x80), np.uint32(0))).astype(jnp.uint8)
-    return bytes_mat, lengths
+    lanes = []
+    for k in range(10):
+        g = u64.varint_group(biased, k).astype(jnp.uint32)
+        lanes.append(g | jnp.where(k < lengths - 1, np.uint32(0x80), np.uint32(0)))
+    return lanes, lengths
 
 
 def _shift_prev_i32(q: jnp.ndarray, nan: jnp.ndarray | None) -> jnp.ndarray:
@@ -193,19 +202,19 @@ def _encode_unit_tokens(unit: CodecUnit, rows: jnp.ndarray, valid: jnp.ndarray):
         if width == 8:
             v = u64.from_bytes(rows[..., unit.offsets[0] : unit.offsets[0] + 8], 8, False)
             residual = (v[0] ^ u64.roll_prev(v)[0], v[1] ^ u64.roll_prev(v)[1])
-            mat = u64.to_bytes(residual, 8)
+            lanes = [u64.byte_lane(residual, k) for k in range(8)]
         else:
             v = C.extract_u32(rows, unit.offsets[0])
             residual = v ^ jnp.roll(v, 1, axis=-1).at[..., 0].set(0)
-            mat = C.split_bytes(residual, 4)
+            lanes = [(residual >> np.uint32(8 * k)) & np.uint32(0xFF) for k in range(4)]
         lengths = jnp.where(valid, width, 0).astype(jnp.int32)
-        out.append((mat, lengths))
+        out.append((lanes, lengths))
         return out
     if unit.kind == UnitKind.COPY:
         width = size_of(unit.types[0])
-        mat = rows[..., unit.offsets[0] : unit.offsets[0] + width]
+        lanes = [rows[..., unit.offsets[0] + k].astype(jnp.uint32) for k in range(width)]
         lengths = jnp.where(valid, width, 0).astype(jnp.int32)
-        out.append((mat, lengths))
+        out.append((lanes, lengths))
         return out
     if unit.kind == UnitKind.GORILLA:
         from . import gorilla
@@ -236,7 +245,7 @@ def _fast_cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _interleave_scatter(token_streams, n_points: int, max_bytes: int):
-    """Columnar token matrices -> interleaved per-point layout.
+    """Columnar token lanes -> interleaved per-point layout.
 
     Data movement is ONE stable sort by destination byte position: valid
     token-byte lanes key on their output offset (each offset occurs exactly
@@ -244,58 +253,91 @@ def _interleave_scatter(token_streams, n_points: int, max_bytes: int):
     and fall off the tail. On this TPU, sort moves bytes ~5x cheaper than
     scatter and ~10x cheaper than gather (see .claude/skills/verify/SKILL.md),
     and it carries every stream in a single pass.
+
+    Every intermediate is a 2D (C, N) array — token bytes arrive as per-lane
+    lists, never (C, N, L) tensors (tiny trailing dims tile to (8, 128) and
+    cost ~7 ms/iter of layout copies; see _zigzag32_tokens). The only
+    materialized buffers are the concatenated sort input and the sort output.
     """
-    lengths = jnp.stack([ln for _, ln in token_streams], axis=-1)  # (C, N, S)
-    point_sizes = lengths.sum(axis=-1)  # (C, N)
+    # normalize: each stream is (lanes list [(C, N) u32/u8], lengths (C, N));
+    # ndarray byte matrices (e.g. Gorilla's (C, N, L)) are unstacked here
+    streams = []
+    for mat, ln in token_streams:
+        if isinstance(mat, (list, tuple)):
+            streams.append(([m.astype(jnp.uint32) for m in mat], ln))
+        else:
+            streams.append(
+                ([mat[..., k].astype(jnp.uint32) for k in range(mat.shape[-1])], ln)
+            )
+    point_sizes = streams[0][1]
+    for _, ln in streams[1:]:
+        point_sizes = point_sizes + ln
     point_off = _fast_cumsum_i32(point_sizes) - point_sizes  # exclusive
-    intra = jnp.cumsum(lengths, axis=-1) - lengths  # (C, N, S) exclusive
     total = point_sizes.sum(axis=-1)  # (C,)
-    c = token_streams[0][0].shape[0]
+    c = point_sizes.shape[0]
     # the byte value rides in the key's low 8 bits (positions < 2^24, so
     # key = pos<<8 | byte still fits u32 and sorts by position) — a single
     # one-word sort instead of key+payload; two-word fallback for plans whose
     # worst-case chunk exceeds 16 MiB (never for 32Ki-point chunks).
-    # Streams of equal token width build their keys in ONE stacked expression
-    # (fewer HLO thunks: each op dispatch costs ~0.2-0.5 ms over the tunnel).
     packed = max_bytes < (1 << 24)
-    by_width: dict = {}
-    for s, (mat, ln) in enumerate(token_streams):
-        by_width.setdefault(mat.shape[-1], []).append(s)
-    keys = []
-    vals = []
-    for L, idxs in by_width.items():
-        ks = np.arange(L, dtype=np.int32)
-        mat_g = jnp.stack([token_streams[s][0] for s in idxs], axis=-2)  # (C,N,G,L)
-        ln_g = jnp.stack([token_streams[s][1] for s in idxs], axis=-1)  # (C,N,G)
-        pos = (
-            point_off[..., None, None]
-            + intra[..., np.asarray(idxs, np.int32), None]
-            + ks
-        )  # (C, N, G, L)
+
+    def pack_with_cap(cap: int):
+        """Sort with every stream trimmed to its first ``cap`` lanes. Legal
+        whenever no token in the batch is longer than ``cap``; the sort is the
+        whole cost of encode, and real clouds never emit the worst-case 5- or
+        10-byte varints (a 4-byte token means |quantized delta| >= 2^20), so
+        the common tiers sort 40-70% fewer slots."""
+        keys = []
+        vals = []
+        intra = None  # exclusive running sum of stream lengths, (C, N)
+        for lanes, ln in streams:
+            tok_start = point_off if intra is None else point_off + intra
+            intra = ln if intra is None else intra + ln
+            for k, byte_lane in enumerate(lanes[:cap]):
+                pos = tok_start + k
+                if packed:
+                    key_l = (pos.astype(jnp.uint32) << 8) | byte_lane
+                else:
+                    key_l = pos.astype(jnp.uint32)
+                    vals.append(byte_lane)
+                keys.append(jnp.where(k < ln, key_l, np.uint32(0xFFFFFFFF)))
+        key = jnp.concatenate(keys, axis=-1) if len(keys) > 1 else keys[0]
         if packed:
-            k = (pos.astype(jnp.uint32) << 8) | mat_g.astype(jnp.uint32)
+            stream = (jax.lax.sort(key, dimension=1, is_stable=False) & np.uint32(0xFF)).astype(jnp.uint8)
         else:
-            k = pos.astype(jnp.uint32)
-            vals.append(mat_g.reshape(c, -1))
-        k = jnp.where(ks < ln_g[..., None], k, np.uint32(0xFFFFFFFF))
-        keys.append(k.reshape(c, -1))
-    key = jnp.concatenate(keys, axis=-1) if len(keys) > 1 else keys[0]
-    if packed:
-        stream = (jax.lax.sort(key, dimension=1, is_stable=False) & np.uint32(0xFF)).astype(jnp.uint8)
-    else:
-        _, stream = jax.lax.sort(
-            (key, jnp.concatenate(vals, axis=-1)), dimension=1, num_keys=1,
-            is_stable=False,
+            val = jnp.concatenate(vals, axis=-1) if len(vals) > 1 else vals[0]
+            _, stream = jax.lax.sort(
+                (key, val.astype(jnp.uint8)), dimension=1, num_keys=1,
+                is_stable=False,
+            )
+        slots = key.shape[1]
+        if slots < max_bytes:
+            stream = jnp.concatenate(
+                [stream, jnp.zeros((c, max_bytes - slots), jnp.uint8)], axis=-1
+            )
+        out = stream[:, :max_bytes]
+        # lanes past each chunk's total hold garbage from invalid keys: zero
+        out = jnp.where(
+            jnp.arange(max_bytes, dtype=np.int32)[None, :] < total[:, None], out, 0
         )
-    slots = key.shape[1]
-    if slots < max_bytes:
-        stream = jnp.concatenate(
-            [stream, jnp.zeros((c, max_bytes - slots), jnp.uint8)], axis=-1
+        return out, total.astype(jnp.int32)
+
+    full = max(len(lanes) for lanes, _ in streams)
+    tiers = [t for t in (3, 5) if t < full] + [full]
+    if len(tiers) == 1:
+        return pack_with_cap(full)
+    # longest token in the batch across ALL streams (fixed-width streams have
+    # constant lengths, so they just raise the tier to their width)
+    cap_rt = jnp.max(jnp.stack([ln.max() for _, ln in streams]))
+
+    def build(i):
+        if i == len(tiers) - 1:
+            return lambda: pack_with_cap(tiers[i])
+        return lambda: jax.lax.cond(
+            cap_rt <= tiers[i], lambda: pack_with_cap(tiers[i]), build(i + 1)
         )
-    out = stream[:, :max_bytes]
-    # lanes past each chunk's total hold garbage from invalid keys: zero them
-    out = jnp.where(jnp.arange(max_bytes, dtype=np.int32)[None, :] < total[:, None], out, 0)
-    return out, total.astype(jnp.int32)
+
+    return build(0)()
 
 
 class DeviceStage1Encoder:

@@ -73,6 +73,14 @@ def to_bytes(v: U64, width: int) -> jnp.ndarray:
     return jnp.stack(parts, axis=-1)
 
 
+def byte_lane(v: U64, k: int) -> jnp.ndarray:
+    """LE byte k of the pair as a same-shape u32 lane (no trailing byte dim)."""
+    lo, hi = v
+    if k < 4:
+        return (lo >> np.uint32(8 * k)) & np.uint32(0xFF)
+    return (hi >> np.uint32(8 * (k - 4))) & np.uint32(0xFF)
+
+
 def add(a: U64, b: U64) -> U64:
     lo = a[0] + b[0]
     carry = (lo < a[0]).astype(_U32)
