@@ -71,8 +71,11 @@ def _compile() -> Optional[pathlib.Path]:
 
 
 def get_lib():
-    """Returns the loaded runtime or None when unavailable (no toolchain)."""
+    """Returns the loaded runtime or None when unavailable (no toolchain, or
+    disabled via CLOUDINI_TPU_NO_NATIVE=1)."""
     global _lib, _disabled
+    if os.environ.get("CLOUDINI_TPU_NO_NATIVE"):
+        return None
     if _lib is not None or _disabled:
         return _lib
     with _lib_lock:

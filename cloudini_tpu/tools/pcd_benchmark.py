@@ -57,20 +57,31 @@ def run(path: str, resolution: float, iters: int, backend: str) -> None:
         except (NotImplementedError, ValueError) as e:
             print(f"{_label(lossy, comp, dev2):34s} skipped ({e})")
             continue
+        # The remote-TPU runtime memoizes executions by (program, argument
+        # contents): re-timing the SAME cloud measures a cache hit, not the
+        # codec. Every timed iteration therefore encodes a content-unique
+        # variant (low-order byte of the last field perturbed per iteration;
+        # same schema, same shapes, same compiled program).
+        variants = []
+        last_off = max(f.offset for f in fields)
+        for i in range(iters):
+            v = rows.copy()
+            v[:, last_off] ^= np.uint8((i * 37 + 1) & 0x7F)
+            variants.append(v)
         stream = enc.encode(rows)  # warmup/compile
         t0 = time.perf_counter()
-        for _ in range(iters):
-            stream = enc.encode(rows)
+        for v in variants:
+            enc.encode(v)
         enc_ms = (time.perf_counter() - t0) / iters * 1e3
 
         from ..core.header import decode_header
 
         dinfo, hlen = decode_header(stream)
-        payload = stream[hlen:]
-        decoder.decode(dinfo, payload)
+        payloads = [enc.encode(v)[hlen:] for v in variants]  # untimed
+        decoder.decode(dinfo, stream[hlen:])  # warmup/compile
         t0 = time.perf_counter()
-        for _ in range(iters):
-            decoder.decode(dinfo, payload)
+        for p in payloads:
+            decoder.decode(dinfo, p)
         dec_ms = (time.perf_counter() - t0) / iters * 1e3
         ratio = 100.0 * len(stream) / rows.nbytes
         print(f"{_label(lossy, comp, dev2):34s} {enc_ms:8.2f} {dec_ms:8.2f} {ratio:8.2f}")

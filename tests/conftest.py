@@ -43,6 +43,18 @@ def _ensure_oracle() -> bool:
     return ORACLE_BIN.exists()
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """jaxlib's CPU client segfaults deterministically once a few hundred
+    compiled executables accumulate in one process (reproduced at
+    test_golden.py::test_v5_mode_palette with or without the native runtime,
+    on an otherwise idle machine); dropping the jit caches between modules
+    keeps the live-executable count bounded. Costs a few recompiles per
+    module on the CPU backend."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def oracle():
     """Golden-bytes generator driving the reference C++ library."""
