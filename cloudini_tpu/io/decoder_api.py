@@ -15,7 +15,7 @@ import numpy as np
 
 from ..codec.pipeline import PointcloudDecoder
 from ..core.header import decode_header
-from ..core.types import EncodingInfo
+from ..core.types import EncodingInfo, FieldType
 from .ros_msgs import get_deserialized_point_cloud_message
 
 
@@ -51,7 +51,84 @@ class CloudiniDecoder:
         pc = get_deserialized_point_cloud_message(dds_msg)
         return self.decode_data(pc.data)
 
+    def convert_to_point_cloud2_msg(self, dds_msg: bytes) -> bytes:
+        """Raw DDS CompressedPointCloud2 -> serialized PointCloud2 DDS message.
+        Equivalent of cldn_ConvertCompressedMsgToPointCloud2Msg
+        (wasm_functions.cpp:104-117)."""
+        from .ros_msgs import convert_compressed_to_point_cloud2
+
+        pc = get_deserialized_point_cloud_message(dds_msg)
+        return convert_compressed_to_point_cloud2(pc, self._decoder)
+
     @staticmethod
     def _structured(info: EncodingInfo, rows: np.ndarray) -> np.ndarray:
         dtype = info.point_dtype()
         return rows.reshape(-1).view(np.uint8).reshape(rows.shape[0], -1).view(dtype).reshape(-1)
+
+
+class CloudiniEncoder:
+    """Encode-side convenience API — the framework's equivalents of the
+    reference's WASM encode exports (wasm_functions.cpp:56-248). Returns
+    cloudini streams as bytes instead of writing through caller pointers."""
+
+    def __init__(self, backend: str = "auto"):
+        self._backend = backend
+        self._cache: dict = {}
+
+    def _encoder(self, info: EncodingInfo):
+        from ..codec.pipeline import PointcloudEncoder
+
+        enc = self._cache.get(info)
+        if enc is None:
+            enc = self._cache[info] = PointcloudEncoder(info, backend=self._backend)
+        return enc
+
+    @staticmethod
+    def _info_from_dds(dds_msg: bytes, resolution: float):
+        """toEncodingInfo + FLOAT32 resolution override, the shared preamble
+        of cldn_ComputeCompressedSize / cldn_EncodePointcloudMessage
+        (wasm_functions.cpp:60-70, 173-184)."""
+        from dataclasses import replace
+
+        from .ros_msgs import to_encoding_info
+
+        pc = get_deserialized_point_cloud_message(dds_msg)
+        info = to_encoding_info(pc)
+        fields = tuple(
+            replace(f, resolution=resolution) if f.type == FieldType.FLOAT32 else f
+            for f in info.fields
+        )
+        return replace(info, fields=fields), pc
+
+    def header_as_yaml_from_dds(self, dds_msg: bytes) -> str:
+        """Equivalent of cldn_GetHeaderAsYAMLFromDDS (wasm_functions.cpp:45-52)."""
+        from ..core.header import encoding_info_to_yaml
+
+        pc = get_deserialized_point_cloud_message(dds_msg)
+        info, _ = decode_header(pc.data)
+        return encoding_info_to_yaml(info)
+
+    def compute_compressed_size(self, dds_msg: bytes, resolution: float = 0.001) -> int:
+        """Encode a raw DDS PointCloud2 and report the compressed size
+        (the web app's per-topic estimate; wasm_functions.cpp:56-90)."""
+        return len(self.encode_pointcloud_message(dds_msg, resolution))
+
+    def encode_pointcloud_message(self, dds_msg: bytes, resolution: float = 0.001) -> bytes:
+        """Raw DDS PointCloud2 -> cloudini stream (header + chunks).
+        Equivalent of cldn_EncodePointcloudMessage (wasm_functions.cpp:169-213)."""
+        info, pc = self._info_from_dds(dds_msg, resolution)
+        n_points = len(pc.data) // info.point_step if info.point_step else 0
+        return self._encoder(info).encode(pc.data[: n_points * info.point_step])
+
+    def encode_pointcloud_data(self, header_as_yaml: str, pc_data: bytes) -> bytes:
+        """(YAML header, raw interleaved rows) -> cloudini stream.
+        Equivalent of cldn_EncodePointcloudData (wasm_functions.cpp:217-248)."""
+        from ..core.header import encoding_info_from_yaml
+
+        info = encoding_info_from_yaml(header_as_yaml)
+        expected = info.width * info.height * info.point_step
+        if len(pc_data) != expected:
+            raise ValueError(
+                f"data size mismatch: expected {expected}, got {len(pc_data)}"
+            )
+        return self._encoder(info).encode(pc_data)

@@ -182,6 +182,10 @@ def main(argv=None) -> int:
                    help="sleep before the run so a profiler can attach "
                         "(mcap_codec_benchmark.cpp:561-566)")
     p.add_argument("--backend", choices=["auto", "host", "device"], default="auto")
+    p.add_argument("--trace", metavar="DIR", default=None,
+                   help="dump a jax.profiler trace of the run to DIR (the "
+                        "framework's per-kernel attribution; the reference "
+                        "only offers --profile-sleep-ms for perf attach)")
     args = p.parse_args(argv)
 
     if args.profile_sleep_ms:
@@ -192,9 +196,20 @@ def main(argv=None) -> int:
     elif args.lz4 or args.device_stage2:
         comp = CompressionOption.LZ4
     modes = ["V4", "V5", "V4viz", "V5viz"] if args.mode == "all" else [args.mode]
-    stats = run(args.filename, modes, comp, args.resolution, args.hash,
-                args.decode_repeat, args.backend, device_stage2=args.device_stage2,
-                do_explain=args.explain)
+
+    import contextlib
+
+    tracer = contextlib.nullcontext()
+    if args.trace:
+        import jax
+
+        tracer = jax.profiler.trace(args.trace)
+    with tracer:
+        stats = run(args.filename, modes, comp, args.resolution, args.hash,
+                    args.decode_repeat, args.backend, device_stage2=args.device_stage2,
+                    do_explain=args.explain)
+    if args.trace:
+        print(f"profiler trace written to {args.trace}")
     print_table(stats, args.hash)
     return 0
 

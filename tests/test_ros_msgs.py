@@ -112,3 +112,48 @@ def test_profile_removes_fields():
     out = apply_resolution_profile({"junk": 0.0, "x": 0.01}, fields)
     assert [f.name for f in out] == ["x"]
     assert out[0].resolution == np.float32(0.01)
+
+
+def test_wasm_equivalent_api_surface(dds_message_bin):
+    """The 9 reference WASM exports (wasm_functions.cpp:25-248) map onto
+    CloudiniDecoder/CloudiniEncoder; encode -> decode round-trips within the
+    quantization tolerance."""
+    from cloudini_tpu.io.decoder_api import CloudiniDecoder, CloudiniEncoder
+
+    raw = open(dds_message_bin, "rb").read()
+    enc = CloudiniEncoder(backend="host")
+    dec = CloudiniDecoder(backend="host")
+
+    stream = enc.encode_pointcloud_message(raw, resolution=0.001)
+    assert enc.compute_compressed_size(raw, 0.001) == len(stream)
+    assert "x" in dec.header_as_yaml(stream)
+
+    info, cloud = dec.decode_data(stream)
+    pc = get_deserialized_point_cloud_message(raw)
+    src = np.frombuffer(pc.data, np.uint8).reshape(-1, pc.point_step)
+    for name, off in (("x", 0), ("y", 4), ("z", 8)):
+        want = src[:, off : off + 4].copy().view(np.float32).ravel()
+        np.testing.assert_allclose(cloud[name], want, atol=0.001 * 0.50001)
+    # lossless lanes survive exactly
+    assert np.array_equal(cloud["ring"], src[:, 16:18].copy().view(np.uint16).ravel())
+
+    # raw-data + YAML entry point produces the identical stream
+    yaml = dec.header_as_yaml(stream)
+    n = info.width * info.height
+    stream2 = enc.encode_pointcloud_data(yaml, src[:n].tobytes())
+    assert stream2 == stream
+
+    # compressed DDS message -> PointCloud2 DDS message
+    from cloudini_tpu.io.ros_msgs import RosPointCloud2, serialize_point_cloud2  # noqa: F401
+
+    comp_msg = convert_point_cloud2_to_compressed(
+        _with_profile(pc), to_encoding_info(_with_profile(pc))
+    )
+    pc2_msg = dec.convert_to_point_cloud2_msg(comp_msg)
+    out = get_deserialized_point_cloud_message(pc2_msg)
+    assert out.width * out.height == pc.width * pc.height
+
+
+def _with_profile(pc):
+    pc.fields = apply_resolution_profile({}, pc.fields, default_resolution=0.001)
+    return pc
