@@ -162,7 +162,11 @@ def main():
     def _mix_payload(p, o, k):
         st = (o.astype(jnp.int32) * _MULT).sum() + k * np.int32(40503)
         v = (((st + jnp.arange(N_CHUNKS, dtype=jnp.int32) * _MULT) >> 7) & 0x7F).astype(jnp.uint8)
-        return p.at[:, 0].set(v)
+        # perturb only the PADDING column (max_bytes exceeds every real
+        # size): contents change every iteration — the memoizer must
+        # re-execute — but the streams stay VALID, so the timed decode is
+        # the hot no-NaN path, not the corrupt-stream reset path
+        return p.at[:, -1].set(v)
 
     # two trials with disjoint content streams (k offsets), best-of —
     # the shared host/tunnel adds large run-to-run noise

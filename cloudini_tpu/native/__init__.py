@@ -127,6 +127,24 @@ def _check(rc: int) -> int:
     return rc
 
 
+def _check_offsets(plan: CodecPlan, point_step: int) -> None:
+    """The C runtime stores/loads at plan offsets without per-write bounds
+    checks; reject any (offset + width) past the row stride up front (a
+    malformed header could otherwise corrupt the heap)."""
+    from ..core.types import DECODE_BUT_SKIP_STORE, size_of
+
+    for u in plan.units:
+        for lane in range(u.num_lanes):
+            off = u.offsets[lane]
+            if off == DECODE_BUT_SKIP_STORE:
+                continue
+            width = 4 if u.kind == UnitKind.FLOATN_LOSSY else size_of(u.types[0])
+            if off + width > point_step:
+                raise ValueError(
+                    f"field offset {off}+{width} exceeds point_step {point_step}"
+                )
+
+
 def decode_chunk(plan: CodecPlan, data: np.ndarray, out_rows: np.ndarray, n_points: int) -> int:
     """Native sequential decode of the interleaved regular stream. Returns
     bytes consumed."""
@@ -134,6 +152,7 @@ def decode_chunk(plan: CodecPlan, data: np.ndarray, out_rows: np.ndarray, n_poin
     assert lib is not None
     if len(plan.units) > 64:
         raise ValueError("too many units for the native runtime")
+    _check_offsets(plan, out_rows.shape[1])
     data = np.ascontiguousarray(data)
     assert out_rows.flags["C_CONTIGUOUS"]
     rc = lib.cldn_decode_chunk(
@@ -149,6 +168,7 @@ def encode_chunk(plan: CodecPlan, rows: np.ndarray, max_point_bytes: int) -> np.
     assert lib is not None
     if len(plan.units) > 64:
         raise ValueError("too many units for the native runtime")
+    _check_offsets(plan, rows.shape[1])
     rows = np.ascontiguousarray(rows)
     n = rows.shape[0]
     out = np.empty(n * max_point_bytes + 1024, dtype=np.uint8)

@@ -519,6 +519,59 @@ def _fast_cummax_i32(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
+def _strided_cumsum_i32(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Per-lane inclusive prefix sum over a FLAT lane-interleaved array:
+    element i sums all j <= i with j = i (mod stride). One log-round chain
+    serves every lane at once — no (C, N, T) tensor with a tiny minor dim
+    (see _zigzag32_tokens for why those are banned)."""
+    n = x.shape[-1]
+    idx = jnp.arange(n, dtype=np.int32)
+    k = stride
+    while k < n:
+        x = x + jnp.where(idx >= k, jnp.roll(x, k, axis=-1), 0)
+        k *= 2
+    return x
+
+
+def _strided_cummax_i32(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    n = x.shape[-1]
+    idx = jnp.arange(n, dtype=np.int32)
+    k = stride
+    while k < n:
+        x = jnp.maximum(x, jnp.where(idx >= k, jnp.roll(x, k, axis=-1), np.int32(-(2**31))))
+        k *= 2
+    return x
+
+
+def _undelta_flat_i32(d: jnp.ndarray, nan: jnp.ndarray, stride: int) -> jnp.ndarray:
+    """Inverse predictor for ALL lanes at once on the flat token-order array
+    (point-major, lane-minor): strided segmented cumsum with reset-to-0 at NaN
+    markers. The reset machinery only runs when a marker exists (lax.cond),
+    and is gather-free: the per-lane base (running sum at the most recent
+    marker) propagates through a log-round hold-last-marked scan instead of
+    a cummax + take_along_axis (gathers cost ~10 ns/element here)."""
+    dz = jnp.where(nan, 0, d)
+    total = _strided_cumsum_i32(dz, stride)
+
+    def with_resets(args):
+        total, nan = args
+        n = total.shape[-1]
+        idx = jnp.arange(n, dtype=np.int32)
+        base = jnp.where(nan, total, 0)
+        seen = nan
+        k = stride
+        while k < n:
+            pb = jnp.roll(base, k, axis=-1)
+            ps = jnp.roll(seen, k, axis=-1) & (idx >= k)
+            base = jnp.where(seen, base, pb)
+            seen = seen | ps
+            k *= 2
+        values = total - jnp.where(seen, base, 0)
+        return jnp.where(nan, 0, values)
+
+    return jax.lax.cond(jnp.any(nan), with_resets, lambda a: a[0], (total, nan))
+
+
 def _segmented_undelta_i32(deltas: jnp.ndarray, nan: jnp.ndarray | None) -> jnp.ndarray:
     """Inverse predictor in int32: cumulative sum along points with reset-to-0
     at NaN markers — total-minus-base segmented scan. NaN markers are rare on
@@ -714,29 +767,43 @@ class DeviceStage1Decoder:
             a = jnp.where(in_range & (pos_in_tok < 4), g << sh.astype(jnp.uint32), 0)
             b = jnp.where(in_range & (pos_in_tok == 4), g, 0)
             run_a = jnp.cumsum(a, axis=-1, dtype=jnp.uint32)
-            run_b = jnp.cumsum(b, axis=-1, dtype=jnp.uint32)
-            key = jnp.where(
-                needed,
-                (tok_id.astype(jnp.uint32) << 10)
-                | ((run_b & np.uint32(0x1FF)) << 1)
-                | nan_flag,
-                np.uint32(0xFFFFFFFF),
-            )
-            if B < K:
-                key = jnp.concatenate(
-                    [key, jnp.full((Cn, K - B), np.uint32(0xFFFFFFFF))], axis=-1
+
+            def compact(run_b):
+                """Sort-compact running sums to dense token order; plane b's
+                mod-2^9 running sum rides in the key when present."""
+                key = jnp.where(
+                    needed,
+                    (tok_id.astype(jnp.uint32) << 10)
+                    | ((run_b & np.uint32(0x1FF)) << 1)
+                    | nan_flag,
+                    np.uint32(0xFFFFFFFF),
                 )
-                run_a = jnp.concatenate([run_a, jnp.zeros((Cn, K - B), jnp.uint32)], axis=-1)
-            s_key, s_a = jax.lax.sort((key, run_a), dimension=1, num_keys=1, is_stable=False)
-            s_key, s_a = s_key[:, :K], s_a[:, :K]
-            a_val = s_a - jnp.roll(s_a, 1, axis=-1).at[:, 0].set(0)
-            b_prev = jnp.roll(s_key >> 1, 1, axis=-1).at[:, 0].set(0)
-            b_val = (((s_key >> 1) - b_prev) & np.uint32(0x1FF))
-            # biased = a + b*2^28 (< 2^36) as a u32 pair
-            carry = (a_val >> 28) + b_val
-            b_lo = (a_val & np.uint32(0x0FFFFFFF)) | ((carry & np.uint32(0xF)) << 28)
-            biased = (b_lo, carry >> 4)
-            nan = (s_key & 1) != 0
+                ra = run_a
+                if B < K:
+                    key = jnp.concatenate(
+                        [key, jnp.full((Cn, K - B), np.uint32(0xFFFFFFFF))], axis=-1
+                    )
+                    ra = jnp.concatenate([ra, jnp.zeros((Cn, K - B), jnp.uint32)], axis=-1)
+                s_key, s_a = jax.lax.sort((key, ra), dimension=1, num_keys=1, is_stable=False)
+                s_key, s_a = s_key[:, :K], s_a[:, :K]
+                a_val = s_a - jnp.roll(s_a, 1, axis=-1).at[:, 0].set(0)
+                b_prev = jnp.roll(s_key >> 1, 1, axis=-1).at[:, 0].set(0)
+                b_val = (((s_key >> 1) - b_prev) & np.uint32(0x1FF))
+                # biased = a + b*2^28 (< 2^36) as a u32 pair
+                carry = (a_val >> 28) + b_val
+                b_lo = (a_val & np.uint32(0x0FFFFFFF)) | ((carry & np.uint32(0xF)) << 28)
+                return b_lo, carry >> 4, (s_key & 1) != 0
+
+            # a 5-byte token forces a nonzero plane-b group (biased >= 2^28),
+            # so when plane b is empty — every real cloud: a 4-byte token
+            # already means |quantized delta| >= 2^20 — its running-sum scan
+            # and key bits are skipped entirely (one of the four stream scans)
+            b_lo, b_hi, nan = jax.lax.cond(
+                jnp.any(b != 0),
+                lambda: compact(jnp.cumsum(b, axis=-1, dtype=jnp.uint32)),
+                lambda: compact(jnp.zeros_like(a)),
+            )
+            biased = (b_lo, b_hi)
         else:
             # u64-pair contribution of each byte; groups past 9 are overflow
             sh = jnp.minimum(pos_in_tok, 9) * 7
@@ -772,15 +839,46 @@ class DeviceStage1Decoder:
         uu = u64.sub(biased, u64.select(nan, u64.const(0, nan.shape), u64.const(1, nan.shape)))
         v = u64.unzigzag(uu)
         v = u64.select(nan, u64.const(0, nan.shape), v)
-        svals = ((v[0].reshape(Cn, N, T), v[1].reshape(Cn, N, T)), None)
-        nan = nan.reshape(Cn, N, T)
 
-        out = jnp.zeros((Cn, N, self.point_step), jnp.uint8)
-        t0 = 0
-        for unit in self.plan.units:
-            lanes = unit.num_lanes if unit.kind == UnitKind.FLOATN_LOSSY else 1
-            out = self._store_unit(unit, svals[0], nan, t0, lanes, out)
-            t0 += lanes
+        all_floatn = all(u.kind == UnitKind.FLOATN_LOSSY for u in self.plan.units)
+        if all_floatn:
+            # flat fast path: undelta every lane in ONE strided scan on the
+            # token-order array, dequantize with a tiled resolution vector,
+            # and (for identity layouts like XYZ/XYZI) emit the row bytes as
+            # a single bitcast — no per-lane (C, N) extract/store chains
+            offs = [o for u in self.plan.units for o in u.offsets]
+            ress = np.array(
+                [r for u in self.plan.units for r in u.resolutions], np.float32
+            )
+            d32 = v[0].astype(jnp.int32)  # (C, K) token order
+            q = _undelta_flat_i32(d32, nan, T)
+            f = q.astype(jnp.float32) * jnp.asarray(np.tile(ress, N))[None, :]
+            bits = jax.lax.bitcast_convert_type(f, jnp.uint32)
+            bits = jnp.where(nan, _F32_NAN_BITS, bits)
+            if (
+                offs == [4 * t for t in range(T)]
+                and self.point_step == 4 * T
+            ):
+                out = jax.lax.bitcast_convert_type(bits, jnp.uint8).reshape(
+                    Cn, N, self.point_step
+                )
+            else:
+                out = jnp.zeros((Cn, N, self.point_step), jnp.uint8)
+                for t, off in enumerate(offs):
+                    if off == DECODE_BUT_SKIP_STORE:
+                        continue
+                    out = C.store_bytes(out, off, C.split_bytes(bits[:, t::T], 4))
+            nan = nan.reshape(Cn, N, T)
+        else:
+            svals = ((v[0].reshape(Cn, N, T), v[1].reshape(Cn, N, T)), None)
+            nan = nan.reshape(Cn, N, T)
+
+            out = jnp.zeros((Cn, N, self.point_step), jnp.uint8)
+            t0 = 0
+            for unit in self.plan.units:
+                lanes = unit.num_lanes if unit.kind == UnitKind.FLOATN_LOSSY else 1
+                out = self._store_unit(unit, svals[0], nan, t0, lanes, out)
+                t0 += lanes
         # bytes consumed by the regular stream per chunk = bytes owned by the
         # first n_valid*T tokens; V5 adaptive sections start right after
         # (decoded host-side)

@@ -107,7 +107,7 @@ def main():
     def mix_p(p, big, k):
         st = (big.astype(jnp.int32) * MULT).sum() + k * np.int32(40503)
         v = (((st + jnp.arange(C, dtype=jnp.int32) * MULT) >> 7) & 0x7F).astype(jnp.uint8)
-        return p.at[:, 0].set(v)
+        return p.at[:, -1].set(v)  # padding column: content-unique yet stream-valid
 
     stamp("timing encode chain...")
     rr = jax.block_until_ready(mix_r(rows, p, jnp.int32(0)))

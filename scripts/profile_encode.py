@@ -78,7 +78,11 @@ def main():
     def mix_p(p, big, k):
         st = (big.astype(jnp.int32) * MULT).sum() + k * np.int32(40503)
         v = (((st + jnp.arange(C, dtype=jnp.int32) * MULT) >> 7) & 0x7F).astype(jnp.uint8)
-        return p.at[:, 0].set(v)
+        # perturb only the PADDING column (max_bytes exceeds every real
+        # size): contents change every iteration — the memoizer must
+        # re-execute — but the streams stay VALID, so the timed decode is
+        # the hot no-NaN path, not the corrupt-stream reset path
+        return p.at[:, -1].set(v)
 
     tdir = "/tmp/cldn_trace"
     import shutil
