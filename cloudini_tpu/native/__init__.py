@@ -35,6 +35,7 @@ _ERRORS = {
     -3: "decodeVarint: unexpected NaN marker",
     -4: "output buffer full",
     -5: "unsupported unit",
+    -6: "Gorilla: corrupt window parameters",
 }
 
 

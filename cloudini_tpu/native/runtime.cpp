@@ -26,6 +26,7 @@ constexpr int kErrOverflow = -2;
 constexpr int kErrNanMarker = -3;
 constexpr int kErrOutputFull = -4;
 constexpr int kErrBadUnit = -5;
+constexpr int kErrCorruptGorilla = -6;
 
 // Field decoded (stream consumed) but not stored (basic_types.hpp:71).
 constexpr uint32_t kSkipStore = 0xFFFFFFFFu;
@@ -191,7 +192,12 @@ inline int gorilla_get(GorillaState& st, const uint8_t* p, size_t avail,
   uint64_t x;
   int nbytes;
   if ((b0 & 2) == 0) {
+    // window reuse before any window was established, or a window that no
+    // longer fits the type, is corrupt input (a valid encoder can't emit it);
+    // without this guard the shifts below are UB on negative counts
+    if (st.prev_leading < 0) return kErrCorruptGorilla;
     const int meaningful = st.type_bits - st.prev_leading - st.prev_trailing;
+    if (meaningful < 1 || meaningful > st.type_bits) return kErrCorruptGorilla;
     nbytes = (2 + meaningful + 7) / 8;
     if (avail < static_cast<size_t>(nbytes)) return kErrTruncated;
     unsigned __int128 acc = 0;
@@ -204,6 +210,7 @@ inline int gorilla_get(GorillaState& st, const uint8_t* p, size_t avail,
     const uint32_t head = p[0] | (static_cast<uint32_t>(p[1]) << 8);
     const int stored_lead = (head >> 2) & 0x1F;
     const int meaningful = ((head >> 7) & 0x3F) + 1;
+    if (stored_lead + meaningful > st.type_bits) return kErrCorruptGorilla;
     nbytes = (13 + meaningful + 7) / 8;
     if (avail < static_cast<size_t>(nbytes)) return kErrTruncated;
     unsigned __int128 acc = 0;

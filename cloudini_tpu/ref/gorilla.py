@@ -126,8 +126,12 @@ def decode_column(
             pos += 1
             continue
         if (b0 & 2) == 0:
-            # window reuse: 2 control bits + meaningful bits
+            # window reuse: 2 control bits + meaningful bits. A reuse before
+            # any window, or a stale window that no longer fits the type, is
+            # corrupt input (a valid encoder cannot emit it)
             meaningful = type_bits - prev_leading - prev_trailing
+            if prev_leading == _LEADING_SENTINEL or not 1 <= meaningful <= type_bits:
+                raise ValueError("Gorilla: corrupt window parameters")
             nbits = 2 + meaningful
             nbytes = (nbits + 7) // 8
             if pos + nbytes > n:
@@ -146,6 +150,8 @@ def decode_column(
             nbytes = (nbits + 7) // 8
             if pos + nbytes > n:
                 raise ValueError("Gorilla: truncated input")
+            if stored_leading + meaningful > type_bits:
+                raise ValueError("Gorilla: corrupt window parameters")
             acc = int.from_bytes(stream[pos : pos + nbytes], "little")
             bits = (acc >> 13) & ((1 << meaningful) - 1)
             trailing = type_bits - stored_leading - meaningful

@@ -137,3 +137,41 @@ def test_decoder_width_times_height_not_trusted():
     huge = info.with_(width=2**24, height=1)
     with pytest.raises(ValueError):
         PointcloudDecoder().decode(huge, payload)
+
+
+def test_gorilla_corrupt_window_rejected():
+    """A window-reuse token before any window, or a new window whose
+    leading+meaningful exceeds the type width, must raise — not shift by a
+    negative count (numpy oracle) or hit UB (native runtime)."""
+    from cloudini_tpu.ref.gorilla import decode_column
+
+    import struct
+
+    first8 = struct.pack("<d", 1.5)
+    # case 1: flag=1, control=0 right after the first value (no window yet)
+    s1 = first8 + bytes([0b01])
+    with pytest.raises(ValueError, match="Gorilla"):
+        decode_column(np.frombuffer(s1, np.uint8), 2, 64)
+    # case 2: new window with stored_lead=31, meaningful=64 -> 95 > 64
+    head = 0b11 | (31 << 2) | (63 << 7)
+    s2 = first8 + struct.pack("<H", head) + bytes(10)
+    with pytest.raises(ValueError, match="Gorilla"):
+        decode_column(np.frombuffer(s2, np.uint8), 2, 64)
+
+    # native runtime path (skipped when the toolchain is unavailable)
+    from cloudini_tpu import native
+
+    if native.available():
+        from cloudini_tpu.core.plan import build_plan
+
+        info = EncodingInfo(
+            fields=(PointField("t", 0, FieldType.FLOAT64, None),),
+            width=2, height=1, point_step=8,
+            encoding_opt=EncodingOptions.LOSSLESS,
+            compression_opt=CompressionOption.NONE,
+        )
+        plan = build_plan(info, for_decode=True)
+        out = np.zeros((2, 8), np.uint8)
+        for s in (s1, s2):
+            with pytest.raises(ValueError, match="Gorilla"):
+                native.decode_chunk(plan, np.frombuffer(s, np.uint8), out, 2)
