@@ -2,7 +2,7 @@
 """Benchmark: stage-1 codec throughput on one TPU chip vs the reference C++.
 
 Workload: the reference's own LiDAR fixture (lidar.pcd, 115385-pt XYZI float32,
-1 mm resolution — BASELINE config 2 shape) replicated to fill 16 x 32768-point
+1 mm resolution — BASELINE config 2 shape) replicated to fill 64 x 32768-point
 chunks, encoded + decoded on device. Correctness-gated: the device round trip
 must be bit-identical to the numpy wire kernel (itself locked to the reference
 C++ bytes by tests/test_golden.py), enforced with an FNV-1a fingerprint like the
@@ -29,7 +29,7 @@ REPO = pathlib.Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
 CHUNK = 32 * 1024
-N_CHUNKS = 32
+N_CHUNKS = 64
 ITERS = 8
 # measured on this machine (1-core reference C++, lidar.pcd XYZI, stage-1 only):
 # encode 2.866 ms + decode 3.334 ms for 1 846 160 B  ->  0.2977 GB/s round trip
