@@ -62,6 +62,14 @@ def _bucket(c: int) -> int:
     return 1 << (c - 1).bit_length() if c > 1 else 1
 
 
+# auto-backend threshold: a host-resident encode call pays H2D + dispatch +
+# D2H per call, so per-message streaming (a handful of chunks) runs faster on
+# the native host codec; the device wins once a call carries enough chunks to
+# amortize the round trip. Large batched workloads (bench.py, encode_many)
+# clear this easily; a single 115k-pt LiDAR message (4 chunks) does not.
+AUTO_DEVICE_MIN_CHUNKS = 16
+
+
 def _pad_chunks(points: np.ndarray, n_chunks: int, chunk_points: int, point_step: int):
     """Split rows into a zero-padded (bucketed) chunk batch + per-chunk counts."""
     c_pad = _bucket(n_chunks)
@@ -152,6 +160,7 @@ class PointcloudEncoder:
         self.header = encode_header(info)
         self.plan = build_plan(info, for_decode=False)
         self.chunk_points = chunk_points
+        self._backend_req = backend
         self._viz = None
         if viz:
             from ..preprocess import _detect_triple
@@ -198,6 +207,22 @@ class PointcloudEncoder:
     def backend(self) -> str:
         return "device" if self._device_enc is not None else "host"
 
+    def _use_device_for(self, n_chunks: int) -> bool:
+        """Per-call backend choice under ``auto``: the device pays H2D +
+        dispatch + D2H per encode call, so small host-resident clouds run
+        faster on the native host codec (measured ~20x on per-message
+        streaming); explicit ``device`` (and fused device stage 2) always
+        dispatch."""
+        if self._device_enc is None:
+            return False
+        if self._backend_req == "device" or self._device_stage2:
+            return True
+        from .. import native
+
+        if not (native.available() and len(self.plan.units) <= 64):
+            return True  # no native runtime: the device still beats numpy
+        return n_chunks >= AUTO_DEVICE_MIN_CHUNKS
+
     def encode(self, cloud_data, write_header: bool = True) -> bytes:
         points = _as_point_rows(cloud_data, self.info.point_step)
         if self._viz is not None:
@@ -206,7 +231,7 @@ class PointcloudEncoder:
         out: List[bytes] = [self.header] if write_header else []
         n_chunks = -(-n_points // self.chunk_points)
 
-        if self.plan.adaptive and self._device_enc is not None and n_chunks > 0:
+        if self.plan.adaptive and self._use_device_for(n_chunks) and n_chunks > 0:
             # V5 on device: probe on host (first chunk, <=4096 pts), then the
             # committed modes are STATIC for a per-modes compiled encoder that
             # emits the complete stage-1 payload (regular stream + sections)
@@ -233,6 +258,56 @@ class PointcloudEncoder:
             out.append(self._frame(stage1_bytes))
         return b"".join(out)
 
+    def encode_many(self, clouds: List, infos: Optional[List[EncodingInfo]] = None) -> List[bytes]:
+        """Encode MANY same-schema clouds with ONE device dispatch.
+
+        The per-call H2D/dispatch/D2H round trip is the dominant cost of
+        per-message streaming encode (see AUTO_DEVICE_MIN_CHUNKS); batching a
+        window of messages amortizes it — the data-parallel "rosbag stream"
+        workload, with every cloud's chunks stacked on the chunk axis and an
+        ordered split on the way back. Streams are identical to per-cloud
+        ``encode`` (predictors reset per chunk; headers carry each cloud's
+        width). Plans the batch path cannot carry (V5 adaptive — committed
+        modes are per-cloud; viz preprocessing) fall back to a plain loop.
+        """
+        rows_list = [_as_point_rows(c, self.info.point_step) for c in clouds]
+        if infos is None:
+            infos = [self.info.with_(width=r.shape[0], height=1) for r in rows_list]
+        per_cloud_chunks = [-(-r.shape[0] // self.chunk_points) for r in rows_list]
+        total_chunks = sum(per_cloud_chunks)
+        if (
+            self.plan.adaptive
+            or self._viz is not None
+            or not self._use_device_for(total_chunks)
+        ):
+            out = []
+            for r, inf in zip(rows_list, infos):
+                self.info, self.header = inf, encode_header(inf)
+                out.append(self.encode(r))
+            return out
+        cp = self.chunk_points
+        c_pad = _bucket(total_chunks)
+        chunks = np.zeros((c_pad, cp, self.info.point_step), dtype=np.uint8)
+        n_valid = np.zeros(c_pad, dtype=np.int32)
+        k = 0
+        for r in rows_list:
+            for i in range(-(-r.shape[0] // cp)):
+                part = r[i * cp : (i + 1) * cp]
+                chunks[k, : len(part)] = part
+                n_valid[k] = len(part)
+                k += 1
+        payloads, sizes = self._device_enc.encode_chunks(chunks, n_valid)
+        payloads, sizes = np.asarray(payloads), np.asarray(sizes)
+        out = []
+        k = 0
+        for inf, nc in zip(infos, per_cloud_chunks):
+            parts = [encode_header(inf)]
+            for _ in range(nc):
+                parts.append(self._frame(payloads[k, : sizes[k]].tobytes()))
+                k += 1
+            out.append(b"".join(parts))
+        return out
+
     def _encode_viz(self, points: np.ndarray, write_header: bool) -> bytes:
         """Viz preprocessing + encode. Device: ONE fused program (dedup never
         leaves the device); host / V5-adaptive: numpy preprocess then the
@@ -240,7 +315,7 @@ class PointcloudEncoder:
         n = points.shape[0]
         base_res = self._viz
         if (
-            self._device_enc is not None
+            self._use_device_for(-(-n // self.chunk_points))
             and not self.plan.adaptive
             and base_res is not None
             and n > 0
@@ -313,7 +388,7 @@ class PointcloudEncoder:
         """Per-chunk regular (interleaved) stage-1 streams."""
         if n_chunks == 0:
             return []
-        if self._device_enc is None:
+        if not self._use_device_for(n_chunks):
             from .. import native
 
             if native.available() and len(self.plan.units) <= 64:
@@ -366,7 +441,7 @@ class PointcloudDecoder:
                 stage2.decompress_chunk(info.compression_opt, c, plan.max_stage1_chunk_bytes(pts))
                 for c, pts in chunks
             ]
-            if self._use_device(plan):
+            if self._use_device(plan, len(chunks)):
                 self._decode_chunks_device(info, plan, raws, chunks, out)
             else:
                 row = 0
@@ -410,7 +485,7 @@ class PointcloudDecoder:
             raise ValueError("Encoded data ended before all declared points were decoded")
         return chunks
 
-    def _use_device(self, plan: CodecPlan) -> bool:
+    def _use_device(self, plan: CodecPlan, n_chunks: int) -> bool:
         if self._backend == "host":
             return False
         from ..ops.device_codec import decoder_prefers_device, decoder_supports_plan
@@ -420,14 +495,17 @@ class PointcloudDecoder:
                 raise NotImplementedError("plan is not device-decodable")
             return True
         # auto: only when the device path actually wins — pure-varint plans
-        # (the mixed-plan binary-lifting path loses to the NATIVE sequential
-        # decoder by ~100x, but still beats the pure-Python seqdecode walk
-        # used when the native runtime cannot build)
+        # with enough chunks to amortize the per-call H2D/dispatch/D2H round
+        # trip (small host-resident decodes run faster on the NATIVE
+        # sequential decoder; the mixed-plan binary-lifting path loses to it
+        # by ~100x at any size — but either device path still beats the
+        # pure-Python seqdecode walk used when native cannot build)
         from .. import native
 
-        prefer = decoder_prefers_device(plan) or (
-            decoder_supports_plan(plan) and not native.available()
-        )
+        if not native.available():
+            prefer = decoder_supports_plan(plan)
+        else:
+            prefer = decoder_prefers_device(plan) and n_chunks >= AUTO_DEVICE_MIN_CHUNKS
         return prefer and _device_available()
 
     def _decode_chunks_device(self, info, plan, raws, chunks, out):

@@ -154,9 +154,11 @@ def convert_point_cloud2_to_compressed(
     pc: RosPointCloud2,
     encoding_info: EncodingInfo,
     encoder: Optional[PointcloudEncoder] = None,
+    payload: Optional[bytes] = None,
 ) -> bytes:
     """Serialized PointCloud2 content -> serialized CompressedPointCloud2 DDS
-    message (reference: ros_msg_utils.cpp:167-213)."""
+    message (reference: ros_msg_utils.cpp:167-213). ``payload`` supplies a
+    precomputed cloudini stream (batched encode paths)."""
     enc = CdrEncoder(pc.cdr_header)
     _write_point_cloud_header(enc, pc)
     size_offset = enc.position
@@ -169,11 +171,12 @@ def convert_point_cloud2_to_compressed(
 
     if encoding_info.point_step == 0:
         raise ValueError("convertPointCloud2ToCompressedCloud: point_step cannot be 0")
-    # Derive point count from actual data size, never attacker-controlled
-    # width*height (reference: ros_msg_utils.cpp:193-194)
-    codec = encoder if encoder is not None else PointcloudEncoder(encoding_info)
-    n_points = len(pc.data) // encoding_info.point_step
-    payload = codec.encode(pc.data[: n_points * encoding_info.point_step])
+    if payload is None:
+        # Derive point count from actual data size, never attacker-controlled
+        # width*height (reference: ros_msg_utils.cpp:193-194)
+        codec = encoder if encoder is not None else PointcloudEncoder(encoding_info)
+        n_points = len(pc.data) // encoding_info.point_step
+        payload = codec.encode(pc.data[: n_points * encoding_info.point_step])
     enc.patch_u32(size_offset, len(payload))
     enc.raw(payload)
     enc.bool_(pc.is_dense)

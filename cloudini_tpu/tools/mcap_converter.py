@@ -92,11 +92,11 @@ class McapConverter:
             writer.write_metadata(md.name, md.metadata)
         return old_to_new_channel
 
-    def _encoder_for(self, info: EncodingInfo) -> PointcloudEncoder:
-        enc = self._encoder_cache.get(info)
+    def _encoder_for(self, info: EncodingInfo, backend: str = "auto") -> PointcloudEncoder:
+        enc = self._encoder_cache.get((info, backend))
         if enc is None:
-            enc = PointcloudEncoder(info)
-            self._encoder_cache[info] = enc
+            enc = PointcloudEncoder(info, backend=backend)
+            self._encoder_cache[(info, backend)] = enc
         return enc
 
     def encode_point_clouds(
@@ -106,7 +106,15 @@ class McapConverter:
         mcap_writer_compression: CompressionOption = CompressionOption.ZSTD,
         viz_lossy: bool = False,
         on_error: str = "raise",
+        backend: str = "auto",
+        batch_window: int = 0,
     ) -> ConverterStats:
+        """``batch_window`` > 0 buffers up to that many point-cloud messages
+        and encodes each same-schema group with ONE device dispatch
+        (PointcloudEncoder.encode_many) — the data-parallel "rosbag stream"
+        workload. Message order in the output bag is preserved: non-cloud
+        messages buffer in the same window. 0 = stream one message at a time
+        (the reference's behavior, mcap_converter.cpp:174-220)."""
         if self.reader is None:
             raise RuntimeError("McapReader is not initialized. Call open() first.")
         self.stats = ConverterStats()
@@ -118,26 +126,89 @@ class McapConverter:
         writer = McapWriter(file_out, profile=self.reader.profile, compression=comp_name)
         chan_map = self._duplicate(writer, encoding=True)
 
+        pending: list = []  # ("raw", cid, msg) | ("pc", cid, msg, pc, info)
+        n_pending_pc = 0
+
+        def prepare(msg):
+            pc = get_deserialized_point_cloud_message(msg.data)
+            pc.fields = apply_resolution_profile(self.profile, pc.fields, default_resolution)
+            if viz_lossy:
+                rows = np.frombuffer(pc.data, np.uint8).reshape(-1, pc.point_step)
+                pc.fields, new_rows = apply_viz_lossy_preprocessing(pc.fields, rows)
+                pc.data = new_rows.tobytes()
+                pc.width, pc.height = new_rows.shape[0], 1
+                pc.row_step = pc.point_step * pc.width
+            info = to_encoding_info(pc)
+            if mcap_writer_compression == CompressionOption.ZSTD:
+                # no need to do ZSTD compression twice (mcap_converter.cpp:201-203)
+                info = info.with_(compression_opt=CompressionOption.NONE)
+            return pc, info
+
+        def flush():
+            nonlocal pending, n_pending_pc
+            t0 = time.perf_counter()
+            # group clouds by schema (width-independent), encode each group
+            # in one batched call, keep per-message payloads
+            groups: dict = {}
+            for i, item in enumerate(pending):
+                if item[0] == "pc":
+                    key = item[4].with_(width=0, height=1)
+                    groups.setdefault(key, []).append(i)
+            payloads: dict = {}
+            for key, idxs in groups.items():
+                enc = self._encoder_for(key, backend)
+                clouds = []
+                infos = []
+                for i in idxs:
+                    _, _, msg, pc, info = pending[i]
+                    n = len(pc.data) // info.point_step if info.point_step else 0
+                    clouds.append(np.frombuffer(pc.data, np.uint8)[: n * info.point_step])
+                    infos.append(info.with_(width=n, height=1))
+                for i, stream in zip(idxs, enc.encode_many(clouds, infos)):
+                    payloads[i] = stream
+            self.stats.total_processing_s += time.perf_counter() - t0
+            for i, item in enumerate(pending):
+                if item[0] == "raw":
+                    _, cid, msg = item
+                    writer.write_message(cid, msg.log_time, msg.data, msg.publish_time, msg.sequence)
+                else:
+                    _, cid, msg, pc, info = item
+                    wrapped = convert_point_cloud2_to_compressed(pc, info, payload=payloads[i])
+                    self.stats.processed_messages += 1
+                    self.stats.total_input_bytes += len(msg.data)
+                    self.stats.total_output_bytes += len(wrapped)
+                    writer.write_message(cid, msg.log_time, wrapped, msg.publish_time, msg.sequence)
+            pending = []
+            n_pending_pc = 0
+
         for ch, schema, msg in self.reader.messages():
             new_cid = chan_map[msg.channel_id]
             if schema is None or schema.name != defs.POINTCLOUD_SCHEMA_NAME:
-                writer.write_message(new_cid, msg.log_time, msg.data, msg.publish_time, msg.sequence)
+                if batch_window > 0 and pending:
+                    pending.append(("raw", new_cid, msg))
+                else:
+                    writer.write_message(new_cid, msg.log_time, msg.data, msg.publish_time, msg.sequence)
+                continue
+            if batch_window > 0:
+                try:
+                    pc, info = prepare(msg)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    print(f"warning: failed to convert a message on {ch.topic}; passing through")
+                    pending.append(("raw", new_cid, msg))
+                    continue
+                pending.append(("pc", new_cid, msg, pc, info))
+                n_pending_pc += 1
+                if n_pending_pc >= batch_window:
+                    flush()
                 continue
             t0 = time.perf_counter()
             try:
-                pc = get_deserialized_point_cloud_message(msg.data)
-                pc.fields = apply_resolution_profile(self.profile, pc.fields, default_resolution)
-                if viz_lossy:
-                    rows = np.frombuffer(pc.data, np.uint8).reshape(-1, pc.point_step)
-                    pc.fields, new_rows = apply_viz_lossy_preprocessing(pc.fields, rows)
-                    pc.data = new_rows.tobytes()
-                    pc.width, pc.height = new_rows.shape[0], 1
-                    pc.row_step = pc.point_step * pc.width
-                info = to_encoding_info(pc)
-                if mcap_writer_compression == CompressionOption.ZSTD:
-                    # no need to do ZSTD compression twice (mcap_converter.cpp:201-203)
-                    info = info.with_(compression_opt=CompressionOption.NONE)
-                payload = convert_point_cloud2_to_compressed(pc, info, self._encoder_for(info))
+                pc, info = prepare(msg)
+                payload = convert_point_cloud2_to_compressed(
+                    pc, info, self._encoder_for(info, backend)
+                )
             except Exception:
                 if on_error == "raise":
                     raise
@@ -150,6 +221,8 @@ class McapConverter:
             self.stats.total_input_bytes += len(msg.data)
             self.stats.total_output_bytes += len(payload)
             writer.write_message(new_cid, msg.log_time, payload, msg.publish_time, msg.sequence)
+        if pending:
+            flush()
         writer.close()
         return self.stats
 

@@ -65,6 +65,11 @@ def main(argv=None) -> int:
                    help="MCAP writer chunk compression")
     p.add_argument("-y", "--yes", action="store_true", help="Auto-confirm overwrite of files")
     p.add_argument("--skip-errors", action="store_true", help="Pass through messages that fail to convert")
+    p.add_argument("--backend", default="auto", choices=["auto", "host", "device"],
+                   help="codec backend for encoding")
+    p.add_argument("--batch", type=int, default=0, metavar="N",
+                   help="batch N point-cloud messages per device dispatch "
+                        "(data-parallel stream encode; 0 = stream one at a time)")
     args = p.parse_args(argv)
 
     if args.compress == args.decode:
@@ -102,6 +107,7 @@ def main(argv=None) -> int:
             str(out_path), default_resolution=args.resolution,
             mcap_writer_compression=comp, viz_lossy=args.viz,
             on_error="skip" if args.skip_errors else "raise",
+            backend=args.backend, batch_window=args.batch,
         )
     else:
         stats = conv.decode_point_clouds(str(out_path), mcap_writer_compression=comp)
