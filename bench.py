@@ -133,7 +133,10 @@ def main():
     # the truncation sentinel exceeds any real size), like the pipeline does
     b_act = int(-(-(int(np.asarray(sizes).max()) + 1) // 1024) * 1024)
     payloads = jax.block_until_ready(jax.jit(lambda p: p[:, :b_act])(payloads))
-    dec = DeviceStage1Decoder(plan, 16, chunk_points=CHUNK, max_bytes=b_act)
+    # raw_words_out: rows return as flat u32 words (identical bytes, viewed
+    # for free on the host) — skips ~1 ms/iter of byte-materialization
+    dec = DeviceStage1Decoder(plan, 16, chunk_points=CHUNK, max_bytes=b_act,
+                              raw_words_out=True)
     decoded, _consumed = jax.block_until_ready(dec.decode_chunks(payloads, sizes, d_valid))
 
     # CRITICAL honesty requirements (both empirically observed on axon):
@@ -212,8 +215,9 @@ def main():
         return int(np.sum(flat * w, dtype=np.int32))
 
     @jax.jit
-    def _fp_dev_rows(x):  # (C, N, step) -> (C,) int32 wrapping fingerprints
-        flat = x.reshape(x.shape[0], -1).astype(jnp.int32)
+    def _fp_dev_rows(x):  # u32 row words -> (C,) int32 BYTE fingerprints
+        b = jax.lax.bitcast_convert_type(x, jnp.uint8).reshape(x.shape[0], -1)
+        flat = b.astype(jnp.int32)
         w = jnp.arange(flat.shape[1], dtype=jnp.int32) % 251 + 1
         return jnp.sum(flat * w, axis=1, dtype=jnp.int32)
 

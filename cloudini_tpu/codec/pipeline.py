@@ -518,7 +518,9 @@ class PointcloudDecoder:
         # round to 1 KiB buckets to bound recompiles
         max_bytes = max((len(r) for r in raws), default=0) + 1
         max_bytes = -(-max_bytes // 1024) * 1024
-        self._device_dec = cached_decoder(plan, info.point_step, self.chunk_points, max_bytes)
+        self._device_dec = cached_decoder(
+            plan, info.point_step, self.chunk_points, max_bytes, raw_words_out=True
+        )
         payloads = np.zeros((c_pad, max_bytes), dtype=np.uint8)
         sizes = np.zeros(c_pad, dtype=np.int32)
         n_valid = np.zeros(c_pad, dtype=np.int32)
@@ -528,6 +530,11 @@ class PointcloudDecoder:
             n_valid[i] = pts
         rows_dev, consumed = self._device_dec.decode_chunks(payloads, sizes, n_valid)
         rows_h = np.asarray(rows_dev)
+        if self._device_dec.raw_words_out:
+            # flat u32 words ARE the row bytes (little-endian): free view
+            rows_h = rows_h.view(np.uint8).reshape(
+                rows_h.shape[0], self.chunk_points, info.point_step
+            )
         consumed = np.asarray(consumed)
         row = 0
         for i, (raw, (_, pts)) in enumerate(zip(raws, chunks)):
