@@ -631,6 +631,9 @@ def _assemble_varint32(payloads, batch, starts, tok_len, B: int):
         idx = jnp.clip(starts + k, 0, B - 1)
         byte = payloads[batch, idx].astype(jnp.uint32)
         u = u | jnp.where(k < tok_len, (byte & np.uint32(0x7F)) << np.uint32(7 * k), 0)
+    # u is assembled mod 2^32, so biased 2^32 (the INT32_MIN delta wrap, wire
+    # group 0x10 in byte 4) also lands on u == 0 — the length condition keeps
+    # the wrap case distinct from the single-byte NaN marker
     nan = (u == 0) & (tok_len == 1)
     uu = u - jnp.where(nan, np.uint32(0), np.uint32(1))
     m = (np.uint32(0) - (uu & np.uint32(1))).astype(jnp.uint32)
@@ -648,7 +651,8 @@ def _assemble_varint64(payloads, batch, starts, tok_len, B: int):
         byte = payloads[batch, idx].astype(jnp.uint32)
         g = jnp.where(k < tok_len, byte & np.uint32(0x7F), np.uint32(0))
         lo, hi = u64.assemble_group((lo, hi), g, k)
-    nan = u64.is_zero((lo, hi)) & (tok_len == 1)
+    # NaN marker = biased 0 regardless of length (reference decodeVarint u==0)
+    nan = u64.is_zero((lo, hi))
     biased = u64.sub((lo, hi), u64.select(nan, u64.const(0, nan.shape), u64.const(1, nan.shape)))
     v = u64.unzigzag(biased)
     return u64.select(nan, u64.const(0, nan.shape), v), nan
@@ -765,8 +769,10 @@ class DeviceStage1Decoder:
         g = (payloads & np.uint8(0x7F)).astype(jnp.uint32)
         tok_len = (idxb - prev_term_excl).astype(jnp.uint32)  # valid at terms
         needed = term & (tok_id < (n_valid * T)[:, None])
-        # NaN-marker flag rides in the key's low bit (saves a sort payload)
-        nan_flag = ((tok_len == 1) & (payloads == 0)).astype(jnp.uint32)
+        # the NaN marker is biased == 0 (the +1 bias reserves it), matching
+        # the numpy oracle and the reference's decodeVarint u==0 check — it
+        # is derived from the reconstructed pair AFTER the sort, so the key
+        # carries no NaN bit (bit 0 stays zero for layout compatibility)
         max_len = 10
 
         # <=5-byte plans (fused FloatN, the LiDAR hot path): the biased value
@@ -788,8 +794,7 @@ class DeviceStage1Decoder:
                 key = jnp.where(
                     needed,
                     (tok_id.astype(jnp.uint32) << 10)
-                    | ((run_b & np.uint32(0x1FF)) << 1)
-                    | nan_flag,
+                    | ((run_b & np.uint32(0x1FF)) << 1),
                     np.uint32(0xFFFFFFFF),
                 )
                 ra = run_a
@@ -806,18 +811,19 @@ class DeviceStage1Decoder:
                 # biased = a + b*2^28 (< 2^36) as a u32 pair
                 carry = (a_val >> 28) + b_val
                 b_lo = (a_val & np.uint32(0x0FFFFFFF)) | ((carry & np.uint32(0xF)) << 28)
-                return b_lo, carry >> 4, (s_key & 1) != 0
+                return b_lo, carry >> 4
 
             # a 5-byte token forces a nonzero plane-b group (biased >= 2^28),
             # so when plane b is empty — every real cloud: a 4-byte token
             # already means |quantized delta| >= 2^20 — its running-sum scan
             # and key bits are skipped entirely (one of the four stream scans)
-            b_lo, b_hi, nan = jax.lax.cond(
+            b_lo, b_hi = jax.lax.cond(
                 jnp.any(b != 0),
                 lambda: compact(jnp.cumsum(b, axis=-1, dtype=jnp.uint32)),
                 lambda: compact(jnp.zeros_like(a)),
             )
             biased = (b_lo, b_hi)
+            nan = u64.is_zero(biased)
         else:
             # u64-pair contribution of each byte; groups past 9 are overflow
             sh = jnp.minimum(pos_in_tok, 9) * 7
@@ -831,7 +837,7 @@ class DeviceStage1Decoder:
             run = u64.cumsum((jnp.where(mask, lo, 0), jnp.where(mask, hi, 0)))
             key = jnp.where(
                 needed,
-                (tok_id.astype(jnp.uint32) << 1) | nan_flag,
+                tok_id.astype(jnp.uint32) << 1,
                 np.uint32(0xFFFFFFFF),
             )
             run_lo, run_hi = run
@@ -849,7 +855,7 @@ class DeviceStage1Decoder:
             p_lo = jnp.roll(s_lo, 1, axis=-1).at[:, 0].set(0)
             p_hi = jnp.roll(s_hi, 1, axis=-1).at[:, 0].set(0)
             biased = u64.sub((s_lo, s_hi), (p_lo, p_hi))
-            nan = (s_key & 1) != 0
+            nan = u64.is_zero(biased)
         uu = u64.sub(biased, u64.select(nan, u64.const(0, nan.shape), u64.const(1, nan.shape)))
         v = u64.unzigzag(uu)
         v = u64.select(nan, u64.const(0, nan.shape), v)

@@ -207,3 +207,55 @@ def test_copy_and_xor_device_encode():
         encoding_opt=EncodingOptions.LOSSLESS, compression_opt=CompressionOption.NONE,
     )
     _compare_encode(info, rows)  # decode of mixed fixed-size: host path
+
+
+def test_noncanonical_zero_varint_is_nan_marker_parity():
+    """biased == 0 is the NaN marker regardless of token length (the +1 bias
+    reserves it; reference decodeVarint checks u == 0): a non-canonical
+    2-byte zero (0x80 0x00) must decode identically on the numpy oracle and
+    the device path — NaN output in a float lane."""
+    import numpy as np
+
+    from cloudini_tpu.core.plan import build_plan
+    from cloudini_tpu.core.types import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+        FieldType,
+        PointField,
+    )
+    from cloudini_tpu.ops.device_codec import DeviceStage1Decoder
+    from cloudini_tpu.ref import stage1 as np_stage1
+
+    info = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, 0.001),
+            PointField("y", 4, FieldType.FLOAT32, 0.001),
+            PointField("z", 8, FieldType.FLOAT32, 0.001),
+        ),
+        width=2, height=1, point_step=12,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
+    )
+    plan = build_plan(info, for_decode=True)
+    # point 0: x=biased2 (value 0 after -1... canonical), y=NONCANONICAL zero,
+    # z=canonical 1-byte; point 1: three 1-byte tokens
+    stream = bytes([0x02, 0x80, 0x00, 0x02, 0x02, 0x02, 0x02])
+    data = np.frombuffer(stream, np.uint8)
+    out_np = np.zeros((2, 12), np.uint8)
+    consumed = np_stage1.decode_chunk(plan, data, out_np, 2)
+    assert consumed == len(stream)
+
+    n = 16
+    dec = DeviceStage1Decoder(plan, 12, chunk_points=n, max_bytes=64)
+    payloads = np.zeros((1, 64), np.uint8)
+    payloads[0, : len(stream)] = data
+    rows, cons = dec.decode_chunks(
+        payloads, np.array([len(stream)], np.int32), np.array([2], np.int32)
+    )
+    rows = np.asarray(rows)
+    assert int(np.asarray(cons)[0]) == len(stream)
+    assert np.array_equal(rows[0, :2], out_np), (
+        rows[0, :2].view(np.float32), out_np.view(np.float32)
+    )
+    # the y lane of point 0 must be NaN on both
+    assert np.isnan(out_np[0].view(np.float32)[1])
