@@ -273,6 +273,10 @@ class PointcloudEncoder:
         rows_list = [_as_point_rows(c, self.info.point_step) for c in clouds]
         if infos is None:
             infos = [self.info.with_(width=r.shape[0], height=1) for r in rows_list]
+        if len(infos) != len(rows_list):
+            raise ValueError(
+                f"encode_many: {len(rows_list)} clouds but {len(infos)} infos"
+            )
         per_cloud_chunks = [-(-r.shape[0] // self.chunk_points) for r in rows_list]
         total_chunks = sum(per_cloud_chunks)
         if (
@@ -280,10 +284,14 @@ class PointcloudEncoder:
             or self._viz is not None
             or not self._use_device_for(total_chunks)
         ):
-            out = []
-            for r, inf in zip(rows_list, infos):
-                self.info, self.header = inf, encode_header(inf)
-                out.append(self.encode(r))
+            saved = self.info, self.header
+            try:
+                out = []
+                for r, inf in zip(rows_list, infos):
+                    self.info, self.header = inf, encode_header(inf)
+                    out.append(self.encode(r))
+            finally:
+                self.info, self.header = saved
             return out
         cp = self.chunk_points
         c_pad = _bucket(total_chunks)

@@ -75,7 +75,7 @@ def get_lib():
     """Returns the loaded runtime or None when unavailable (no toolchain, or
     disabled via CLOUDINI_TPU_NO_NATIVE=1)."""
     global _lib, _disabled
-    if os.environ.get("CLOUDINI_TPU_NO_NATIVE"):
+    if os.environ.get("CLOUDINI_TPU_NO_NATIVE", "0") not in ("", "0"):
         return None
     if _lib is not None or _disabled:
         return _lib

@@ -78,8 +78,12 @@ inline size_t put_varint(int64_t value, uint8_t* dst) {
   return n;
 }
 
-// Returns bytes consumed, or a negative error. *out receives the signed value.
-inline int get_varint(const uint8_t* p, size_t avail, int64_t* out) {
+// Returns bytes consumed, or a negative error. *out receives the signed
+// value; *is_nan is set when the token is the reserved NaN marker — biased
+// value 0 at ANY length (the +1 bias reserves it; a valid encoder emits it
+// as the single byte 0, but non-canonical encodings like 0x80 0x00 decode
+// the same way on every backend).
+inline int get_varint(const uint8_t* p, size_t avail, int64_t* out, bool* is_nan) {
   uint64_t u = 0;
   int shift = 0;
   size_t i = 0;
@@ -92,7 +96,12 @@ inline int get_varint(const uint8_t* p, size_t avail, int64_t* out) {
     if (shift >= 63) return kErrOverflow;
     shift += 7;
   }
-  if (u == 0) return kErrNanMarker;
+  if (u == 0) {
+    *out = 0;
+    *is_nan = true;
+    return static_cast<int>(i);
+  }
+  *is_nan = false;
   u -= 1;
   *out = static_cast<int64_t>((u >> 1) ^ (~(u & 1) + 1));
   return static_cast<int>(i);
@@ -285,18 +294,17 @@ long long cldn_decode_chunk(
       switch (spec.kind) {
         case kFloatNLossy: {
           for (int lane = 0; lane < spec.lanes; ++lane) {
-            if (pos >= size) { err = kErrTruncated; break; }
-            if (data[pos] == 0) {  // NaN marker
+            int64_t diff;
+            bool is_nan;
+            const int n = get_varint(data + pos, size - pos, &diff, &is_nan);
+            if (n < 0) { err = n; break; }
+            pos += n;
+            if (is_nan) {
               st.prev_i32[lane] = 0;
               const uint32_t qnan = 0x7FC00000u;
               if (spec.offsets[lane] != kSkipStore) store_le(row + spec.offsets[lane], qnan, 4);
-              pos += 1;
               continue;
             }
-            int64_t diff;
-            const int n = get_varint(data + pos, size - pos, &diff);
-            if (n < 0) { err = n; break; }
-            pos += n;
             const int32_t v = static_cast<int32_t>(
                 static_cast<uint32_t>(diff) + static_cast<uint32_t>(st.prev_i32[lane]));
             st.prev_i32[lane] = v;
@@ -308,8 +316,12 @@ long long cldn_decode_chunk(
         } break;
         case kFloatLossy: {
           const bool f64 = spec.type_code == 8;
-          if (pos >= size) { err = kErrTruncated; break; }
-          if (data[pos] == 0) {
+          int64_t diff;
+          bool is_nan;
+          const int n = get_varint(data + pos, size - pos, &diff, &is_nan);
+          if (n < 0) { err = n; break; }
+          pos += n;
+          if (is_nan) {
             st.prev_i64[0] = 0;
             if (spec.offsets[0] != kSkipStore) {
               if (f64) {
@@ -318,13 +330,8 @@ long long cldn_decode_chunk(
                 store_le(row + spec.offsets[0], 0x7FC00000u, 4);
               }
             }
-            pos += 1;
             break;
           }
-          int64_t diff;
-          const int n = get_varint(data + pos, size - pos, &diff);
-          if (n < 0) { err = n; break; }
-          pos += n;
           const int64_t v = st.prev_i64[0] + diff;
           st.prev_i64[0] = v;
           if (spec.offsets[0] == kSkipStore) {
@@ -342,8 +349,10 @@ long long cldn_decode_chunk(
         } break;
         case kIntDelta: {
           int64_t diff;
-          const int n = get_varint(data + pos, size - pos, &diff);
+          bool is_nan;
+          const int n = get_varint(data + pos, size - pos, &diff, &is_nan);
           if (n < 0) { err = n; break; }
+          if (is_nan) { err = kErrNanMarker; break; }  // illegal in int lanes
           pos += n;
           const int64_t v = st.prev_i64[0] + diff;
           st.prev_i64[0] = v;

@@ -632,9 +632,11 @@ def _assemble_varint32(payloads, batch, starts, tok_len, B: int):
         byte = payloads[batch, idx].astype(jnp.uint32)
         u = u | jnp.where(k < tok_len, (byte & np.uint32(0x7F)) << np.uint32(7 * k), 0)
     # u is assembled mod 2^32, so biased 2^32 (the INT32_MIN delta wrap, wire
-    # group 0x10 in byte 4) also lands on u == 0 — the length condition keeps
-    # the wrap case distinct from the single-byte NaN marker
-    nan = (u == 0) & (tok_len == 1)
+    # group 0x10 in byte 5) also lands on u == 0 — the length condition keeps
+    # the wrap case distinct while still treating every SHORT zero encoding
+    # (canonical 1-byte and non-canonical up to 4 bytes) as the NaN marker,
+    # matching the biased==0 semantics of the other backends
+    nan = (u == 0) & (tok_len < 5)
     uu = u - jnp.where(nan, np.uint32(0), np.uint32(1))
     m = (np.uint32(0) - (uu & np.uint32(1))).astype(jnp.uint32)
     sval = ((uu >> 1) ^ m).astype(jnp.int32)

@@ -26,33 +26,35 @@ def decode_mcap_file(mcap_path: str, max_messages: int | None = None,
 
     print(f"Reading MCAP file: {mcap_path}")
     msg_count = 0
+    failed = 0
     raw_bytes = 0
     compressed_bytes = 0
     for channel, schema, message in reader.messages():
         if schema is None or "CompressedPointCloud2" not in schema.name:
             continue
-        msg_count += 1
         try:
             info, cloud = decoder.decode_message(message.data)
         except Exception as e:  # mirror the reference example: warn, continue
             print(f"Failed to decode message on {channel.topic}: {e}")
-            continue
-        raw_bytes += cloud.nbytes
-        compressed_bytes += len(message.data)
-        if not quiet:
-            print(f"--- Message {msg_count} ---")
-            print(f"Topic: {channel.topic}")
-            print(f"Timestamp: {message.log_time / 1e9:.3f}s")
-            print(f"  Fields: {', '.join(cloud.dtype.names)}")
-            if len(cloud):
-                print(f"  First point: {cloud[0]}")
-            print(f"  Compression ratio: {cloud.nbytes / len(message.data):.2f}x")
-        if max_messages is not None and msg_count >= max_messages:
+            failed += 1
+        else:
+            msg_count += 1
+            raw_bytes += cloud.nbytes
+            compressed_bytes += len(message.data)
+            if not quiet:
+                print(f"--- Message {msg_count} ---")
+                print(f"Topic: {channel.topic}")
+                print(f"Timestamp: {message.log_time / 1e9:.3f}s")
+                print(f"  Fields: {', '.join(cloud.dtype.names)}")
+                if len(cloud):
+                    print(f"  First point: {cloud[0]}")
+                print(f"  Compression ratio: {cloud.nbytes / len(message.data):.2f}x")
+        if max_messages is not None and msg_count + failed >= max_messages:
             print(f"Reached max messages limit ({max_messages})")
             break
 
     print("=== Summary ===")
-    print(f"Messages decoded: {msg_count}")
+    print(f"Messages decoded: {msg_count}" + (f" (failed: {failed})" if failed else ""))
     if compressed_bytes:
         print(f"Overall ratio: {raw_bytes / compressed_bytes:.2f}x "
               f"({raw_bytes} raw / {compressed_bytes} compressed)")

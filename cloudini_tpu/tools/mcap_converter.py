@@ -156,20 +156,32 @@ class McapConverter:
                     groups.setdefault(key, []).append(i)
             payloads: dict = {}
             for key, idxs in groups.items():
-                enc = self._encoder_for(key, backend)
-                clouds = []
-                infos = []
-                for i in idxs:
-                    _, _, msg, pc, info = pending[i]
-                    n = len(pc.data) // info.point_step if info.point_step else 0
-                    clouds.append(np.frombuffer(pc.data, np.uint8)[: n * info.point_step])
-                    infos.append(info.with_(width=n, height=1))
-                for i, stream in zip(idxs, enc.encode_many(clouds, infos)):
-                    payloads[i] = stream
+                try:
+                    enc = self._encoder_for(key, backend)
+                    clouds = []
+                    infos = []
+                    for i in idxs:
+                        _, _, msg, pc, info = pending[i]
+                        n = len(pc.data) // info.point_step if info.point_step else 0
+                        clouds.append(np.frombuffer(pc.data, np.uint8)[: n * info.point_step])
+                        infos.append(info.with_(width=n, height=1))
+                    for i, stream in zip(idxs, enc.encode_many(clouds, infos)):
+                        payloads[i] = stream
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    # skip-and-warn like the streaming path: the whole group
+                    # failed to batch-encode; its messages pass through
+                    print("warning: batched encode failed for a schema group; passing through")
+                    for i in idxs:
+                        payloads.pop(i, None)
             self.stats.total_processing_s += time.perf_counter() - t0
             for i, item in enumerate(pending):
                 if item[0] == "raw":
                     _, cid, msg = item
+                    writer.write_message(cid, msg.log_time, msg.data, msg.publish_time, msg.sequence)
+                elif i not in payloads:
+                    _, cid, msg, pc, info = item
                     writer.write_message(cid, msg.log_time, msg.data, msg.publish_time, msg.sequence)
                 else:
                     _, cid, msg, pc, info = item

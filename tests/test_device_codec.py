@@ -259,3 +259,91 @@ def test_noncanonical_zero_varint_is_nan_marker_parity():
     )
     # the y lane of point 0 must be NaN on both
     assert np.isnan(out_np[0].view(np.float32)[1])
+
+
+def test_noncanonical_zero_varint_native_parity():
+    """The native sequential decoder must agree: biased==0 at any length is
+    the NaN marker (runtime.cpp get_varint), not an error."""
+    import numpy as np
+
+    from cloudini_tpu import native
+    from cloudini_tpu.core.plan import build_plan
+    from cloudini_tpu.core.types import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+        FieldType,
+        PointField,
+    )
+    from cloudini_tpu.ref import stage1 as np_stage1
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    info = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, 0.001),
+            PointField("y", 4, FieldType.FLOAT32, 0.001),
+            PointField("z", 8, FieldType.FLOAT32, 0.001),
+        ),
+        width=2, height=1, point_step=12,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
+    )
+    plan = build_plan(info, for_decode=True)
+    stream = bytes([0x02, 0x80, 0x00, 0x02, 0x02, 0x02, 0x02])
+    data = np.frombuffer(stream, np.uint8)
+    out_np = np.zeros((2, 12), np.uint8)
+    import os
+
+    os.environ["CLOUDINI_TPU_NO_NATIVE"] = "1"
+    try:
+        np_stage1.decode_chunk(plan, data, out_np, 2)  # pure numpy oracle
+    finally:
+        os.environ.pop("CLOUDINI_TPU_NO_NATIVE")
+    out_nat = np.zeros((2, 12), np.uint8)
+    consumed = native.decode_chunk(plan, data, out_nat, 2)
+    assert consumed == len(stream)
+    assert np.array_equal(out_nat, out_np)
+
+
+def test_encode_many_restores_encoder_state():
+    """encode_many's fallback loop must not leave the encoder's header/info
+    pointing at the last cloud's width (would corrupt later encode() calls)."""
+    import numpy as np
+
+    from cloudini_tpu.codec.pipeline import PointcloudDecoder, PointcloudEncoder
+    from cloudini_tpu.core.types import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+        FieldType,
+        PointField,
+    )
+
+    rng = np.random.default_rng(0)
+    info = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, 0.001),
+            PointField("y", 4, FieldType.FLOAT32, 0.001),
+            PointField("z", 8, FieldType.FLOAT32, 0.001),
+        ),
+        width=500, height=1, point_step=12,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
+    )
+    enc = PointcloudEncoder(info, backend="host")
+    clouds = [
+        np.cumsum(rng.normal(0, 0.05, (n, 3)), 0).astype(np.float32).tobytes()
+        for n in (200, 300)
+    ]
+    streams = enc.encode_many(clouds)
+    assert len(streams) == 2
+    # the encoder still encodes ITS OWN width correctly afterwards
+    rows = np.cumsum(rng.normal(0, 0.05, (500, 3)), 0).astype(np.float32)
+    stream = enc.encode(rows.tobytes())
+    dinfo, decoded = PointcloudDecoder(backend="host").decode_full(stream)
+    assert dinfo.num_points == 500 and decoded.shape[0] == 500
+    import pytest
+
+    with pytest.raises(ValueError, match="infos"):
+        enc.encode_many(clouds, infos=[info])
