@@ -279,11 +279,7 @@ class PointcloudEncoder:
             )
         per_cloud_chunks = [-(-r.shape[0] // self.chunk_points) for r in rows_list]
         total_chunks = sum(per_cloud_chunks)
-        if (
-            self.plan.adaptive
-            or self._viz is not None
-            or not self._use_device_for(total_chunks)
-        ):
+        if self._viz is not None or not self._use_device_for(total_chunks):
             saved = self.info, self.header
             try:
                 out = []
@@ -293,7 +289,44 @@ class PointcloudEncoder:
             finally:
                 self.info, self.header = saved
             return out
+        if self.plan.adaptive:
+            # V5: the committed adaptive modes are compile-time state of the
+            # device program, and PER-CLOUD (probed on each cloud's first
+            # 4096 points, v5_codec.cpp:934-948) — batch clouds that
+            # committed to the SAME modes together, one dispatch per group
+            modes_per_cloud = [
+                tuple(sorted(self._commit_modes(r[: self.chunk_points]).items()))
+                for r in rows_list
+            ]
+            out: List[Optional[bytes]] = [None] * len(rows_list)
+            groups: Dict[tuple, List[int]] = {}
+            for i, m in enumerate(modes_per_cloud):
+                groups.setdefault(m, []).append(i)
+            for modes_key, idxs in groups.items():
+                streams = self._encode_many_batch(
+                    [rows_list[i] for i in idxs],
+                    [infos[i] for i in idxs],
+                    [per_cloud_chunks[i] for i in idxs],
+                    dict(modes_key),
+                )
+                for i, s in zip(idxs, streams):
+                    out[i] = s
+            return out  # type: ignore[return-value]
+        return self._encode_many_batch(rows_list, infos, per_cloud_chunks, None)
+
+    def _encode_many_batch(self, rows_list, infos, per_cloud_chunks,
+                           committed_modes: Optional[Dict[int, int]]) -> List[bytes]:
+        """Stack every cloud's chunks on the chunk axis; one device dispatch."""
+        from ..ops.device_codec import cached_encoder
+
+        enc = self._device_enc
+        if committed_modes is not None:
+            enc = cached_encoder(
+                self.plan, self.info.point_step, self.chunk_points,
+                adaptive_modes=committed_modes, stage2=self._stage2_kind,
+            )
         cp = self.chunk_points
+        total_chunks = sum(per_cloud_chunks)
         c_pad = _bucket(total_chunks)
         chunks = np.zeros((c_pad, cp, self.info.point_step), dtype=np.uint8)
         n_valid = np.zeros(c_pad, dtype=np.int32)
@@ -304,7 +337,7 @@ class PointcloudEncoder:
                 chunks[k, : len(part)] = part
                 n_valid[k] = len(part)
                 k += 1
-        payloads, sizes = self._device_enc.encode_chunks(chunks, n_valid)
+        payloads, sizes = enc.encode_chunks(chunks, n_valid)
         payloads, sizes = np.asarray(payloads), np.asarray(sizes)
         out = []
         k = 0

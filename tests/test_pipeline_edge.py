@@ -127,3 +127,50 @@ def test_int64_min_delta_host_device_identical():
     host = PointcloudEncoder(info, backend="host").encode(rows, write_header=False)
     dev = PointcloudEncoder(info, backend="device").encode(rows, write_header=False)
     assert host == dev
+
+
+def test_encode_many_v5_groups_by_committed_modes():
+    """encode_many on a V5 adaptive plan batches clouds by their per-cloud
+    committed modes; streams must equal per-cloud encode() byte-for-byte even
+    when clouds in one call commit different modes."""
+    import numpy as np
+
+    from cloudini_tpu.codec.pipeline import PointcloudEncoder
+    from cloudini_tpu.core.types import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+        FieldType,
+        PointField,
+    )
+
+    rng = np.random.default_rng(7)
+    fields = (
+        PointField("x", 0, FieldType.FLOAT32, 0.001),
+        PointField("ring", 4, FieldType.UINT32, None),
+    )
+    info = EncodingInfo(
+        fields=fields, width=0, height=1, point_step=8,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
+        version=5,
+    )
+
+    def cloud(n, mode):
+        x = np.cumsum(rng.normal(0, 0.05, n)).astype(np.float32)
+        if mode == "rle":
+            ring = np.repeat(np.arange(n // 50 + 1, dtype=np.uint32), 50)[:n]
+        else:
+            ring = rng.integers(0, 2**20, n, dtype=np.uint32)
+        rows = np.zeros((n, 8), np.uint8)
+        rows[:, :4] = x.view(np.uint8).reshape(n, 4)
+        rows[:, 4:] = ring.view(np.uint8).reshape(n, 4)
+        return rows
+
+    clouds = [cloud(700, "rle"), cloud(650, "rand"), cloud(800, "rle")]
+    enc = PointcloudEncoder(info, backend="device")
+    batched = enc.encode_many([c.tobytes() for c in clouds])
+    for c, stream in zip(clouds, batched):
+        solo = PointcloudEncoder(
+            info.with_(width=c.shape[0]), backend="device"
+        ).encode(c.tobytes())
+        assert stream == solo
