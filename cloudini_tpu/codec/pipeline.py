@@ -249,10 +249,13 @@ class PointcloudEncoder:
             if self.plan.adaptive:
                 if committed_modes is None:
                     committed_modes = self._commit_modes(chunk)
+                from .. import native
+
+                emit = native.v5_encode_section if native.available() else np_v5.encode_section
                 for field in self.plan.adaptive:
                     signed, unsigned = np_v5.extract_adaptive_values(field, chunk)
                     parts.append(
-                        np_v5.encode_section(field, committed_modes[field.field_index], signed, unsigned)
+                        emit(field, committed_modes[field.field_index], signed, unsigned)
                     )
             stage1_bytes = np.concatenate(parts).tobytes() if len(parts) > 1 else parts[0].tobytes()
             out.append(self._frame(stage1_bytes))

@@ -57,17 +57,25 @@ _disabled = False
 
 def _compile() -> Optional[pathlib.Path]:
     _BUILD.mkdir(exist_ok=True)
-    tag = hashlib.sha256(_SRC.read_bytes()).hexdigest()[:16]
+    flags = ["-O3", "-march=native", "-funroll-loops"]
+    tag = hashlib.sha256(_SRC.read_bytes() + " ".join(flags).encode()).hexdigest()[:16]
     so_path = _BUILD / f"runtime-{tag}.so"
     if so_path.exists():
         return so_path
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(so_path)],
+            ["g++", *flags, "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(so_path)],
             check=True, capture_output=True, timeout=300,
         )
     except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
-        return None
+        # -march=native can fail on exotic hosts; retry portable
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(so_path)],
+                check=True, capture_output=True, timeout=300,
+            )
+        except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
+            return None
     return so_path
 
 
@@ -105,6 +113,11 @@ def get_lib():
         lib.cldn_gorilla_decode_column.restype = ctypes.c_longlong
         lib.cldn_gorilla_decode_column.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_int, ctypes.c_void_p,
+        ]
+        lib.cldn_v5_encode_section.restype = ctypes.c_longlong
+        lib.cldn_v5_encode_section.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_longlong,
         ]
         _lib = lib
         return _lib
@@ -176,6 +189,25 @@ def encode_chunk(plan: CodecPlan, rows: np.ndarray, max_point_bytes: int) -> np.
     rc = lib.cldn_encode_chunk(
         rows.ctypes.data, rows.shape[1], n, _specs(plan), len(plan.units),
         out.ctypes.data, out.size,
+    )
+    return out[: _check(rc)]
+
+
+def v5_encode_section(field, mode: int, signed: np.ndarray, unsigned: np.ndarray) -> np.ndarray:
+    """Native emit of one adaptive field's committed-mode section (wire
+    oracle: ref/v5.py encode_section)."""
+    lib = get_lib()
+    assert lib is not None
+    signed = np.ascontiguousarray(signed, dtype=np.int64)
+    unsigned = np.ascontiguousarray(unsigned, dtype=np.uint64)
+    n = signed.shape[0]
+    bpv = field.bytes_per_value
+    # worst case: mode byte + u32 + per value (10B varint + 10B uvarint)
+    cap = 8 + n * (max(bpv, 10) + 10)
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.cldn_v5_encode_section(
+        signed.ctypes.data, unsigned.ctypes.data, n, mode, bpv,
+        out.ctypes.data, cap,
     )
     return out[: _check(rc)]
 

@@ -18,6 +18,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 namespace {
 
@@ -500,6 +501,134 @@ long long cldn_encode_chunk(
   }
   delete[] states;
   return err != 0 ? err : pos;
+}
+
+// V5 adaptive section encode: values of one int field for one chunk ->
+// mode byte + payload (wire: v5_codec.cpp:33-38, 423-491; layout documented
+// in cloudini_tpu/ref/v5.py which is the oracle for these bytes).
+// Returns bytes written or <0.
+long long cldn_v5_encode_section(
+    const int64_t* signed_vals, const uint64_t* raw_vals, long long n,
+    int mode, int bpv, uint8_t* out, long long cap) {
+  long long pos = 0;
+  auto put8 = [&](uint8_t b) -> bool {
+    if (pos >= cap) return false;
+    out[pos++] = b;
+    return true;
+  };
+  auto put_raw = [&](uint64_t v) -> bool {
+    if (pos + bpv > cap) return false;
+    store_le(out + pos, v, bpv);
+    pos += bpv;
+    return true;
+  };
+  auto put_uvarint = [&](uint64_t u) -> bool {
+    while (u > 0x7F) {
+      if (!put8(static_cast<uint8_t>(u) | 0x80)) return false;
+      u >>= 7;
+    }
+    return put8(static_cast<uint8_t>(u));
+  };
+  auto put_zigzag = [&](int64_t v) -> bool {
+    // the +1 NaN-reservation bias, like put_varint
+    if (pos + 10 > cap) return false;
+    pos += put_varint(v, out + pos);
+    return true;
+  };
+
+  if (!put8(static_cast<uint8_t>(mode))) return kErrOutputFull;
+  switch (mode) {
+    case 0: {  // DeltaVarint
+      int64_t prev = 0;
+      for (long long i = 0; i < n; ++i) {
+        if (!put_zigzag(signed_vals[i] - prev)) return kErrOutputFull;
+        prev = signed_vals[i];
+      }
+    } break;
+    case 1: {  // Palette: u16 count + values (first occurrence) + packed idx
+      // insertion-order open-addressing map over the raw u64 values
+      size_t tab = 1;
+      while (tab < static_cast<size_t>(2 * n + 2)) tab <<= 1;
+      std::vector<uint64_t> keys(tab);
+      std::vector<int32_t> slot_rank(tab, -1);
+      std::vector<uint64_t> palette;
+      std::vector<int32_t> idx(n);
+      for (long long i = 0; i < n; ++i) {
+        const uint64_t v = raw_vals[i];
+        uint64_t h = v * 0x9E3779B97F4A7C15ULL;
+        h ^= h >> 32;
+        size_t s = static_cast<size_t>(h) & (tab - 1);
+        for (;;) {
+          if (slot_rank[s] < 0) {
+            slot_rank[s] = static_cast<int32_t>(palette.size());
+            keys[s] = v;
+            palette.push_back(v);
+            break;
+          }
+          if (keys[s] == v) break;
+          s = (s + 1) & (tab - 1);
+        }
+        idx[i] = slot_rank[s];
+      }
+      const size_t count = palette.size();
+      if (count == 0 || count > 0xFFFF) return kErrBadUnit;
+      if (!put8(count & 0xFF) || !put8((count >> 8) & 0xFF)) return kErrOutputFull;
+      for (uint64_t v : palette) {
+        if (!put_raw(v)) return kErrOutputFull;
+      }
+      int bits = 0;
+      while ((1ULL << bits) < count) ++bits;  // ceil(log2(count)), 0 for 1
+      const long long nbytes = (static_cast<long long>(bits) * n + 7) / 8;
+      if (pos + nbytes > cap) return kErrOutputFull;
+      std::memset(out + pos, 0, nbytes);
+      long long bitpos = 0;
+      for (long long i = 0; i < n; ++i) {  // LSB-first
+        uint32_t v = static_cast<uint32_t>(idx[i]);
+        for (int b = 0; b < bits; ++b, ++bitpos) {
+          out[pos + (bitpos >> 3)] |= ((v >> b) & 1) << (bitpos & 7);
+        }
+      }
+      pos += nbytes;
+    } break;
+    case 2: {  // Rle: u32 run count + (raw value + uvarint length)*
+      if (pos + 4 > cap) return kErrOutputFull;
+      const long long rc_pos = pos;
+      pos += 4;
+      uint32_t runs = 0;
+      long long i = 0;
+      while (i < n) {
+        long long j = i + 1;
+        while (j < n && raw_vals[j] == raw_vals[i]) ++j;
+        if (!put_raw(raw_vals[i]) || !put_uvarint(static_cast<uint64_t>(j - i)))
+          return kErrOutputFull;
+        ++runs;
+        i = j;
+      }
+      store_le(out + rc_pos, runs, 4);
+    } break;
+    case 3: {  // DeltaRle: u32 run count + (zigzag diff + uvarint length)*
+      if (pos + 4 > cap) return kErrOutputFull;
+      const long long rc_pos = pos;
+      pos += 4;
+      uint32_t runs = 0;
+      int64_t prev = 0;
+      long long i = 0;
+      while (i < n) {
+        const int64_t d = signed_vals[i] - prev;
+        long long j = i + 1;
+        while (j < n && signed_vals[j] - signed_vals[j - 1] == d) ++j;
+        if (!put_zigzag(d) || !put_uvarint(static_cast<uint64_t>(j - i)))
+          return kErrOutputFull;
+        ++runs;
+        prev = signed_vals[j - 1];
+        i = j;
+      }
+      store_le(out + rc_pos, runs, 4);
+    } break;
+    default:
+      return kErrBadUnit;
+  }
+  return pos;
 }
 
 // Standalone Gorilla column encode: bits[n] -> byte-aligned stream.

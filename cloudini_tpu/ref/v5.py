@@ -284,29 +284,29 @@ def decode_section(
         run_count = int(np.frombuffer(data[pos : pos + 4].tobytes(), dtype=np.uint32)[0])
         pos += 4
         if mode == MODE_RLE:
-            run_vals = np.empty(run_count, dtype=np.uint64)
-            run_lens = np.empty(run_count, dtype=np.int64)
-            for r in range(run_count):
-                if len(data) - pos < bpv:
-                    raise ValueError("V5 adaptive int: truncated RLE value")
-                run_vals[r] = _bytes_to_u64(data[pos : pos + bpv], bpv)[0]
-                pos += bpv
-                rl, pos = _read_uvarint(data, pos)
-                run_lens[r] = rl
+            # (raw value bytes + uvarint length) pairs: raw bytes can carry
+            # any MSB, so terminator counting alone cannot find boundaries —
+            # instead the per-run successor (skip bpv, then to the next
+            # terminator) is evaluated for ALL starts at once by binary
+            # lifting, like the device mixed-stream decoder
+            run_vals, run_lens, pos = _decode_rle_runs(data, pos, run_count, bpv)
             if run_lens.sum() != expected_points:
                 raise ValueError("V5 adaptive int: RLE run count does not fill chunk")
             values = np.repeat(run_vals, run_lens).astype(np.int64)
         else:
-            run_diffs = np.empty(run_count, dtype=np.int64)
-            run_lens = np.empty(run_count, dtype=np.int64)
-            for r in range(run_count):
-                d, nan_mask, consumed = unpack_varints(data, 1, pos)
-                if nan_mask.any():
-                    raise ValueError("decodeVarint: unexpected NaN marker")
-                run_diffs[r] = d[0]
-                pos += consumed
-                rl, pos = _read_uvarint(data, pos)
-                run_lens[r] = rl
+            # the Delta-RLE payload is ALL varints (zigzag diff, uvarint run
+            # length, alternating) — one vectorized boundary pass over
+            # 2*run_count tokens instead of a per-run python loop
+            from .varint import find_varint_boundaries, gather_varints, zigzag_decode
+
+            starts, lengths = find_varint_boundaries(data, 2 * run_count, pos)
+            u, nan_mask = gather_varints(data, starts, lengths)
+            if nan_mask[0::2].any():
+                raise ValueError("decodeVarint: unexpected NaN marker")
+            run_diffs = zigzag_decode(u[0::2] - np.uint64(1))
+            run_lens = u[1::2].astype(np.int64)  # raw uvarints: no bias
+            if run_count:
+                pos = int(starts[-1] + lengths[-1])
             if run_lens.sum() != expected_points:
                 raise ValueError("V5 adaptive int: Delta-RLE run count does not fill chunk")
             diffs = np.repeat(run_diffs, run_lens)
@@ -319,6 +319,53 @@ def decode_section(
         b = vals.reshape(-1, 1).view(np.uint8)
         out[:, field.offset : field.offset + dt.itemsize] = b.reshape(expected_points, dt.itemsize)
     return pos
+
+
+def _decode_rle_runs(data: np.ndarray, pos: int, run_count: int, bpv: int):
+    """Vectorized parse of run_count (raw value + uvarint length) pairs.
+    Returns (values u64, lengths i64, new pos)."""
+    if run_count == 0:
+        return np.zeros(0, np.uint64), np.zeros(0, np.int64), pos
+    n = len(data)
+    idx = np.arange(n - pos, dtype=np.int64)
+    view = data[pos:]
+    # nt[b] = offset (from pos) of the first terminator byte at-or-after b
+    term_at = np.where((view & np.uint8(0x80)) == 0, idx, n - pos)
+    nt = np.minimum.accumulate(term_at[::-1])[::-1]
+    # successor of a run start = skip bpv value bytes, consume one uvarint
+    lim = n - pos
+    probe = np.minimum(idx + bpv, lim - 1) if lim else idx
+    succ = np.where(idx + bpv >= lim, lim, np.minimum(nt[probe] + 1, lim))
+    succ = np.append(succ, lim)  # fixpoint at lim
+    # run starts = succ^k(0) for all k, by binary lifting
+    ks = np.arange(run_count)
+    fk = succ
+    cur = np.zeros(run_count, dtype=np.int64)
+    bit = 1
+    while bit <= run_count:
+        take = (ks & bit) != 0
+        if take.any():
+            cur = np.where(take, fk[cur], cur)
+        fk = fk[np.minimum(fk, lim)]
+        bit <<= 1
+    starts = cur
+    uv_starts = starts + bpv
+    if np.any(uv_starts >= lim):
+        raise ValueError("V5 adaptive int: truncated RLE value")
+    uv_ends = nt[uv_starts]
+    if np.any(uv_ends >= lim):
+        raise ValueError("V5 adaptive int: truncated RLE value")
+    uv_lens = uv_ends - uv_starts + 1
+    if np.any(uv_lens > 10):
+        raise ValueError("varint too long (overflow)")
+    vals = _bytes_to_u64(
+        view[(starts[:, None] + np.arange(bpv)[None, :]).ravel()], bpv
+    )
+    from .varint import gather_varints
+
+    u, _ = gather_varints(data, (uv_starts + pos), uv_lens.astype(np.int32))
+    new_pos = pos + int(uv_starts[-1] + uv_lens[-1])
+    return vals, u.astype(np.int64), new_pos
 
 
 def _bytes_to_u64(data: np.ndarray, bpv: int) -> np.ndarray:
