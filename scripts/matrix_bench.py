@@ -113,6 +113,15 @@ def configs():
         )
         yield f"lidar XYZI lossy+{comp.name}", info, rows
 
+    lossless = tuple(
+        PointField(n, 4 * i, FieldType.FLOAT32, None) for i, n in enumerate("xyzi")
+    )
+    info = EncodingInfo(
+        fields=lossless, width=rows.shape[0], height=1, point_step=16,
+        encoding_opt=EncodingOptions.LOSSLESS, compression_opt=CompressionOption.ZSTD,
+    )
+    yield "lidar XYZI lossless+ZSTD", info, rows
+
     raw = (SAMPLES / "dds_message.bin").read_bytes()
     pc = get_deserialized_point_cloud_message(raw)
     fields = apply_resolution_profile({}, pc.fields, default_resolution=0.001)
