@@ -104,3 +104,20 @@ def test_random_plan_roundtrip_and_backend_parity(seed):
             m = np.isfinite(orig)
             assert np.array_equal(np.isnan(got), ~m)
             assert np.abs(np.where(m, got - orig, 0)).max() <= f.resolution * 1.0001
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_random_plan_encode_many_parity(seed):
+    """encode_many on random schemas: batched streams (device, one dispatch
+    where the plan allows) must equal per-cloud encode()."""
+    rng = np.random.default_rng(1000 + seed)
+    info, _ = _random_info(rng)
+    sizes = [int(rng.integers(1, 2 * CHUNK)) for _ in range(3)]
+    clouds = [_random_rows(rng, info, n) for n in sizes]
+    enc = PointcloudEncoder(info.with_(width=0), backend="device", chunk_points=CHUNK)
+    batched = enc.encode_many([c.tobytes() for c in clouds])
+    for c, stream, n in zip(clouds, batched, sizes):
+        solo = PointcloudEncoder(
+            info.with_(width=n), backend="device", chunk_points=CHUNK
+        ).encode(c.tobytes())
+        assert stream == solo, f"seed {seed}: batched stream differs at n={n}"
