@@ -62,6 +62,16 @@ def _bucket(c: int) -> int:
     return 1 << (c - 1).bit_length() if c > 1 else 1
 
 
+def _quarter_octave(n: int) -> int:
+    """Round up to the next quarter-octave boundary (a multiple of 2^(b-3)
+    for b = bit_length, i.e. 4 buckets per power of two), then to 1 KiB
+    alignment (device buffers whose minor dim is not a 128-multiple fall off
+    the fast DMA path)."""
+    n = max(n, 1024)
+    step = 1 << max(n.bit_length() - 3, 0)
+    return -(-(-(-n // step) * step) // 1024) * 1024
+
+
 # auto-backend threshold: a host-resident encode call pays H2D + dispatch +
 # D2H per call, so per-message streaming (a handful of chunks) runs faster on
 # the native host codec; the device wins once a call carries enough chunks to
@@ -558,10 +568,14 @@ class PointcloudDecoder:
         c = len(raws)
         c_pad = _bucket(c)
         # +1 guarantees the buffer exceeds every raw size so the decoder's
-        # clamped-at-B truncation sentinel is always > the real size;
-        # round to 1 KiB buckets to bound recompiles
+        # clamped-at-B truncation sentinel is always > the real size.
+        # Bucket to quarter-octave steps (~19% apart): a stream of varying
+        # message sizes then compiles a BOUNDED set of decoder programs
+        # (jaxlib's CPU client crashes once a few hundred executables pile
+        # up in one process, and every program costs compile time) at a
+        # worst-case ~19% of wasted scan/sort width
         max_bytes = max((len(r) for r in raws), default=0) + 1
-        max_bytes = -(-max_bytes // 1024) * 1024
+        max_bytes = _quarter_octave(max_bytes)
         self._device_dec = cached_decoder(
             plan, info.point_step, self.chunk_points, max_bytes, raw_words_out=True
         )

@@ -472,7 +472,29 @@ class DeviceStage1Encoder:
 
 # ---------------------------------------------------------------- program cache
 
-_PROGRAM_CACHE: dict = {}
+from collections import OrderedDict
+
+# LRU: jaxlib's CPU client becomes unstable once a few hundred compiled
+# executables accumulate in one process, and long streaming runs over many
+# schemas/size-buckets would otherwise grow without bound. Evicting the
+# encoder/decoder object drops its jitted program (jax caches are keyed by
+# the bound function object).
+_PROGRAM_CACHE: "OrderedDict" = OrderedDict()
+_PROGRAM_CACHE_MAX = 64
+
+
+def _cache_put(key, value):
+    _PROGRAM_CACHE[key] = value
+    _PROGRAM_CACHE.move_to_end(key)
+    while len(_PROGRAM_CACHE) > _PROGRAM_CACHE_MAX:
+        _PROGRAM_CACHE.popitem(last=False)
+
+
+def _cache_get(key):
+    v = _PROGRAM_CACHE.get(key)
+    if v is not None:
+        _PROGRAM_CACHE.move_to_end(key)
+    return v
 
 
 def cached_encoder(plan: CodecPlan, point_step: int, chunk_points: int = 32 * 1024,
@@ -486,10 +508,10 @@ def cached_encoder(plan: CodecPlan, point_step: int, chunk_points: int = 32 * 10
         tuple(sorted(adaptive_modes.items())) if adaptive_modes else None,
         stage2,
     )
-    enc = _PROGRAM_CACHE.get(key)
+    enc = _cache_get(key)
     if enc is None:
         enc = DeviceStage1Encoder(plan, point_step, chunk_points, adaptive_modes, stage2)
-        _PROGRAM_CACHE[key] = enc
+        _cache_put(key, enc)
     return enc
 
 
@@ -497,10 +519,10 @@ def cached_decoder(plan: CodecPlan, point_step: int, chunk_points: int = 32 * 10
                    max_bytes: int | None = None,
                    raw_words_out: bool = False) -> "DeviceStage1Decoder":
     key = ("dec", plan, point_step, chunk_points, max_bytes, raw_words_out)
-    dec = _PROGRAM_CACHE.get(key)
+    dec = _cache_get(key)
     if dec is None:
         dec = DeviceStage1Decoder(plan, point_step, chunk_points, max_bytes, raw_words_out)
-        _PROGRAM_CACHE[key] = dec
+        _cache_put(key, dec)
     return dec
 
 
