@@ -306,14 +306,16 @@ class PointcloudEncoder:
             # V5: the committed adaptive modes are compile-time state of the
             # device program, and PER-CLOUD (probed on each cloud's first
             # 4096 points, v5_codec.cpp:934-948) — batch clouds that
-            # committed to the SAME modes together, one dispatch per group
-            modes_per_cloud = [
-                tuple(sorted(self._commit_modes(r[: self.chunk_points]).items()))
-                for r in rows_list
-            ]
+            # committed to the SAME modes together, one dispatch per group.
+            # Zero-point clouds have no chunks (and nothing to probe): their
+            # stream is the bare header.
             out: List[Optional[bytes]] = [None] * len(rows_list)
             groups: Dict[tuple, List[int]] = {}
-            for i, m in enumerate(modes_per_cloud):
+            for i, r in enumerate(rows_list):
+                if r.shape[0] == 0:
+                    out[i] = encode_header(infos[i])
+                    continue
+                m = tuple(sorted(self._commit_modes(r[: self.chunk_points]).items()))
                 groups.setdefault(m, []).append(i)
             for modes_key, idxs in groups.items():
                 streams = self._encode_many_batch(

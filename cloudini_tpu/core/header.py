@@ -153,6 +153,9 @@ def decode_header(data: bytes) -> Tuple[EncodingInfo, int]:
 
     # YAML payload starts with newline followed by a non-brace; legacy binary
     # payload starts with the brace of an inline schema (cloudini.cpp:377-393).
+    # Inherited quirk, kept for interop: a BINARY header whose width's low
+    # byte is 0x0A also matches this detector and misroutes — exactly as the
+    # reference's own detector does on the same bytes.
     if len(data) >= pos + 2 and data[pos] == ord("\n") and data[pos + 1] != ord("{"):
         pos += 1
         null_pos = data.find(b"\0", pos)

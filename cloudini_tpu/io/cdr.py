@@ -140,7 +140,9 @@ class CdrEncoder:
     def _prim(self, fmt: str, size: int, value) -> "CdrEncoder":
         if size >= 2:
             self._align(size)
-        self._buf += struct.pack("<" + fmt, value)
+        # honor the encapsulation's endianness flag like the reference's
+        # encoder, which byte-swaps on mismatch (nanocdr.hpp:402-408)
+        self._buf += struct.pack(("<" if self.header.endianness == LITTLE else ">") + fmt, value)
         return self
 
     def u8(self, v):
@@ -188,7 +190,8 @@ class CdrEncoder:
         return len(self._buf)
 
     def patch_u32(self, offset: int, value: int) -> None:
-        struct.pack_into("<I", self._buf, offset, value)
+        end = "<" if self.header.endianness == LITTLE else ">"
+        struct.pack_into(end + "I", self._buf, offset, value)
 
     def tobytes(self) -> bytes:
         return bytes(self._buf)

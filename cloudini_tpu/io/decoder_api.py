@@ -14,7 +14,7 @@ from typing import Optional, Tuple
 import numpy as np
 
 from ..codec.pipeline import PointcloudDecoder
-from ..core.header import decode_header
+from ..core.header import decode_header, encode_header
 from ..core.types import EncodingInfo, FieldType
 from .ros_msgs import get_deserialized_point_cloud_message
 
@@ -63,6 +63,8 @@ class CloudiniDecoder:
     @staticmethod
     def _structured(info: EncodingInfo, rows: np.ndarray) -> np.ndarray:
         dtype = info.point_dtype()
+        if rows.shape[0] == 0:  # reshape(0, -1) is ambiguous in numpy
+            return np.zeros(0, dtype=dtype)
         return rows.reshape(-1).view(np.uint8).reshape(rows.shape[0], -1).view(dtype).reshape(-1)
 
 
@@ -78,9 +80,13 @@ class CloudiniEncoder:
     def _encoder(self, info: EncodingInfo):
         from ..codec.pipeline import PointcloudEncoder
 
-        enc = self._cache.get(info)
+        # cache by the width-independent schema: a live topic's per-message
+        # point count varies, and a per-width cache would grow without bound
+        key = info.with_(width=0, height=1)
+        enc = self._cache.get(key)
         if enc is None:
-            enc = self._cache[info] = PointcloudEncoder(info, backend=self._backend)
+            enc = self._cache[key] = PointcloudEncoder(key, backend=self._backend)
+        enc.info, enc.header = info, encode_header(info)
         return enc
 
     @staticmethod
@@ -115,10 +121,17 @@ class CloudiniEncoder:
 
     def encode_pointcloud_message(self, dds_msg: bytes, resolution: float = 0.001) -> bytes:
         """Raw DDS PointCloud2 -> cloudini stream (header + chunks).
-        Equivalent of cldn_EncodePointcloudMessage (wasm_functions.cpp:169-213)."""
+        Equivalent of cldn_EncodePointcloudMessage (wasm_functions.cpp:169-213),
+        including its data-size validation (the reference returns 0 on a
+        width*height*point_step mismatch; a silent truncation here would emit
+        a header declaring more points than the stream carries)."""
         info, pc = self._info_from_dds(dds_msg, resolution)
-        n_points = len(pc.data) // info.point_step if info.point_step else 0
-        return self._encoder(info).encode(pc.data[: n_points * info.point_step])
+        expected = info.width * info.height * info.point_step
+        if len(pc.data) != expected:
+            raise ValueError(
+                f"data size mismatch: expected {expected}, got {len(pc.data)}"
+            )
+        return self._encoder(info).encode(pc.data)
 
     def encode_pointcloud_data(self, header_as_yaml: str, pc_data: bytes) -> bytes:
         """(YAML header, raw interleaved rows) -> cloudini stream.

@@ -141,11 +141,26 @@ class McapReader:
     def _scan(self) -> None:
         buf = self._data
         end = len(buf)
-        # ignore trailing magic when walking the data section
+        # First pass never decompresses chunks: schema/channel records written
+        # by conformant writers (including McapWriter) are repeated
+        # uncompressed in the summary section, which this top-level walk
+        # reaches anyway. Decompressing every chunk here doubled the dominant
+        # cost of reading a compressed bag (messages() decompresses again).
+        chunks_seen = False
         for op, s, e in self._iter_records(buf, len(MAGIC), end):
-            self._handle_record(buf, op, s, e, top_level=True)
+            if op == OP_CHUNK:
+                chunks_seen = True
+            else:
+                self._handle_record(buf, op, s, e, top_level=False)
             if op == OP_FOOTER:
                 break
+        if chunks_seen and not self.channels:
+            # summaryless bag whose schema/channel records live inside chunks
+            for op, s, e in self._iter_records(buf, len(MAGIC), end):
+                if op == OP_CHUNK:
+                    self._handle_record(buf, op, s, e, top_level=True)
+                elif op == OP_FOOTER:
+                    break
 
     def _handle_record(self, buf, op, s, e, top_level: bool) -> None:
         if op == OP_HEADER:

@@ -52,6 +52,8 @@ def read_pcd(path: str) -> Tuple[EncodingInfo, np.ndarray]:
     pos = 0
     while True:
         nl = data.find(b"\n", pos)
+        if nl < 0:  # truncated header: no newline-terminated DATA line
+            raise ValueError("malformed PCD: missing DATA line")
         line = data[pos:nl].decode("ascii", errors="replace")
         pos = nl + 1
         if line.startswith("#"):

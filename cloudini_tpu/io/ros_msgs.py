@@ -68,6 +68,8 @@ def get_deserialized_point_cloud_message(dds_msg: bytes) -> RosPointCloud2:
         name = cdr.string()
         offset = cdr.u32()
         ftype = cdr.u8()
+        # like the reference, PointField.count is read and ignored
+        # (ros_msg_utils.cpp:77-78; elements past the first are not encoded)
         _count = cdr.u32()  # not used
         out.fields.append(PointField(name, offset, FieldType(ftype)))
     out.is_bigendian = cdr.bool_()
@@ -199,7 +201,13 @@ def convert_compressed_to_point_cloud2(
     info, header_len = decode_header(pc.data)
     codec = decoder if decoder is not None else PointcloudDecoder()
     rows = codec.decode(info, pc.data[header_len:])
-    enc.raw(rows.tobytes()[:cloud_size])
+    payload = rows.tobytes()[:cloud_size]
+    if len(payload) < cloud_size:
+        # the message-level width*height may exceed the embedded stream's
+        # point count; the declared CDR sequence length must still be met
+        # (the reference decodes into a pre-sized cloud_size buffer)
+        payload += b"\0" * (cloud_size - len(payload))
+    enc.raw(payload)
     enc.bool_(pc.is_dense)
     return enc.tobytes()
 

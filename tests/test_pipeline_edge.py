@@ -174,3 +174,70 @@ def test_encode_many_v5_groups_by_committed_modes():
             info.with_(width=c.shape[0]), backend="device"
         ).encode(c.tobytes())
         assert stream == solo
+
+
+def test_review_edge_cases():
+    """Regression lock for review findings: empty-cloud structured decode,
+    empty cloud inside a V5 encode_many batch, truncated PCD header, and
+    big-endian CDR encapsulation honored on write."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from cloudini_tpu.codec.pipeline import PointcloudEncoder
+    from cloudini_tpu.core.types import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+        FieldType,
+        PointField,
+    )
+    from cloudini_tpu.io.decoder_api import CloudiniDecoder
+
+    # empty cloud -> structured array decode must not crash
+    info = EncodingInfo(
+        fields=(PointField("x", 0, FieldType.FLOAT32, 0.001),),
+        width=0, height=1, point_step=4,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
+    )
+    stream = PointcloudEncoder(info, backend="host").encode(b"")
+    dinfo, cloud = CloudiniDecoder(backend="host").decode_data(stream)
+    assert cloud.shape == (0,) and cloud.dtype.names == ("x",)
+
+    # V5 batch containing an empty cloud: header-only stream, no probe crash
+    v5 = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, 0.001),
+            PointField("ring", 4, FieldType.UINT16, None),
+        ),
+        width=0, height=1, point_step=6,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
+        version=5,
+    )
+    rng = np.random.default_rng(0)
+    full = np.zeros((300, 6), np.uint8)
+    full[:, :4] = rng.normal(0, 1, 300).astype(np.float32).view(np.uint8).reshape(300, 4)
+    enc = PointcloudEncoder(v5, backend="device")
+    streams = enc.encode_many([full.tobytes(), b"", full.tobytes()])
+    assert streams[1] == PointcloudEncoder(
+        v5.with_(width=0), backend="host"
+    ).encode(b"")
+
+    # truncated PCD header raises instead of looping forever
+    import tempfile
+
+    from cloudini_tpu.io.pcd import read_pcd
+
+    with tempfile.NamedTemporaryFile(suffix=".pcd", delete=False) as f:
+        f.write(b"VERSION 0.7\nFIELDS x")  # no DATA line, no trailing newline
+        path = f.name
+    with pytest.raises(ValueError, match="DATA"):
+        read_pcd(path)
+
+    # big-endian encapsulation flag -> big-endian primitives on write
+    from cloudini_tpu.io.cdr import BIG, CdrEncoder, CdrHeader
+
+    enc_be = CdrEncoder(CdrHeader(endianness=BIG))
+    enc_be.u32(0x01020304)
+    assert enc_be.tobytes()[4:8] == struct.pack(">I", 0x01020304)
