@@ -271,6 +271,18 @@ class PointcloudEncoder:
             out.append(self._frame(stage1_bytes))
         return b"".join(out)
 
+    def encode_with_info(self, cloud_data, info: EncodingInfo,
+                         write_header: bool = True) -> bytes:
+        """Encode under a per-message ``info`` (same schema, varying
+        width/height) while sharing this encoder's compiled programs — the
+        supported form of the streaming tools' former mutate-internals idiom."""
+        saved = self.info, self.header
+        try:
+            self.info, self.header = info, encode_header(info)
+            return self.encode(cloud_data, write_header)
+        finally:
+            self.info, self.header = saved
+
     def encode_many(self, clouds: List, infos: Optional[List[EncodingInfo]] = None) -> List[bytes]:
         """Encode MANY same-schema clouds with ONE device dispatch.
 

@@ -86,7 +86,6 @@ class CloudiniEncoder:
         enc = self._cache.get(key)
         if enc is None:
             enc = self._cache[key] = PointcloudEncoder(key, backend=self._backend)
-        enc.info, enc.header = info, encode_header(info)
         return enc
 
     @staticmethod
@@ -131,7 +130,7 @@ class CloudiniEncoder:
             raise ValueError(
                 f"data size mismatch: expected {expected}, got {len(pc.data)}"
             )
-        return self._encoder(info).encode(pc.data)
+        return self._encoder(info).encode_with_info(pc.data, info)
 
     def encode_pointcloud_data(self, header_as_yaml: str, pc_data: bytes) -> bytes:
         """(YAML header, raw interleaved rows) -> cloudini stream.
@@ -144,4 +143,4 @@ class CloudiniEncoder:
             raise ValueError(
                 f"data size mismatch: expected {expected}, got {len(pc_data)}"
             )
-        return self._encoder(info).encode(pc_data)
+        return self._encoder(info).encode_with_info(pc_data, info)

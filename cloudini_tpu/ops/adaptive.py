@@ -307,5 +307,7 @@ def encode_section_device(field: AdaptiveField, mode: int, rows, valid, max_byte
 
 
 def section_max_bytes(field: AdaptiveField, chunk_points: int) -> int:
-    """Static worst case: header + per-point (value bytes + 10-byte varint)."""
-    return 8 + chunk_points * (field.bytes_per_value + 10)
+    """Static worst-case section size — single source of truth is the field
+    itself (core/plan.py AdaptiveField.section_max_bytes), shared with the
+    host decompression bound so device scratch and host limits never drift."""
+    return field.section_max_bytes(chunk_points)

@@ -31,33 +31,8 @@ def extract_u32(rows: jnp.ndarray, offset: int) -> jnp.ndarray:
     return _assemble_uint(_bytes_at(rows, offset, 4), 4, jnp.uint32)
 
 
-def extract_u64(rows: jnp.ndarray, offset: int) -> jnp.ndarray:
-    return _assemble_uint(_bytes_at(rows, offset, 8), 8, jnp.uint64)
-
-
 def extract_f32(rows: jnp.ndarray, offset: int) -> jnp.ndarray:
     return jax.lax.bitcast_convert_type(extract_u32(rows, offset), jnp.float32)
-
-
-def extract_f64(rows: jnp.ndarray, offset: int) -> jnp.ndarray:
-    return jax.lax.bitcast_convert_type(extract_u64(rows, offset), jnp.float64)
-
-
-def extract_int(rows: jnp.ndarray, offset: int, ftype: FieldType) -> jnp.ndarray:
-    """Any integer field -> int64 (sign-extended) like ToInt64<T>
-    (encoding_utils.hpp:69-73)."""
-    width = {
-        FieldType.INT8: 1, FieldType.UINT8: 1,
-        FieldType.INT16: 2, FieldType.UINT16: 2,
-        FieldType.INT32: 4, FieldType.UINT32: 4,
-        FieldType.INT64: 8, FieldType.UINT64: 8,
-    }[FieldType(ftype)]
-    signed = FieldType(ftype) in (FieldType.INT8, FieldType.INT16, FieldType.INT32, FieldType.INT64)
-    u = _assemble_uint(_bytes_at(rows, offset, width), width, jnp.uint64)
-    if signed and width < 8:
-        sign_bit = jnp.uint64(1) << jnp.uint64(8 * width - 1)
-        u = jnp.where(u & sign_bit != 0, u | (~jnp.uint64(0) << jnp.uint64(8 * width)), u)
-    return u.astype(jnp.int64)
 
 
 def split_bytes(values: jnp.ndarray, width: int) -> jnp.ndarray:

@@ -127,15 +127,13 @@ class HostShardedConverter:
                 if mcap_writer_compression is None or mcap_writer_compression == CompressionOption.ZSTD:
                     # same double-ZSTD skip as the single-host converter
                     info = info.with_(compression_opt=CompressionOption.NONE)
-                key = (info.fields, info.point_step, info.version)
-                if key not in encoders:
-                    encoders[key] = PointcloudEncoder(info)
-                enc = encoders[key]
-                enc.info = info
-                from ..core.header import encode_header
-
-                enc.header = encode_header(info)
-                payload = convert_point_cloud2_to_compressed(pc, info, enc)
+                key = info.with_(width=0, height=1)
+                enc = encoders.get(key)
+                if enc is None:
+                    enc = encoders[key] = PointcloudEncoder(key)
+                n_pts = len(pc.data) // info.point_step if info.point_step else 0
+                stream = enc.encode_with_info(pc.data[: n_pts * info.point_step], info)
+                payload = convert_point_cloud2_to_compressed(pc, info, payload=stream)
                 offset = pf.tell()
                 pf.write(payload)
                 mf.write(json.dumps({

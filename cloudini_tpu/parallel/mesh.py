@@ -61,8 +61,11 @@ class ShardedChunkCodec:
         if self._dec is None or self._dec.max_bytes != max_bytes:
             dec = DeviceStage1Decoder(self.plan, self.point_step, self.chunk_points, max_bytes)
             shard = NamedSharding(self.mesh, P(self.axis))
+            # re-jit with shardings, honoring the decoder's own path dispatch
+            # (mixed fixed-width/varint plans use the general decoder)
+            body = dec._decode_general if dec.general else dec._decode
             dec._fn = jax.jit(
-                dec._decode,
+                body,
                 in_shardings=(NamedSharding(self.mesh, P(self.axis, None)), shard, shard),
                 out_shardings=(NamedSharding(self.mesh, P(self.axis, None, None)), shard),
             )

@@ -36,27 +36,44 @@ class _GorillaState:
 
 
 def _gorilla_step(st: _GorillaState, buf: memoryview, pos: int) -> Tuple[int, int]:
-    """Decode one byte-aligned Gorilla value; returns (bits, new_pos)."""
+    """Decode one byte-aligned Gorilla value; returns (bits, new_pos).
+    Truncation and corrupt-window guards mirror ref/gorilla.decode_column so
+    the sequential walk errors identically instead of reading short slices."""
     tb = st.type_bits
+    n = len(buf)
     if st.first:
         st.first = False
         nbytes = tb // 8
+        if pos + nbytes > n:
+            raise ValueError("Gorilla: truncated input")
         value = int.from_bytes(buf[pos : pos + nbytes], "little")
         st.prev_bits = value
         return value, pos + nbytes
+    if pos >= n:
+        raise ValueError("Gorilla: truncated input")
     b0 = buf[pos]
     if (b0 & 1) == 0:
         return st.prev_bits, pos + 1
     if (b0 & 2) == 0:
         meaningful = tb - st.prev_leading - st.prev_trailing
+        if st.prev_leading == _LEADING_SENTINEL or not 1 <= meaningful <= tb:
+            raise ValueError("Gorilla: corrupt window parameters")
         nbytes = (2 + meaningful + 7) // 8
+        if pos + nbytes > n:
+            raise ValueError("Gorilla: truncated input")
         acc = int.from_bytes(buf[pos : pos + nbytes], "little")
         xor_val = ((acc >> 2) & ((1 << meaningful) - 1)) << st.prev_trailing
     else:
+        if pos + 2 > n:
+            raise ValueError("Gorilla: truncated input")
         head = int.from_bytes(buf[pos : pos + 2], "little")
         stored_leading = (head >> 2) & 0x1F
         meaningful = ((head >> 7) & 0x3F) + 1
+        if stored_leading + meaningful > tb:
+            raise ValueError("Gorilla: corrupt window parameters")
         nbytes = (13 + meaningful + 7) // 8
+        if pos + nbytes > n:
+            raise ValueError("Gorilla: truncated input")
         acc = int.from_bytes(buf[pos : pos + nbytes], "little")
         trailing = tb - stored_leading - meaningful
         xor_val = ((acc >> 13) & ((1 << meaningful) - 1)) << trailing

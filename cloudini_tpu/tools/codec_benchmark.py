@@ -34,12 +34,10 @@ FNV_PRIME = np.uint64(1099511628211)
 def fnv1a(data: bytes, state: np.uint64 = FNV_OFFSET) -> np.uint64:
     """FNV-1a over all bytes (the reference's --hash gate,
     mcap_codec_benchmark.cpp:537-560)."""
-    np.seterr(over="ignore")
     h = np.uint64(state)
     arr = np.frombuffer(data, dtype=np.uint8)
-    # block-wise to keep the Python loop short
-    for chunk in np.array_split(arr, max(1, len(arr) // 65536)):
-        for b in chunk.astype(np.uint64):
+    with np.errstate(over="ignore"):
+        for b in arr.astype(np.uint64):
             h = (h ^ b) * FNV_PRIME
     return h
 
@@ -48,10 +46,18 @@ def fnv1a_fast(data: bytes) -> int:
     """Vectorized order-sensitive fingerprint (role of the reference's FNV-1a
     gate, but parallelizable; fnv1a() above is the byte-serial original)."""
     arr = np.frombuffer(data, dtype=np.uint8).astype(np.uint64)
-    np.seterr(over="ignore")
-    k = np.arange(len(arr), dtype=np.uint64)
-    weights = np.left_shift(np.uint64(1), (k * np.uint64(7)) % np.uint64(61))
-    return int(((arr + np.uint64(0x9E3779B9)) * weights).sum(dtype=np.uint64))
+    with np.errstate(over="ignore"):
+        k = np.arange(len(arr), dtype=np.uint64)
+        weights = np.left_shift(np.uint64(1), (k * np.uint64(7)) % np.uint64(61))
+        return int(((arr + np.uint64(0x9E3779B9)) * weights).sum(dtype=np.uint64))
+
+
+def chain_fingerprint(state: int, msg_fp: int) -> int:
+    """Order- and multiplicity-sensitive combine of per-message fingerprints
+    (the reference chains FNV-1a state across messages; a plain XOR would
+    cancel out repeated identical messages)."""
+    with np.errstate(over="ignore"):
+        return int((np.uint64(state) ^ np.uint64(msg_fp)) * FNV_PRIME)
 
 
 @dataclass
@@ -123,14 +129,10 @@ def run(path: str, modes, compression: CompressionOption, resolution: float,
                     explained.add((ch.topic, mode))
                     print(f"  {ch.topic} [{mode}]:\n{explain(info)}")
             enc = encoders[key]
-            enc.info = info  # width varies per message; header is rebuilt below
-            from ..core.header import encode_header
-
-            enc.header = encode_header(info)
 
             st = stats[mode][ch.topic]
             t0 = time.perf_counter()
-            payload = enc.encode(rows)
+            payload = enc.encode_with_info(rows, info)
             st.enc_s += time.perf_counter() - t0
             st.in_bytes += rows.nbytes
             st.out_bytes += len(payload)
@@ -142,7 +144,7 @@ def run(path: str, modes, compression: CompressionOption, resolution: float,
                 decoded = decoder.decode(dinfo, payload[hlen:])
             st.dec_s += (time.perf_counter() - t0) / max(1, decode_repeat)
             if do_hash:
-                st.fingerprint ^= fnv1a_fast(decoded.tobytes())
+                st.fingerprint = chain_fingerprint(st.fingerprint, fnv1a_fast(decoded.tobytes()))
     return stats
 
 

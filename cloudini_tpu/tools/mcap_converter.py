@@ -82,21 +82,26 @@ class McapConverter:
             if not encoding and name == defs.COMPRESSED_SCHEMA_NAME:
                 name, data = defs.POINTCLOUD_SCHEMA_NAME, defs.POINTCLOUD_SCHEMA_DATA.encode()
             old_to_new_schema[sid] = writer.add_schema(name, s.encoding, data)
+        old_to_new_schema[0] = 0  # schema-less channels stay schema-less
         old_to_new_channel: Dict[int, int] = {}
         for cid in sorted(self.reader.channels):
             c = self.reader.channels[cid]
             old_to_new_channel[cid] = writer.add_channel(
-                c.topic, c.message_encoding, old_to_new_schema[c.schema_id]
+                c.topic, c.message_encoding, old_to_new_schema[c.schema_id],
+                c.metadata,
             )
         for md in self.reader.metadata:
             writer.write_metadata(md.name, md.metadata)
         return old_to_new_channel
 
     def _encoder_for(self, info: EncodingInfo, backend: str = "auto") -> PointcloudEncoder:
-        enc = self._encoder_cache.get((info, backend))
+        # keyed by the width-independent schema so per-message point counts
+        # share one encoder (and its compiled programs)
+        key = (info.with_(width=0, height=1), backend)
+        enc = self._encoder_cache.get(key)
         if enc is None:
-            enc = PointcloudEncoder(info, backend=backend)
-            self._encoder_cache[(info, backend)] = enc
+            enc = PointcloudEncoder(key[0], backend=backend)
+            self._encoder_cache[key] = enc
         return enc
 
     def encode_point_clouds(
@@ -218,9 +223,14 @@ class McapConverter:
             t0 = time.perf_counter()
             try:
                 pc, info = prepare(msg)
-                payload = convert_point_cloud2_to_compressed(
-                    pc, info, self._encoder_for(info, backend)
+                enc = self._encoder_for(info, backend)
+                n_pts = len(pc.data) // info.point_step if info.point_step else 0
+                stream = (
+                    enc.encode_with_info(pc.data[: n_pts * info.point_step], info)
+                    if pc.data
+                    else None
                 )
+                payload = convert_point_cloud2_to_compressed(pc, info, payload=stream)
             except Exception:
                 if on_error == "raise":
                     raise

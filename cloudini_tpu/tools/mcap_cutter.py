@@ -19,6 +19,7 @@ def cut(file_in: str, file_out: str, max_per_channel: int) -> int:
     for sid in sorted(reader.schemas):
         s = reader.schemas[sid]
         schema_map[sid] = writer.add_schema(s.name, s.encoding, s.data)
+    schema_map[0] = 0  # schema-less channels stay schema-less
     chan_map = {}
     for cid in sorted(reader.channels):
         c = reader.channels[cid]

@@ -58,12 +58,21 @@ def main(argv=None) -> int:
 
     src = pathlib.Path(args.filename)
     files = sorted(src.glob("*.pcd" if not args.decode else "*.cldn")) if src.is_dir() else [src]
+    suffix = ".pcd" if args.decode else ".cldn"
+    out_arg = pathlib.Path(args.output) if args.output else None
     for f in files:
+        if out_arg is None:
+            out = f.with_suffix(suffix)
+        elif src.is_dir():
+            # --output names a DIRECTORY in batch mode: one output per input
+            # (a single file path would silently overwrite all but the last)
+            out_arg.mkdir(parents=True, exist_ok=True)
+            out = out_arg / f.with_suffix(suffix).name
+        else:
+            out = out_arg
         if args.decode:
-            out = pathlib.Path(args.output) if args.output else f.with_suffix(".pcd")
             decode_file(f, out, args.backend)
         else:
-            out = pathlib.Path(args.output) if args.output else f.with_suffix(".cldn")
             encode_file(f, out, args.resolution, args.encoding, args.compression, args.backend)
     return 0
 

@@ -62,16 +62,35 @@ def run(chunks_per_device: int, iters: int, device_counts) -> None:
 
         d_rows = jax.device_put(rows, NamedSharding(mesh, P("data", None, None)))
         d_valid = jax.device_put(n_valid, NamedSharding(mesh, P("data")))
-        out = jax.block_until_ready(codec.encode(d_rows, d_valid))
-        jax.tree.map(lambda x: x.delete(), out)
+        p0, s0 = jax.block_until_ready(codec.encode(d_rows, d_valid))
+
+        # memoization-proof serialized chain (see bench.py): each iteration's
+        # input folds the previous payloads through a wide-entropy hash, so
+        # the remote runtime cannot serve cache hits or overlap independent
+        # dispatches
+        import jax.numpy as jnp
+
+        mult = np.int32(-1640531535)
+        iota = jnp.arange(chunk_points, dtype=jnp.int32)[None, :]
+
+        @jax.jit
+        def mix(r, p, k):
+            st = (p.astype(jnp.int32) * mult).sum() + k * np.int32(40503)
+            v = (((st + iota * mult) >> 7) & 0x7F).astype(jnp.uint8)
+            return r.at[:, :, 12].set(v)
+
         best = float("inf")
-        for _ in range(3):
+        for trial in range(3):
+            rr = jax.block_until_ready(mix(d_rows, p0, jnp.int32(1000 * trial)))
             t0 = time.perf_counter()
-            results = [codec.encode(d_rows, d_valid) for _ in range(iters)]
-            jax.block_until_ready(results)
+            for i in range(iters):
+                p_i, s_i = codec.encode(rr, d_valid)
+                rr = mix(rr, p_i, jnp.int32(1000 * trial + i + 1))
+            jax.block_until_ready((p_i, s_i, rr))
             best = min(best, (time.perf_counter() - t0) / iters)
-            for r in results:
-                jax.tree.map(lambda x: x.delete(), r)
+            for x in (rr, p_i, s_i):
+                x.delete()
+        p0.delete(), s0.delete()
         gbps = rows.nbytes / best / 1e9
         if base is None:
             base = gbps

@@ -68,3 +68,45 @@ def test_sharded_encode_matches_reference_kernel():
         np_stage1.decode_chunk(build_plan(info, for_decode=True),
                                payloads[i, : sizes[i]], ref, nv[i])
         assert np.array_equal(got, ref)
+
+
+def test_sharded_decode_mixed_plan_uses_general_path():
+    """Plans with fixed-width units (COPY/XOR) decode through the general
+    successor+lifting path; the sharded codec must dispatch to it (it used to
+    re-jit the pure-varint body, which raises at trace time for COPY units)."""
+    import jax
+
+    from cloudini_tpu.parallel.mesh import ShardedChunkCodec, make_mesh, shard_rows
+
+    info = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, 0.001),
+            PointField("flags", 4, FieldType.UINT8, None),  # COPY unit
+        ),
+        width=0, height=1, point_step=5,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
+    )
+    plan_e = build_plan(info)
+    plan_d = build_plan(info, for_decode=True)
+    rng = np.random.default_rng(3)
+    n = 3 * CHUNK + 17
+    rows = np.zeros((n, 5), np.uint8)
+    rows[:, :4] = (
+        np.cumsum(rng.normal(0, 0.05, n)).astype(np.float32).view(np.uint8).reshape(n, 4)
+    )
+    rows[:, 4] = rng.integers(0, 255, n, dtype=np.uint8)
+
+    mesh = make_mesh(8)
+    codec = ShardedChunkCodec(plan_e, 5, mesh, chunk_points=CHUNK)
+    d_rows, n_valid = shard_rows(rows, CHUNK, mesh)
+    payloads, sizes = codec.encode(d_rows, n_valid)
+    codec.plan = plan_d  # decode plan carries decode-side offsets
+    decoded, _consumed = codec.decode(payloads, sizes, n_valid)
+    out = np.asarray(decoded)
+    nv = np.asarray(n_valid)
+    got = np.concatenate([out[i, : nv[i]] for i in range(len(nv))])
+    # byte flags survive exactly; floats within quantization tolerance
+    assert np.array_equal(got[:, 4], rows[:, 4])
+    x0 = rows[:, :4].copy().view(np.float32).ravel()
+    x1 = got[:, :4].copy().view(np.float32).ravel()
+    assert np.abs(x1 - x0).max() <= 0.001 * 0.50001
