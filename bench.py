@@ -171,11 +171,11 @@ def main():
         # the hot no-NaN path, not the corrupt-stream reset path
         return p.at[:, -1].set(v)
 
-    # two trials with disjoint content streams (k offsets), best-of —
+    # three trials with disjoint content streams (k offsets), best-of —
     # the shared host/tunnel adds large run-to-run noise
     t_enc = float("inf")
     t_dec = float("inf")
-    for trial in range(2):
+    for trial in range(3):
         base = jnp.int32(1000 * trial)
         rr = jax.block_until_ready(_mix_rows(d_rows, payloads, base))
         t0 = time.perf_counter()
