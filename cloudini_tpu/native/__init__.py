@@ -56,26 +56,41 @@ _disabled = False
 
 
 def _compile() -> Optional[pathlib.Path]:
-    _BUILD.mkdir(exist_ok=True)
+    try:
+        _BUILD.mkdir(exist_ok=True)
+    except OSError:
+        return None  # read-only install: fall back to numpy kernels
     flags = ["-O3", "-march=native", "-funroll-loops"]
     tag = hashlib.sha256(_SRC.read_bytes() + " ".join(flags).encode()).hexdigest()[:16]
     so_path = _BUILD / f"runtime-{tag}.so"
     if so_path.exists():
         return so_path
-    try:
-        subprocess.run(
-            ["g++", *flags, "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(so_path)],
-            check=True, capture_output=True, timeout=300,
-        )
-    except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
-        # -march=native can fail on exotic hosts; retry portable
+    # compile to a private temp name and os.replace into place: a killed
+    # compiler or a concurrent builder (parallel/distributed.py workers) must
+    # never leave a partial .so at the cached path, which would brick every
+    # later process at CDLL time
+    tmp = _BUILD / f".runtime-{tag}.{os.getpid()}.tmp.so"
+
+    def _try(cmd) -> bool:
         try:
-            subprocess.run(
-                ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(so_path)],
-                check=True, capture_output=True, timeout=300,
-            )
-        except (subprocess.CalledProcessError, FileNotFoundError, subprocess.TimeoutExpired):
-            return None
+            subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+            return True
+        except (subprocess.CalledProcessError, FileNotFoundError,
+                subprocess.TimeoutExpired, OSError):
+            return False
+
+    ok = _try(["g++", *flags, "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(tmp)])
+    if not ok:
+        # -march=native can fail on exotic hosts; retry portable
+        ok = _try(["g++", "-O3", "-shared", "-fPIC", "-std=c++17", str(_SRC), "-o", str(tmp)])
+    if not ok:
+        tmp.unlink(missing_ok=True)
+        return None
+    try:
+        os.replace(tmp, so_path)  # atomic on POSIX
+    except OSError:
+        tmp.unlink(missing_ok=True)
+        return so_path if so_path.exists() else None
     return so_path
 
 
@@ -94,7 +109,14 @@ def get_lib():
         if so is None:
             _disabled = True
             return None
-        lib = ctypes.CDLL(str(so))
+        try:
+            lib = ctypes.CDLL(str(so))
+        except OSError:
+            # corrupt cached artifact (e.g. from an older interrupted build):
+            # drop it and disable for this process rather than crash callers
+            pathlib.Path(so).unlink(missing_ok=True)
+            _disabled = True
+            return None
         lib.cldn_decode_chunk.restype = ctypes.c_longlong
         lib.cldn_decode_chunk.argtypes = [
             ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p, ctypes.c_int,

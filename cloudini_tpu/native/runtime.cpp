@@ -269,6 +269,16 @@ inline int64_t load_int_field(const uint8_t* src, int32_t type_code) {
   return static_cast<int64_t>(u);
 }
 
+// int64 delta arithmetic must WRAP (the wire encodes deltas mod 2^64), but
+// signed overflow is UB in C++17 — compute in uint64 and cast back.
+inline int64_t wrap_sub(int64_t a, int64_t b) {
+  return static_cast<int64_t>(static_cast<uint64_t>(a) - static_cast<uint64_t>(b));
+}
+
+inline int64_t wrap_add(int64_t a, int64_t b) {
+  return static_cast<int64_t>(static_cast<uint64_t>(a) + static_cast<uint64_t>(b));
+}
+
 }  // namespace
 
 extern "C" {
@@ -333,7 +343,7 @@ long long cldn_decode_chunk(
             }
             break;
           }
-          const int64_t v = st.prev_i64[0] + diff;
+          const int64_t v = wrap_add(st.prev_i64[0], diff);
           st.prev_i64[0] = v;
           if (spec.offsets[0] == kSkipStore) {
           } else if (f64) {
@@ -355,7 +365,7 @@ long long cldn_decode_chunk(
           if (n < 0) { err = n; break; }
           if (is_nan) { err = kErrNanMarker; break; }  // illegal in int lanes
           pos += n;
-          const int64_t v = st.prev_i64[0] + diff;
+          const int64_t v = wrap_add(st.prev_i64[0], diff);
           st.prev_i64[0] = v;
           if (spec.offsets[0] != kSkipStore)
             store_le(row + spec.offsets[0], static_cast<uint64_t>(v), field_width(spec.type_code));
@@ -465,13 +475,13 @@ long long cldn_encode_chunk(
             st.prev_i64[0] = 0;
             break;
           }
-          const int64_t d = q - st.prev_i64[0];
+          const int64_t d = wrap_sub(q, st.prev_i64[0]);
           st.prev_i64[0] = q;
           pos += put_varint(d, out + pos);
         } break;
         case kIntDelta: {
           const int64_t v = load_int_field(row + spec.offsets[0], spec.type_code);
-          const int64_t d = v - st.prev_i64[0];
+          const int64_t d = wrap_sub(v, st.prev_i64[0]);
           st.prev_i64[0] = v;
           pos += put_varint(d, out + pos);
         } break;
@@ -541,7 +551,7 @@ long long cldn_v5_encode_section(
     case 0: {  // DeltaVarint
       int64_t prev = 0;
       for (long long i = 0; i < n; ++i) {
-        if (!put_zigzag(signed_vals[i] - prev)) return kErrOutputFull;
+        if (!put_zigzag(wrap_sub(signed_vals[i], prev))) return kErrOutputFull;
         prev = signed_vals[i];
       }
     } break;
@@ -614,9 +624,9 @@ long long cldn_v5_encode_section(
       int64_t prev = 0;
       long long i = 0;
       while (i < n) {
-        const int64_t d = signed_vals[i] - prev;
+        const int64_t d = wrap_sub(signed_vals[i], prev);
         long long j = i + 1;
-        while (j < n && signed_vals[j] - signed_vals[j - 1] == d) ++j;
+        while (j < n && wrap_sub(signed_vals[j], signed_vals[j - 1]) == d) ++j;
         if (!put_zigzag(d) || !put_uvarint(static_cast<uint64_t>(j - i)))
           return kErrOutputFull;
         ++runs;

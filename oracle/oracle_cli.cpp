@@ -9,6 +9,9 @@
 //   oracle_cli encode <spec> <raw_points.bin> <out.cldn>
 //   oracle_cli decode <in.cldn> <out_points.bin>
 //   oracle_cli header <spec> <out_header.bin>
+//   oracle_cli bound  <spec> <points_count> [include_header]
+//   oracle_cli bench  <spec> <raw_points.bin> <iters>
+//   oracle_cli dds-roundtrip <pc2.bin> <out_msg.bin> <out_pc2.bin> <res> [viz]
 //
 // <spec> is a small key=value / field list format (NOT the wire YAML):
 //   width=123 height=1 point_step=16 encoding=LOSSY compression=NONE version=5
@@ -38,7 +41,22 @@ static std::vector<uint8_t> readFile(const std::string& path) {
 
 static void writeFile(const std::string& path, const uint8_t* data, size_t size) {
   std::ofstream f(path, std::ios::binary);
+  if (!f) {
+    throw std::runtime_error("cannot open for write: " + path);
+  }
   f.write(reinterpret_cast<const char*>(data), static_cast<std::streamsize>(size));
+  f.flush();
+  if (!f) {
+    throw std::runtime_error("write failed: " + path);
+  }
+}
+
+// Per-command operand count check: indexing argv past argc is UB (argv[argc]
+// is NULL), so every command validates before touching its operands.
+static void requireArgs(int argc, int needed, const char* usage) {
+  if (argc < needed) {
+    throw std::runtime_error(std::string("usage: oracle_cli ") + usage);
+  }
 }
 
 static EncodingInfo parseSpec(const std::string& path) {
@@ -97,11 +115,13 @@ static EncodingInfo parseSpec(const std::string& path) {
 int main(int argc, char** argv) {
   try {
     if (argc < 3) {
-      std::cerr << "usage: oracle_cli encode|decode|header ..." << std::endl;
+      std::cerr << "usage: oracle_cli encode|decode|header|bound|bench|dds-roundtrip ..."
+                << std::endl;
       return 2;
     }
     const std::string cmd = argv[1];
     if (cmd == "encode") {
+      requireArgs(argc, 5, "encode <spec> <raw.bin> <out.cldn>");
       EncodingInfo info = parseSpec(argv[2]);
       auto raw = readFile(argv[3]);
       PointcloudEncoder encoder(info);
@@ -110,6 +130,7 @@ int main(int argc, char** argv) {
       writeFile(argv[4], out.data(), n);
       std::cout << n << std::endl;
     } else if (cmd == "decode") {
+      requireArgs(argc, 4, "decode <stream.cldn> <out.bin>");
       auto data = readFile(argv[2]);
       ConstBufferView view(data.data(), data.size());
       EncodingInfo info = DecodeHeader(view);
@@ -119,6 +140,7 @@ int main(int argc, char** argv) {
       writeFile(argv[3], out.data(), out.size());
       std::cout << out.size() << std::endl;
     } else if (cmd == "header") {
+      requireArgs(argc, 4, "header <spec> <out.bin>");
       EncodingInfo info = parseSpec(argv[2]);
       std::vector<uint8_t> out;
       EncodeHeader(info, out);
@@ -126,15 +148,20 @@ int main(int argc, char** argv) {
       std::cout << out.size() << std::endl;
     } else if (cmd == "bound") {
       // bound <spec> <points_count> [0|1 include_header] -> prints MaxCompressedSize
+      requireArgs(argc, 4, "bound <spec> <points_count> [include_header]");
       EncodingInfo info = parseSpec(argv[2]);
       const size_t pts = static_cast<size_t>(std::stoull(argv[3]));
       const bool with_header = argc < 5 || std::stoi(argv[4]) != 0;
       std::cout << Cloudini::MaxCompressedSize(info, pts, with_header) << std::endl;
     } else if (cmd == "bench") {
       // bench <spec> <raw_points.bin> <iters> -> prints "enc_ns dec_ns bytes compressed_bytes"
+      requireArgs(argc, 5, "bench <spec> <raw.bin> <iters>");
       EncodingInfo info = parseSpec(argv[2]);
       auto raw = readFile(argv[3]);
       const int iters = std::stoi(argv[4]);
+      if (iters < 1) {
+        throw std::runtime_error("bench: iters must be >= 1");
+      }
       PointcloudEncoder encoder(info);
       std::vector<uint8_t> out;
       size_t n = 0;
@@ -158,6 +185,7 @@ int main(int argc, char** argv) {
       std::cout << enc_ns << " " << dec_ns << " " << raw.size() << " " << n << std::endl;
     } else if (cmd == "dds-roundtrip") {
       // dds-roundtrip <pc2_dds.bin> <out_compressed_msg.bin> <out_pc2_dds.bin> <resolution> <viz:0|1>
+      requireArgs(argc, 6, "dds-roundtrip <pc2.bin> <out_msg.bin> <out_pc2.bin> <resolution> [viz]");
       auto raw = readFile(argv[2]);
       auto pc = cloudini_ros::getDeserializedPointCloudMessage(
           Cloudini::ConstBufferView(raw.data(), raw.size()));
