@@ -32,10 +32,11 @@ class Oracle:
     def __init__(self, binary: str):
         self.binary = binary
 
-    def _run(self, *args) -> None:
+    def _run(self, *args) -> str:
         r = subprocess.run([self.binary, *args], capture_output=True, text=True)
         if r.returncode != 0:
             raise RuntimeError(f"oracle_cli failed: {r.stderr.strip()}")
+        return r.stdout
 
     def encode(self, info: EncodingInfo, raw: bytes) -> bytes:
         with tempfile.TemporaryDirectory() as d:
@@ -63,11 +64,6 @@ class Oracle:
         with tempfile.TemporaryDirectory() as d:
             d = Path(d)
             (d / "spec").write_text(spec_text(info))
-            r = subprocess.run(
-                [self.binary, "bound", str(d / "spec"), str(points),
-                 "1" if include_header else "0"],
-                capture_output=True, text=True,
-            )
-            if r.returncode != 0:
-                raise RuntimeError(f"oracle_cli bound failed: {r.stderr.strip()}")
-            return int(r.stdout.strip())
+            out = self._run("bound", str(d / "spec"), str(points),
+                            "1" if include_header else "0")
+            return int(out.strip())

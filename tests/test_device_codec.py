@@ -296,11 +296,15 @@ def test_noncanonical_zero_varint_native_parity():
     out_np = np.zeros((2, 12), np.uint8)
     import os
 
+    prev = os.environ.get("CLOUDINI_TPU_NO_NATIVE")
     os.environ["CLOUDINI_TPU_NO_NATIVE"] = "1"
     try:
         np_stage1.decode_chunk(plan, data, out_np, 2)  # pure numpy oracle
     finally:
-        os.environ.pop("CLOUDINI_TPU_NO_NATIVE")
+        if prev is None:
+            os.environ.pop("CLOUDINI_TPU_NO_NATIVE")
+        else:
+            os.environ["CLOUDINI_TPU_NO_NATIVE"] = prev
     out_nat = np.zeros((2, 12), np.uint8)
     consumed = native.decode_chunk(plan, data, out_nat, 2)
     assert consumed == len(stream)

@@ -138,7 +138,6 @@ def test_fused_pipeline_roundtrip():
 
 def test_fused_pipeline_v5_adaptive():
     n = 4000
-    rng = np.random.default_rng(5)
     rows4 = _rows(n, seed=7)
     ring = (np.arange(n) % 16).astype(np.uint16)
     rows = np.zeros((n, 18), np.uint8)

@@ -9,7 +9,6 @@ from cloudini_tpu.io import ros_definitions as defs
 from cloudini_tpu.io.mcap import McapReader, McapWriter
 from cloudini_tpu.io.ros_msgs import (
     RosPointCloud2,
-    get_deserialized_point_cloud_message,
     serialize_point_cloud2,
 )
 from cloudini_tpu.parallel.distributed import HostShardedConverter

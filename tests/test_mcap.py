@@ -6,7 +6,6 @@ import pytest
 
 from cloudini_tpu.core.types import CompressionOption, FieldType, PointField
 from cloudini_tpu.io import ros_definitions as defs
-from cloudini_tpu.io.cdr import CdrHeader
 from cloudini_tpu.io.mcap import McapReader, McapWriter
 from cloudini_tpu.io.ros_msgs import (
     RosPointCloud2,

@@ -9,6 +9,8 @@ Each test is a regression lock for a confirmed failure:
     (the reference's uint64 wraparound, encoding_utils.hpp:55-67)
 """
 
+import pathlib
+
 import numpy as np
 import pytest
 
@@ -229,11 +231,11 @@ def test_review_edge_cases():
 
     from cloudini_tpu.io.pcd import read_pcd
 
-    with tempfile.NamedTemporaryFile(suffix=".pcd", delete=False) as f:
-        f.write(b"VERSION 0.7\nFIELDS x")  # no DATA line, no trailing newline
-        path = f.name
-    with pytest.raises(ValueError, match="DATA"):
-        read_pcd(path)
+    with tempfile.TemporaryDirectory() as d:
+        path = str(pathlib.Path(d) / "trunc.pcd")
+        pathlib.Path(path).write_bytes(b"VERSION 0.7\nFIELDS x")  # no DATA line
+        with pytest.raises(ValueError, match="DATA"):
+            read_pcd(path)
 
     # big-endian encapsulation flag -> big-endian primitives on write
     from cloudini_tpu.io.cdr import BIG, CdrEncoder, CdrHeader

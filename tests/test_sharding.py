@@ -38,7 +38,7 @@ def test_sharded_encode_matches_reference_kernel():
     import jax
     from cloudini_tpu.parallel.mesh import ShardedChunkCodec, make_mesh, shard_rows
 
-    n = 23 * CHUNK + 321
+    n = 21 * CHUNK + 321  # 22 chunks -> padded to 24 on the 8-device mesh
     rng = np.random.default_rng(0)
     data = (np.cumsum(rng.normal(0, 0.05, (n, 3)), axis=0)).astype(np.float32)
     rows = np.ascontiguousarray(data).view(np.uint8).reshape(n, 12)
