@@ -137,4 +137,19 @@ def write_pcd(path: str, info: EncodingInfo, rows: np.ndarray, binary: bool = Tr
                     off += fld.size
                 f.write(out.tobytes())
         else:
-            raise NotImplementedError("ascii PCD writing not implemented")
+            f.write((header + "DATA ascii\n").encode("ascii"))
+            cols = []
+            for fld in info.fields:
+                b = rows[:, fld.offset : fld.offset + fld.size]
+                cols.append(b.copy().view(_NP_FMT[fld.type]).reshape(-1))
+            # %.9g / %.17g round-trip binary32 / binary64 exactly
+            fmt = [
+                "%.9g" if fld.type == FieldType.FLOAT32
+                else "%.17g" if fld.type == FieldType.FLOAT64
+                else "%d"
+                for fld in info.fields
+            ]
+            lines = []
+            for i in range(n):
+                lines.append(" ".join(f % c[i] for f, c in zip(fmt, cols)))
+            f.write(("\n".join(lines) + "\n").encode("ascii"))

@@ -417,3 +417,65 @@ def test_lidar_pcd_roundtrip(oracle, lidar_pcd):
         version=5,
     )
     _assert_bitexact(oracle, info, rows.tobytes())
+
+
+# ------------------------------------------------------------------ legacy v2
+
+# The reference ENCODER cannot emit version 2 (it always writes u32 chunk
+# framing, cloudini.cpp:572-588, which v2 decode does not read) — v2 streams
+# only exist from old releases. v2 decode semantics (cloudini.cpp:664-666,
+# v4_codec.cpp:108-116): the whole payload is ONE stage-2 unit and ONE
+# unframed stage-1 chunk, decoded length-driven (expected_points=0) with a
+# single predictor reset — NO 32Ki-point chunking. These tests synthesize a
+# v2 stream and lock our decode against the reference's.
+
+
+def _synthesize_v2(info, rows: np.ndarray) -> bytes:
+    from cloudini_tpu.codec import stage2
+    from cloudini_tpu.core.header import encode_header
+    from cloudini_tpu.core.plan import build_plan
+    from cloudini_tpu.ref import stage1 as np_stage1
+
+    plan = build_plan(info, for_decode=False)
+    payload = np_stage1.encode_chunk(plan, rows).tobytes()  # one chunk, no reset
+    payload = stage2.compress_chunk(info.compression_opt, payload)
+    return encode_header(info) + payload
+
+
+@pytest.mark.parametrize("compression", [CompressionOption.NONE, CompressionOption.LZ4])
+def test_v2_legacy_decode(oracle, compression):
+    # 40001 points crosses the 32768 boundary: proves the decoder does NOT
+    # reset predictors mid-stream for v2 (one continuous chunk)
+    n = 40001
+    data = _make_xyz(n, seed=202)
+    info = _xyz_info(n, compression=compression, version=2)
+    stream = _synthesize_v2(info, np.frombuffer(data.tobytes(), np.uint8).reshape(n, 12))
+    ref = oracle.decode(stream)
+    mine_info, mine = PointcloudDecoder().decode_full(stream)
+    assert mine_info.version == 2
+    assert mine.tobytes() == ref
+
+
+def test_v2_legacy_decode_float64_xor(oracle):
+    """v2 + FLOAT64 without resolution must use XOR, never Gorilla
+    (Gorilla requires version >= 4, codec_common.cpp:116-198)."""
+    n = 3000
+    rng = np.random.default_rng(7)
+    ts = (1.7e9 + np.cumsum(rng.uniform(0, 1e-4, n))).astype(np.float64)
+    x = _make_xyz(n, seed=8)
+    rows = _rows(x[:, 0].copy(), x[:, 1].copy(), x[:, 2].copy(), ts)
+    info = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, 0.001),
+            PointField("y", 4, FieldType.FLOAT32, 0.001),
+            PointField("z", 8, FieldType.FLOAT32, 0.001),
+            PointField("t", 12, FieldType.FLOAT64, None),
+        ),
+        width=n, height=1, point_step=20,
+        encoding_opt=EncodingOptions.LOSSY,
+        compression_opt=CompressionOption.NONE,
+        version=2,
+    )
+    stream = _synthesize_v2(info, rows)
+    ref = oracle.decode(stream)
+    assert PointcloudDecoder().decode_full(stream)[1].tobytes() == ref

@@ -243,3 +243,62 @@ def test_review_edge_cases():
     enc_be = CdrEncoder(CdrHeader(endianness=BIG))
     enc_be.u32(0x01020304)
     assert enc_be.tobytes()[4:8] == struct.pack(">I", 0x01020304)
+
+
+def test_pcd_ascii_roundtrip():
+    """ascii PCD write -> read -> encode/decode round trip (the reference
+    reads ascii PCDs through PCL, pcl_conversion.cpp; our reader/writer must
+    preserve values exactly: %.9g/%.17g round-trip binary32/64)."""
+    import pathlib
+    import tempfile
+
+    from cloudini_tpu.io.pcd import read_pcd, write_pcd
+
+    n = 500
+    rng = np.random.default_rng(11)
+    xyz = rng.normal(0, 10, (n, 3)).astype(np.float32)
+    inten = rng.uniform(0, 255, n).astype(np.float32)
+    ring = (np.arange(n) % 16).astype(np.uint16)
+    ts = (1.7e9 + np.cumsum(rng.uniform(0, 1e-4, n))).astype(np.float64)
+    step = 12 + 4 + 2 + 8
+    rows = np.zeros((n, step), np.uint8)
+    rows[:, 0:12] = xyz.view(np.uint8).reshape(n, 12)
+    rows[:, 12:16] = inten.reshape(-1, 1).view(np.uint8)
+    rows[:, 16:18] = ring.reshape(-1, 1).view(np.uint8)
+    rows[:, 18:26] = ts.reshape(-1, 1).view(np.uint8)
+    info = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32),
+            PointField("y", 4, FieldType.FLOAT32),
+            PointField("z", 8, FieldType.FLOAT32),
+            PointField("intensity", 12, FieldType.FLOAT32),
+            PointField("ring", 16, FieldType.UINT16),
+            PointField("t", 18, FieldType.FLOAT64),
+        ),
+        width=n, height=1, point_step=step,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        path = str(pathlib.Path(d) / "cloud.pcd")
+        write_pcd(path, info, rows, binary=False)
+        schema2, rows2 = read_pcd(path)
+    assert [f.name for f in schema2.fields] == [f.name for f in info.fields]
+    assert [f.type for f in schema2.fields] == [f.type for f in info.fields]
+    assert rows2.tobytes() == rows.tobytes()
+
+    # and through the codec: lossy floats + v5-adaptive ring + gorilla ts
+    enc_info = schema2.with_(
+        fields=tuple(
+            PointField(f.name, f.offset, f.type,
+                       0.001 if f.type == FieldType.FLOAT32 else None)
+            for f in schema2.fields
+        ),
+        encoding_opt=EncodingOptions.LOSSY,
+        compression_opt=CompressionOption.NONE,
+        version=5,
+    )
+    stream = PointcloudEncoder(enc_info, backend="host").encode(rows2.tobytes())
+    out_info, out = PointcloudDecoder().decode_full(stream)
+    got_xyz = out[:, 0:12].copy().view(np.float32).reshape(n, 3)
+    assert np.allclose(got_xyz, xyz, atol=0.001 * 1.0001)
+    assert out[:, 16:18].tobytes() == ring.tobytes()
+    assert out[:, 18:26].tobytes() == ts.tobytes()  # gorilla lossless
