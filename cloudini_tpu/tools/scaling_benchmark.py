@@ -10,18 +10,20 @@ CPU contention, not interconnect).
 
 Usage:
   python -m cloudini_tpu.tools.scaling_benchmark [--chunks-per-device 4]
-         [--iters 10] [--devices 1,2,4,8]
+         [--iters 10] [--devices 1,2,4,8] [--json PATH] [--force-cpu]
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import time
 
 import numpy as np
 
 
-def run(chunks_per_device: int, iters: int, device_counts) -> None:
+def run(chunks_per_device: int, iters: int, device_counts,
+        json_path: str | None = None) -> None:
     import jax
 
     from ..core.plan import build_plan
@@ -50,6 +52,7 @@ def run(chunks_per_device: int, iters: int, device_counts) -> None:
     counts = [d for d in device_counts if d <= n_avail]
     rng = np.random.default_rng(0)
     base = None
+    records = []
     print(f"{'devices':>8s} {'chunks':>7s} {'ms/step':>9s} {'GB/s':>8s} {'efficiency':>11s}")
     for d in counts:
         mesh = make_mesh(d)
@@ -95,7 +98,22 @@ def run(chunks_per_device: int, iters: int, device_counts) -> None:
         if base is None:
             base = gbps
         eff = gbps / (base * d / counts[0])
-        print(f"{d:8d} {c:7d} {best*1e3:9.3f} {gbps:8.1f} {100*eff:10.1f}%")
+        print(f"{d:8d} {c:7d} {best*1e3:9.3f} {gbps:8.2f} {100*eff:10.1f}%")
+        records.append({"devices": d, "chunks": c, "ms_per_step": round(best * 1e3, 3),
+                        "gbps": round(gbps, 3), "efficiency_pct": round(100 * eff, 1)})
+    if json_path:
+        platform = jax.devices()[0].platform
+        with open(json_path, "w") as f:
+            json.dump({
+                "metric": "weak-scaling encode over jax.sharding.Mesh (data axis)",
+                "platform": platform,
+                "mechanism_validation_only": platform == "cpu",
+                "note": ("virtual CPU devices share host cores: efficiency "
+                         "reflects CPU contention, not interconnect; the "
+                         "harness emits the >=80% metric unchanged on a real "
+                         "multi-chip slice") if platform == "cpu" else "",
+                "rows": records,
+            }, f, indent=1)
 
 
 def main(argv=None) -> int:
@@ -103,8 +121,17 @@ def main(argv=None) -> int:
     p.add_argument("--chunks-per-device", type=int, default=4)
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--devices", default="1,2,4,8")
+    p.add_argument("--json", default=None, help="write rows to this JSON file")
+    p.add_argument("--force-cpu", action="store_true",
+                   help="force the CPU platform (use with "
+                        "XLA_FLAGS=--xla_force_host_platform_device_count=N)")
     args = p.parse_args(argv)
-    run(args.chunks_per_device, args.iters, [int(x) for x in args.devices.split(",")])
+    if args.force_cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    run(args.chunks_per_device, args.iters,
+        [int(x) for x in args.devices.split(",")], args.json)
     return 0
 
 
