@@ -64,6 +64,7 @@ class PointcloudConverterService:
         self._log = log
         self._lock = threading.Lock()
         self._decoder = PointcloudDecoder(backend=backend)
+        self._batch_encoders: Dict = {}
         self.msg_count = 0
         self.bytes_in = 0
         self.bytes_out = 0
@@ -115,6 +116,75 @@ class PointcloudConverterService:
         pc = get_deserialized_point_cloud_message(raw_msg)
         return convert_compressed_to_point_cloud2(pc, decoder=self._decoder)
 
+    # ------------------------------------------------------------- batched
+    def convert_many(self, raw_msgs) -> list:
+        """Convert a WINDOW of messages with one device dispatch per schema
+        group (PointcloudEncoder.encode_many). Per-message streaming encode
+        pays the full H2D+dispatch+D2H round trip per call and therefore
+        routes to the host codec under ``auto``; batching a window is what
+        puts the live-stream path on the TPU. Outputs keep input order; a
+        message that fails to parse yields b\"\" (skip-and-warn), matching
+        the per-message path."""
+        if self.mode != "compress" or len(raw_msgs) <= 1:
+            out = []
+            for m in raw_msgs:
+                try:
+                    out.append(self.convert(m))
+                except Exception as exc:
+                    self._log(f"[cloudini_tpu] conversion failed: {exc}")
+                    out.append(b"")
+            return out
+        from ..codec.pipeline import PointcloudEncoder
+
+        import numpy as np
+
+        with self._lock:
+            profile, default_res = dict(self._profile or {}), self._resolution
+        parsed: list = []
+        for m in raw_msgs:
+            try:
+                pc = get_deserialized_point_cloud_message(m)
+                pc.fields = apply_resolution_profile(profile, pc.fields, default_res)
+                info = to_encoding_info(pc).with_(compression_opt=self.compression)
+                parsed.append((pc, info))
+            except Exception as exc:
+                self._log(f"[cloudini_tpu] conversion failed: {exc}")
+                parsed.append(None)
+        groups: Dict = {}
+        for i, item in enumerate(parsed):
+            if item is not None:
+                groups.setdefault(item[1].with_(width=0, height=1), []).append(i)
+        out = [b""] * len(raw_msgs)
+        for key, idxs in groups.items():
+            enc = self._batch_encoders.get(key)
+            if enc is None:
+                enc = self._batch_encoders[key] = PointcloudEncoder(key, backend=self.backend)
+            clouds, infos = [], []
+            for i in idxs:
+                pc, info = parsed[i]
+                n = len(pc.data) // info.point_step if info.point_step else 0
+                clouds.append(np.frombuffer(pc.data, np.uint8)[: n * info.point_step])
+                infos.append(info.with_(width=n, height=1))
+            try:
+                streams = enc.encode_many(clouds, infos)
+            except Exception as exc:
+                self._log(f"[cloudini_tpu] batched encode failed: {exc}")
+                continue
+            for i, stream in zip(idxs, streams):
+                pc, info = parsed[i]
+                out[i] = convert_point_cloud2_to_compressed(pc, info, payload=stream)
+        for m, o in zip(raw_msgs, out):
+            self.msg_count += 1
+            self.bytes_in += len(m)
+            self.bytes_out += len(o)
+        if self.msg_count % LOG_EVERY < len(raw_msgs):
+            ratio = 100.0 * self.bytes_out / max(1, self.bytes_in)
+            self._log(
+                f"[cloudini_tpu] {self.msg_count} msgs, "
+                f"{self.bytes_in} -> {self.bytes_out} B ({ratio:.1f}%)"
+            )
+        return out
+
 
 # ------------------------------------------------------------------ framing
 
@@ -123,30 +193,66 @@ FRAME_DATA = 0
 FRAME_CONTROL = 1
 
 
-def _read_exact(sock_file, n: int) -> bytes:
+def _read_exact(sock_file, n: int, allow_timeout_at_start: bool = False) -> bytes:
+    """Read exactly n bytes. With ``allow_timeout_at_start``, a socket timeout
+    BEFORE any byte arrives returns None (frame boundary — safe to flush a
+    pending batch); a timeout mid-frame keeps reading (framing stays intact)."""
     buf = b""
     while len(buf) < n:
-        part = sock_file.read(n - len(buf))
+        try:
+            part = sock_file.read(n - len(buf))
+        except (TimeoutError, socket.timeout):
+            if allow_timeout_at_start and not buf:
+                return None
+            continue
         if not part:
             raise EOFError
         buf += part
     return buf
 
 
-def serve_connection(service: PointcloudConverterService, rfile, wfile) -> int:
-    """Drain frames until EOF; returns the number of data frames served."""
+def serve_connection(service: PointcloudConverterService, rfile, wfile,
+                     batch_window: int = 0) -> int:
+    """Drain frames until EOF; returns the number of data frames served.
+
+    ``batch_window`` > 0 buffers up to that many data frames and converts the
+    window with ONE device dispatch per schema group (convert_many); replies
+    are written in order at each flush. Flush triggers: window full, any
+    control frame, read timeout at a frame boundary, EOF."""
     served = 0
+    pending: list = []
+
+    def flush():
+        nonlocal served
+        if not pending:
+            return
+        for out in service.convert_many(pending):
+            wfile.write(_FRAME_HDR.pack(FRAME_DATA, len(out)) + out)
+            served += 1
+        wfile.flush()
+        pending.clear()
+
     while True:
         try:
-            hdr = _read_exact(rfile, _FRAME_HDR.size)
+            hdr = _read_exact(rfile, _FRAME_HDR.size, allow_timeout_at_start=True)
         except EOFError:
+            flush()
             return served
+        if hdr is None:  # idle timeout at a frame boundary
+            flush()
+            continue
         ftype, size = _FRAME_HDR.unpack(hdr)
         payload = _read_exact(rfile, size)
         if ftype == FRAME_CONTROL:
+            flush()  # parameters must not apply retroactively to queued frames
             params = json.loads(payload.decode())
             for k, v in params.items():
                 service.set_param(k, v)
+            continue
+        if batch_window > 0:
+            pending.append(payload)
+            if len(pending) >= batch_window:
+                flush()
             continue
         try:
             out = service.convert(payload)
@@ -169,6 +275,13 @@ def main(argv=None) -> int:
     ap.add_argument("--listen", default=None, metavar="HOST:PORT",
                     help="serve a TCP socket instead of stdin/stdout")
     ap.add_argument("--backend", default="auto", choices=["auto", "host", "device"])
+    ap.add_argument("--batch-window", type=int, default=0, metavar="N",
+                    help="buffer up to N messages and encode the window in one "
+                         "device dispatch per schema (replies are batched; "
+                         "trades per-message latency for TPU throughput)")
+    ap.add_argument("--batch-timeout-ms", type=int, default=50, metavar="MS",
+                    help="flush a partial batch after this idle time "
+                         "(TCP mode only)")
     args = ap.parse_args(argv)
 
     service = PointcloudConverterService(
@@ -185,12 +298,14 @@ def main(argv=None) -> int:
         while True:
             conn, addr = srv.accept()
             with conn:
+                if args.batch_window > 0 and args.batch_timeout_ms > 0:
+                    conn.settimeout(args.batch_timeout_ms / 1e3)
                 rfile = conn.makefile("rb")
                 wfile = conn.makefile("wb")
-                n = serve_connection(service, rfile, wfile)
+                n = serve_connection(service, rfile, wfile, args.batch_window)
                 print(f"[cloudini_tpu] {addr}: served {n} frames", file=sys.stderr)
     else:
-        serve_connection(service, sys.stdin.buffer, sys.stdout.buffer)
+        serve_connection(service, sys.stdin.buffer, sys.stdout.buffer, args.batch_window)
     return 0
 
 

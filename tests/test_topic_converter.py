@@ -95,3 +95,46 @@ def test_bad_message_skip_and_warn():
     assert serve_connection(svc, rfile, wfile) == 1
     _, size = _HDR.unpack_from(wfile.getvalue(), 0)
     assert size == 0 and any("failed" in m for m in logs)
+
+
+def test_batch_window_matches_per_message(raw_msg):
+    """convert_many (one device dispatch per schema group) must produce the
+    SAME bytes as per-message convert, in order, and the framed server must
+    flush batches on window-full / control / EOF boundaries."""
+    per = PointcloudConverterService(mode="compress", resolution=0.001, backend="host")
+    expected = [per.convert(raw_msg) for _ in range(3)]
+
+    svc = PointcloudConverterService(mode="compress", resolution=0.001)
+    got = svc.convert_many([raw_msg] * 3)
+    assert got == expected
+    assert svc.msg_count == 3
+
+    # framed stream: 3 data frames + control + 1 data frame, window 8 -> the
+    # control frame forces an early flush; EOF flushes the tail
+    svc2 = PointcloudConverterService(mode="compress", resolution=0.001)
+    buf = io.BytesIO()
+    for _ in range(3):
+        buf.write(_HDR.pack(FRAME_DATA, len(raw_msg)) + raw_msg)
+    ctl = json.dumps({"cloudini_resolution": 0.05}).encode()
+    buf.write(_HDR.pack(FRAME_CONTROL, len(ctl)) + ctl)
+    buf.write(_HDR.pack(FRAME_DATA, len(raw_msg)) + raw_msg)
+    buf.seek(0)
+    out = io.BytesIO()
+    served = serve_connection(svc2, buf, out, batch_window=8)
+    assert served == 4
+    out.seek(0)
+    frames = []
+    while True:
+        hdr = out.read(_HDR.size)
+        if not hdr:
+            break
+        ftype, size = _HDR.unpack(hdr)
+        frames.append(out.read(size))
+    assert frames[:3] == expected
+    assert len(frames) == 4 and frames[3] != expected[0]  # coarser resolution applied
+
+    # a malformed message inside a batch yields b"" without killing the window
+    svc3 = PointcloudConverterService(mode="compress", resolution=0.001)
+    got3 = svc3.convert_many([raw_msg, b"\x00\x01junk", raw_msg])
+    assert got3[0] == expected[0] and got3[2] == expected[0]
+    assert got3[1] == b""
