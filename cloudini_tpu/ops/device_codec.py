@@ -59,18 +59,15 @@ def decoder_prefers_device(plan: CodecPlan) -> bool:
 
 
 def decoder_supports_plan(plan: CodecPlan) -> bool:
-    """Device decode requires position-independent token lengths: varints are
-    self-delimiting (terminator bit) and COPY/XOR tokens have static widths, so
-    point boundaries are discoverable in parallel (terminator prefix-sums for
-    pure-varint plans; speculative successor + binary lifting for mixed plans).
-    Gorilla token lengths depend on the sequential window state
-    (field_decoder.hpp:155-300) — those plans decode host/native-side. Plans
-    with no regular units (all V5-adaptive) have nothing to decode on device."""
-    return (
-        bool(plan.units)
-        and all(u.kind != UnitKind.GORILLA for u in plan.units)
-        and encoder_supports_plan(plan)
-    )
+    """Device decode covers every unit kind: pure-varint plans via the
+    terminator scan+sort path, all-fixed plans arithmetically, and everything
+    else (mixed fixed/varint, Gorilla) via the enumerative-FSM block decoder
+    (ops/fsm.py) — whose Gorilla-window state factorization supports at most
+    ONE Gorilla unit per plan (more would multiply the hypothesis space).
+    Plans with no regular units (all V5-adaptive) have nothing to decode on
+    device."""
+    n_gorilla = sum(1 for u in plan.units if u.kind == UnitKind.GORILLA)
+    return bool(plan.units) and n_gorilla <= 1 and encoder_supports_plan(plan)
 
 
 # ===================================================================== encode
@@ -745,8 +742,13 @@ class DeviceStage1Decoder:
         self.point_step = point_step
         self.chunk_points = chunk_points
         self.raw_words_out = raw_words_out and self._identity_floatn(plan, point_step)
-        # mixed fixed-size/varint plans use the successor + binary-lifting path
+        # routing: pure-varint plans -> terminator scan+sort; all-fixed plans
+        # -> arithmetic stride walk (_decode_general's no-varint branch);
+        # everything else (mixed fixed/varint, Gorilla) -> the FSM decoder
+        has_varint = any(u.is_varint_class for u in plan.units)
+        has_gorilla = any(u.kind == UnitKind.GORILLA for u in plan.units)
         self.general = not plan.all_varint_class
+        self.fsm = has_gorilla or (self.general and has_varint)
         self.tokens_per_point = sum(
             u.num_lanes if u.kind == UnitKind.FLOATN_LOSSY else 1 for u in plan.units
         )
@@ -757,7 +759,13 @@ class DeviceStage1Decoder:
         if max_bytes is None:
             max_bytes = chunk_points * plan.max_encoded_point_bytes + 1
         self.max_bytes = max_bytes
-        self._fn = jax.jit(self._decode_general if self.general else self._decode)
+        if self.fsm:
+            from .fsm_decode import FsmStage1Decoder
+
+            self._fsm_dec = FsmStage1Decoder(plan, point_step, chunk_points)
+            self._fn = jax.jit(self._fsm_dec.decode)
+        else:
+            self._fn = jax.jit(self._decode_general if self.general else self._decode)
 
     @staticmethod
     def _identity_floatn(plan: CodecPlan, point_step: int) -> bool:

@@ -1,0 +1,394 @@
+"""Enumerative-FSM parallel decoder for interleaved mixed-token streams.
+
+The interleaved V4 wire (reference: v4_codec.cpp:85-117, field_decoder.hpp)
+is a per-record sequence of tokens whose lengths are data-dependent: varints
+(self-delimiting), fixed-width COPY/XOR tokens (arbitrary byte values), and
+Gorilla tokens (length depends on control bits AND the sequential
+leading/trailing window, field_decoder.hpp:155-300). Pure-varint plans are
+decoded by the terminator-scan path (device_codec._decode); everything else
+needs point boundaries that no local rule can produce.
+
+This module finds them with the enumerative-speculation construction used by
+SIMD byte-stream parsers (simdjson-style), mapped to the TPU's strengths:
+
+  * the byte-level parser is a small FSM whose positional state says which
+    token slot the byte belongs to (varint slot / fixed-byte countdown /
+    Gorilla countdown). The only non-positional state is the Gorilla window,
+    which matters only through the REUSE-token byte length L = ceil((2+m)/8)
+    in 1..9 — so it is factored into a 10-value state component instead of
+    the full (leading, trailing) window.
+  * the stream is split into blocks of K bytes. Pass 1 evolves, for every
+    block in parallel, the state vector of ALL entry hypotheses through the
+    block's bytes (a lax.scan of K purely ARITHMETIC transition steps — the
+    state numbering is chosen so almost every transition is ``p + 1``; no
+    lookup tables, no gathers). Pass 2 stitches the true entry state through
+    the blocks (tiny sequential scan). Pass 3 replays each block once with
+    its true entry and emits the per-byte state.
+  * with per-byte states known, every token's start is an elementwise
+    predicate; values are assembled with the running-sum trick: each byte
+    contributes ``byte << 8*pos`` (or ``group << 7*pos`` for varints) to a
+    96-bit running sum, and ONE sort compacts the sums at token-end bytes to
+    dense token order — the same movement doctrine as the pure-varint path.
+
+The per-chunk first Gorilla token is the raw type-width value
+(field_encoder.hpp:161-166); the FSM gives record 0 its own state codes so
+that chain flows through a raw-token branch exactly once.
+
+Restrictions: at most one GORILLA unit per plan (the window component would
+multiply per extra unit); plans with no varint and no Gorilla use the cheaper
+arithmetic path in device_codec. Wire behavior is locked against the numpy
+kernel of truth and the reference C++ in tests/test_device_fsm.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.plan import CodecPlan, UnitKind
+from ..core.types import size_of
+
+HL = 10  # Gorilla window-length component: 0 = unset sentinel, 1..9 = bytes
+
+
+@dataclass(frozen=True)
+class _Slot:
+    kind: str  # 'V' (varint), 'F' (fixed width), 'G' (gorilla)
+    width: int  # F/G: byte width; V: 0
+    unit_index: int
+    lane: int
+
+
+class FsmLayout:
+    """Static state numbering for one plan.
+
+    Positional codes (record0 region first so the ``+1`` advance never
+    collides with the wrap sentinel):
+      [0, R0)            record-0 copies of slots 0..gslot (Gorilla start is
+                         the last record-0 code; consumes the raw token)
+      [R0, R0+P)         steady-state codes: slot entries consecutive in
+                         stream order; a Gorilla slot occupies its start code
+                         g0 plus countdown codes g0+1..g0+9 where code
+                         g0 + (10 - r) means "r bytes of the token remain
+                         (including the current byte)" — so advancing is
+                         always ``p + 1`` and a token of length n enters at
+                         g0 + 11 - n
+      R0 + P             wrap sentinel: mapped back to the first slot's
+                         steady-state entry
+      -1                 IDLE (dynamic-start streams only): consumes bytes
+                         before the stream's start offset
+    The full state code is ``p * HL + L`` when a Gorilla slot exists
+    (L = window length component), else just ``p``.
+    """
+
+    def __init__(self, plan: CodecPlan, dynamic_start: bool = False):
+        slots: List[_Slot] = []
+        for ui, unit in enumerate(plan.units):
+            if unit.kind == UnitKind.FLOATN_LOSSY:
+                for lane in range(unit.num_lanes):
+                    slots.append(_Slot("V", 0, ui, lane))
+            elif unit.kind in (UnitKind.FLOAT_LOSSY, UnitKind.INT_DELTA):
+                slots.append(_Slot("V", 0, ui, 0))
+            elif unit.kind in (UnitKind.COPY, UnitKind.FLOAT_XOR):
+                slots.append(_Slot("F", int(unit.fixed_size), ui, 0))
+            elif unit.kind == UnitKind.GORILLA:
+                slots.append(_Slot("G", size_of(unit.types[0]), ui, 0))
+            else:  # pragma: no cover
+                raise NotImplementedError(unit.kind)
+        self.slots = slots
+        self.T = len(slots)
+        gs = [i for i, s in enumerate(slots) if s.kind == "G"]
+        if len(gs) > 1:
+            raise NotImplementedError("FSM decode supports at most one Gorilla unit")
+        self.gslot: Optional[int] = gs[0] if gs else None
+        if dynamic_start and self.gslot is not None:
+            raise NotImplementedError("dynamic-start FSM streams cannot carry Gorilla")
+        self.dynamic_start = dynamic_start
+        self.hl = HL if self.gslot is not None else 1
+
+        # record-0 region: slots 0..gslot-1 at full width, then 1 code for the
+        # raw-token Gorilla start
+        r0 = 0
+        if self.gslot is not None:
+            for s in slots[: self.gslot]:
+                r0 += 1 if s.kind == "V" else s.width
+            self.r0g = r0  # record-0 gorilla start code
+            r0 += 1
+        self.R0 = r0
+
+        # steady-state entries
+        entry = []
+        p = r0
+        for s in slots:
+            entry.append(p)
+            if s.kind == "V":
+                p += 1
+            elif s.kind == "F":
+                p += s.width
+            else:  # G: start + 9 countdown codes
+                p += 10
+        self.entry = entry
+        self.P = p - r0
+        self.wrap = p  # p+1 flow hits this -> entry[0]
+        self.g0 = entry[self.gslot] if self.gslot is not None else None
+
+        # V-code sets (steady + record0) as sorted ranges for mask building
+        v_codes = [entry[i] for i, s in enumerate(slots) if s.kind == "V"]
+        if self.gslot is not None:
+            q = 0
+            for s in slots[: self.gslot]:
+                if s.kind == "V":
+                    v_codes.append(q)
+                    q += 1
+                else:
+                    q += s.width
+        self.v_ranges = _ranges(sorted(v_codes))
+        # F first-byte codes (token starts) incl. record-0 copies
+        f_codes = [entry[i] for i, s in enumerate(slots) if s.kind == "F"]
+        if self.gslot is not None:
+            q = 0
+            for s in slots[: self.gslot]:
+                if s.kind == "F":
+                    f_codes.append(q)
+                q += 1 if s.kind == "V" else s.width
+        self.f_start_codes = sorted(f_codes)
+        self.entry0 = 0 if self.gslot is not None else self.entry[0]
+        self.n_hyp = self.P * self.hl + 1  # steady codes + (ENTRY0 or IDLE)
+
+    # ------------------------------------------------------------ transitions
+
+    def step(self, s: jnp.ndarray, f: jnp.ndarray, lmap: Optional[jnp.ndarray]):
+        """One byte: state codes ``s`` (i32, any shape) consume feature word
+        ``f`` (broadcastable). Pure arithmetic — see the class docstring for
+        the numbering that makes the default transition ``p + 1``."""
+        hl = self.hl
+        if hl > 1:
+            p = s // hl
+            l = s - p * hl
+        else:
+            p, l = s, None
+        msb = f & 1
+        p1 = p + 1
+        # varint codes hold while the continuation bit is set
+        is_v = _in_ranges(p, self.v_ranges)
+        p1 = jnp.where(is_v & (msb > 0), p, p1)
+        if self.gslot is not None:
+            gcls = (f >> 1) & 3
+            n_new = (f >> 3) & 15
+            l_new = (f >> 7) & 15
+            at_g = p == self.g0
+            # L component -> actual reuse byte length via the (static) tier map
+            l_act = jnp.zeros_like(p)
+            for i in range(1, hl):
+                l_act = jnp.where(l == i, lmap[i], l_act)
+            n = jnp.where(gcls == 1, l_act, jnp.where((gcls & 1) == 0, 1, n_new))
+            n = jnp.maximum(n, 1)  # corrupt reuse-without-window: flagged in replay
+            p1 = jnp.where(at_g, self.g0 + 11 - n, p1)
+            p1 = jnp.where(p == self.r0g, self.g0 + 11 - self.slots[self.gslot].width, p1)
+            l1 = jnp.where(at_g & (gcls == 3), l_new, l)
+        else:
+            l1 = None
+        p1 = jnp.where(p1 == self.wrap, self.entry[0], p1)
+        if self.dynamic_start:
+            enter = (f >> 12) & 1
+            p1 = jnp.where(p == -1, jnp.where(enter > 0, self.entry[0], -1), p1)
+        return p1 * hl + l1 if hl > 1 else p1
+
+    def replay_corrupt(self, p: jnp.ndarray, l, f: jnp.ndarray) -> jnp.ndarray:
+        """Corrupt-window predicate for the TRUE chain (reference raises:
+        'Gorilla: corrupt window parameters', ref/gorilla.py)."""
+        if self.gslot is None:
+            return jnp.zeros(p.shape, bool)
+        gcls = (f >> 1) & 3
+        bad_new = ((f >> 11) & 1) > 0
+        at_g = p == self.g0
+        return at_g & (((gcls == 1) & (l == 0)) | ((gcls == 3) & bad_new))
+
+    def hyp_codes(self) -> np.ndarray:
+        """Entry-hypothesis state codes: every steady code, then ENTRY0/IDLE.
+        (IDLE only exists for dynamic-start streams, which never carry Gorilla,
+        so its code is plain -1.)"""
+        steady = np.arange(self.P * self.hl, dtype=np.int32) + self.R0 * self.hl
+        extra = np.int32(-1 if self.dynamic_start else self.entry0 * self.hl)
+        return np.concatenate([steady, [extra]]).astype(np.int32)
+
+    def token_starts(self, p_bytes: jnp.ndarray, p_final: jnp.ndarray):
+        """(starts (C, B) bool, start_at_B (C,) bool): byte j begins a token.
+        Derived purely from positional states, so it is valid even at the
+        first byte past the live stream (whose STATE is legit although its
+        byte value is garbage) — that is where the last token's end shows."""
+        prev = jnp.concatenate(
+            [jnp.full_like(p_bytes[:, :1], -2), p_bytes[:, :-1]], axis=-1
+        )
+        ts = self._starts(p_bytes, prev)
+        at_b = self._starts(p_final, p_bytes[:, -1] if p_bytes.shape[1] else p_final)
+        return ts, at_b
+
+    def _starts(self, p, prev_p):
+        ts = _in_ranges(p, self.v_ranges) & (p != prev_p)
+        if self.f_start_codes:
+            ts = ts | _in_set(p, self.f_start_codes)
+        if self.gslot is not None:
+            ts = ts | (p == self.g0) | (p == self.r0g)
+        return ts
+
+    def code_to_hyp(self, code: jnp.ndarray) -> jnp.ndarray:
+        """Map a state code to its hypothesis index (codes outside the steady
+        region are the ENTRY0/IDLE extra — valid only where they can occur)."""
+        base = self.R0 * self.hl
+        steady = (code >= base) & (code < base + self.P * self.hl)
+        return jnp.where(steady, code - base, self.P * self.hl)
+
+
+def _ranges(codes: List[int]) -> List[Tuple[int, int]]:
+    out: List[Tuple[int, int]] = []
+    for c in codes:
+        if out and out[-1][1] == c:
+            out[-1] = (out[-1][0], c + 1)
+        else:
+            out.append((c, c + 1))
+    return out
+
+
+def _in_ranges(p: jnp.ndarray, ranges: List[Tuple[int, int]]) -> jnp.ndarray:
+    m = jnp.zeros(p.shape, bool)
+    for lo, hi in ranges:
+        m = m | ((p >= lo) & (p < hi)) if hi - lo > 1 else m | (p == lo)
+    return m
+
+
+def _in_set(p: jnp.ndarray, codes: List[int]) -> jnp.ndarray:
+    return _in_ranges(p, _ranges(sorted(codes)))
+
+
+# ------------------------------------------------------------------ features
+
+
+def build_features(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
+                   start: Optional[jnp.ndarray], lmap_inv) -> jnp.ndarray:
+    """Per-byte packed feature word (C, B) i32:
+    bit 0 msb; bits 1-2 byte&3; bits 3-6 new-window token length (2..10);
+    bits 7-10 new-window L lane index; bit 11 corrupt new-window header;
+    bit 12 next-byte-enters-stream (dynamic start)."""
+    b = payloads.astype(jnp.int32)
+    f = (b >> 7) & 1
+    if layout.gslot is not None:
+        bits = layout.slots[layout.gslot].width * 8
+        b1 = jnp.concatenate([b[:, 1:], jnp.zeros_like(b[:, :1])], axis=-1)
+        head = b | (b1 << 8)
+        m = ((head >> 7) & 0x3F) + 1
+        lead = (head >> 2) & 0x1F
+        n_new = (13 + m + 7) >> 3
+        l_new_lane = lmap_inv(( (2 + m + 7) >> 3 ))
+        corrupt_new = (lead + m) > bits
+        f = f | ((b & 3) << 1) | (n_new << 3) | (l_new_lane << 7) | (corrupt_new.astype(jnp.int32) << 11)
+    if layout.dynamic_start:
+        idx = jnp.arange(payloads.shape[1], dtype=jnp.int32)[None, :]
+        f = f | (((idx + 1) == start[:, None]).astype(jnp.int32) << 12)
+    return f
+
+
+def gorilla_l_values(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray):
+    """Superset of reuse byte-lengths L that can occur in the stream: the
+    hypothetical new-window L at EVERY in-range byte whose low bits read as a
+    new-window control. Returns a 10-bit scalar mask (bit L set = present)."""
+    b = payloads.astype(jnp.int32)
+    b1 = jnp.concatenate([b[:, 1:], jnp.zeros_like(b[:, :1])], axis=-1)
+    m = (((b | (b1 << 8)) >> 7) & 0x3F) + 1
+    L = (2 + m + 7) >> 3
+    idx = jnp.arange(payloads.shape[1], dtype=jnp.int32)[None, :]
+    cand = (idx < sizes[:, None]) & ((b & 3) == 3)
+    mask = jnp.int32(0)
+    for v in range(1, 10):
+        mask = mask | jnp.where(jnp.any(cand & (L == v)), jnp.int32(1 << v), 0)
+    return mask
+
+
+# ------------------------------------------------------------------ passes
+
+
+def run_fsm(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
+            start: Optional[jnp.ndarray] = None, block: int = 512):
+    """Three-pass FSM over (C, B) payloads. Returns (p_bytes (C, B) i32
+    positional codes, corrupt (C,) bool, p_final (C,) positional code of the
+    virtual byte B — the state the chain would be in after the whole buffer)."""
+    c, b = payloads.shape
+    k = min(block, b) if b else 1
+    nb = max(-(-b // k), 1)
+    pad = nb * k - b
+    if layout.hl > 1:
+        lmask = gorilla_l_values(layout, payloads, sizes)
+        # tier map: lane i >= 1 -> i-th smallest present L value (traced)
+        lmap_list = [jnp.int32(0)]
+        taken = jnp.int32(0)
+        for _ in range(1, layout.hl):
+            nxt = jnp.int32(0)
+            for v in range(1, 10):
+                hit = (((lmask >> v) & 1) > 0) & (v > taken) & (nxt == 0)
+                nxt = jnp.where(hit, jnp.int32(v), nxt)
+            lmap_list.append(nxt)
+            taken = jnp.where(nxt > 0, nxt, taken)
+        lmap = jnp.stack(lmap_list)
+
+        def lmap_inv(Lv):
+            lane = jnp.zeros_like(Lv)
+            for i in range(1, layout.hl):
+                lane = jnp.where(Lv == lmap[i], i, lane)
+            return lane
+    else:
+        lmap = None
+
+        def lmap_inv(Lv):
+            return jnp.zeros_like(Lv)
+
+    feats = build_features(layout, payloads, sizes, start, lmap_inv)
+    if pad:
+        feats = jnp.concatenate([feats, jnp.zeros((c, pad), jnp.int32)], axis=-1)
+    feats_t = feats.reshape(c, nb, k).transpose(2, 0, 1)  # (K, C, nb)
+
+    hyp_np = layout.hyp_codes()  # static numpy (H,)
+    hyp = jnp.asarray(hyp_np)
+
+    def p1_step(s, f_k):
+        return layout.step(s, f_k[:, :, None], lmap), None
+
+    entries = jnp.broadcast_to(hyp[None, None, :], (c, nb, hyp.shape[0])).astype(jnp.int32)
+    exits, _ = jax.lax.scan(p1_step, entries, feats_t)
+
+    # pass 2: stitch the true entry state through the blocks
+    e0 = jnp.full((c,), int(hyp_np[-1]), jnp.int32)
+    if layout.dynamic_start:
+        e0 = jnp.where(start == 0, jnp.int32(layout.entry[0]), e0)
+
+    def p2_step(carry, exit_b):  # exit_b: (C, H)
+        idx = layout.code_to_hyp(carry)
+        nxt = jnp.take_along_axis(exit_b, idx[:, None], axis=1)[:, 0]
+        return nxt, carry
+
+    s_final, entries_true = jax.lax.scan(p2_step, e0, exits.transpose(1, 0, 2))
+    entries_true = entries_true.transpose(1, 0)  # (C, nb)
+
+    # pass 3: replay each block once with its true entry; emit per-byte states
+    def p3_step(s, f_k):
+        return layout.step(s, f_k, lmap), s
+
+    _, states = jax.lax.scan(p3_step, entries_true, feats_t)
+    states = states.transpose(1, 2, 0).reshape(c, nb * k)[:, :b]
+
+    hl = layout.hl
+    if hl > 1:
+        p_bytes = states // hl
+        l_bytes = states - p_bytes * hl
+    else:
+        p_bytes, l_bytes = states, jnp.zeros_like(states)
+    idx = jnp.arange(b, dtype=jnp.int32)[None, :]
+    active = idx < sizes[:, None]
+    if layout.dynamic_start:
+        active = active & (p_bytes >= 0)
+    corrupt = jnp.any(active & layout.replay_corrupt(p_bytes, l_bytes, feats[:, :b]), axis=-1)
+    p_final = s_final // hl if hl > 1 else s_final
+    return p_bytes, corrupt, p_final

@@ -1,0 +1,270 @@
+"""Value assembly for the FSM-decoded mixed-token streams (ops/fsm.py).
+
+With per-byte FSM states known, decode is the running-sum doctrine of the
+pure-varint path generalized to three 32-bit limbs (tokens are up to 11
+bytes): every byte contributes ``group << 7*pos`` (varint bytes) or
+``byte << 8*pos`` (fixed/Gorilla bytes) to a 96-bit running sum along the
+stream, and ONE sort compacts the sums at token-end bytes to dense token
+order; token accumulators are adjacent 96-bit differences. Slot kind then
+decodes elementwise: varints un-zigzag (+NaN marker = biased 0, matching
+decodeVarint's u==0 semantics), fixed tokens are the raw bytes, and Gorilla
+tokens recover the XOR chain with window propagation as hold-last scans and
+the value chain as an XOR prefix scan (field_decoder.hpp:155-300; numpy
+kernel of truth ref/gorilla.py).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.plan import CodecPlan, UnitKind
+from ..core.types import DECODE_BUT_SKIP_STORE, size_of
+from . import columns as C
+from . import u64
+from .fsm import FsmLayout, run_fsm
+
+_U32 = jnp.uint32
+_INF = np.uint32(0xFFFFFFFF)
+
+
+# ------------------------------------------------------------------ 96-bit ops
+
+
+def _add96(a, b):
+    a0, a1, a2 = a
+    b0, b1, b2 = b
+    r0 = a0 + b0
+    c0 = (r0 < a0).astype(_U32)
+    u1 = a1 + b1
+    ca = u1 < a1
+    r1 = u1 + c0
+    cb = r1 < u1
+    r2 = a2 + b2 + (ca | cb).astype(_U32)
+    return r0, r1, r2
+
+
+def _sub96(a, b):
+    a0, a1, a2 = a
+    b0, b1, b2 = b
+    r0 = a0 - b0
+    bw0 = (a0 < b0).astype(_U32)
+    r1 = a1 - b1 - bw0
+    bw1 = ((a1 < b1) | ((a1 == b1) & (bw0 > 0))).astype(_U32)
+    r2 = a2 - b2 - bw1
+    return r0, r1, r2
+
+
+def _cumsum96(w):
+    """Inclusive 96-bit prefix sum along the last axis (Hillis-Steele)."""
+    n = w[0].shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    k = 1
+    while k < n:
+        sh = tuple(jnp.where(idx >= k, jnp.roll(x, k, axis=-1), 0) for x in w)
+        w = _add96(w, sh)
+        k *= 2
+    return w
+
+
+def _shr96_const(a, c: int) -> u64.U64:
+    """(a >> c) truncated to a u64 pair, 0 < c < 32."""
+    a0, a1, a2 = a
+    lo = (a0 >> np.uint32(c)) | (a1 << np.uint32(32 - c))
+    hi = (a1 >> np.uint32(c)) | (a2 << np.uint32(32 - c))
+    return lo, hi
+
+
+def _hold_last_excl(mask: jnp.ndarray, *vals):
+    """Exclusive hold-last: for each position, the values at the most recent
+    masked position STRICTLY before it (and whether one exists)."""
+    z = jnp.zeros_like(mask[:, :1])
+    mask = jnp.concatenate([z, mask[:, :-1]], axis=-1)
+    vs = [jnp.concatenate([jnp.zeros_like(v[:, :1]), v[:, :-1]], axis=-1) for v in vals]
+    n = mask.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    seen = mask
+    vs = [jnp.where(mask, v, 0) for v in vs]
+    k = 1
+    while k < n:
+        p_seen = jnp.roll(seen, k, axis=-1) & (idx >= k)
+        p_vs = [jnp.roll(v, k, axis=-1) for v in vs]
+        vs = [jnp.where(seen, v, jnp.where(idx >= k, pv, 0)) for v, pv in zip(vs, p_vs)]
+        seen = seen | p_seen
+        k *= 2
+    return (*vs, seen)
+
+
+def _xor_scan_pair(v: u64.U64) -> u64.U64:
+    lo = jax.lax.associative_scan(jnp.bitwise_xor, v[0], axis=-1)
+    hi = jax.lax.associative_scan(jnp.bitwise_xor, v[1], axis=-1)
+    return lo, hi
+
+
+# ------------------------------------------------------------------ decoder
+
+
+class FsmStage1Decoder:
+    """Chunk-batched decoder for mixed varint/fixed/Gorilla plans.
+
+    decode(payloads (C, B) u8, sizes (C,), n_valid (C,))
+        -> (rows (C, N, point_step) u8, consumed (C,) — INT32_MAX on error),
+    matching DeviceStage1Decoder's contract (device_codec.py)."""
+
+    def __init__(self, plan: CodecPlan, point_step: int, chunk_points: int,
+                 block: int = 512):
+        self.plan = plan
+        self.point_step = point_step
+        self.chunk_points = chunk_points
+        self.layout = FsmLayout(plan)
+        # a block must fully contain record 0 (its Gorilla token is the raw
+        # value and uses dedicated state codes; see FsmLayout docstring)
+        self.block = max(block, 2 * plan.max_encoded_point_bytes)
+
+    def decode(self, payloads: jnp.ndarray, sizes: jnp.ndarray, n_valid: jnp.ndarray):
+        lay = self.layout
+        Cn, B = payloads.shape
+        N, T = self.chunk_points, lay.T
+        K = N * T
+        p_bytes, g_corrupt, p_final = run_fsm(lay, payloads, sizes, block=self.block)
+
+        idx = jnp.arange(B, dtype=jnp.int32)[None, :]
+        active = idx < sizes[:, None]
+        ts_raw, ts_at_b = lay.token_starts(p_bytes, p_final)
+        ts = ts_raw & active
+        # id of the token OWNING byte j = (#starts at or before j) - 1
+        tok_id = jnp.cumsum(ts.astype(jnp.int32), axis=-1) - 1
+        K_valid = (n_valid * T).astype(jnp.int32)
+        ts_next = jnp.concatenate([ts_raw[:, 1:], ts_at_b[:, None]], axis=-1)
+        needed_end = ts_next & active & (tok_id < K_valid[:, None])
+
+        # byte position within its token
+        last_start = jax.lax.cummax(jnp.where(ts, idx, -1), axis=1)
+        pos = jnp.clip(idx - last_start, 0, 11)
+
+        is_vbyte = jnp.zeros(p_bytes.shape, bool)
+        for lo, hi in lay.v_ranges:
+            is_vbyte = is_vbyte | ((p_bytes >= lo) & (p_bytes < hi))
+        overflow = jnp.any(active & is_vbyte & (pos >= 10) & ~ts, axis=-1)
+
+        b32 = payloads.astype(_U32)
+        v = jnp.where(is_vbyte, b32 & np.uint32(0x7F), b32)
+        sh = jnp.where(is_vbyte, 7, 8) * pos
+        limbs = []
+        for kk in range(3):
+            d = sh - 32 * kk
+            left = v << (jnp.clip(d, 0, 31).astype(_U32))
+            right = v >> (jnp.clip(-d, 0, 31).astype(_U32))
+            ck = jnp.where((d >= 0) & (d < 32), left,
+                           jnp.where((d < 0) & (d > -8), right, 0))
+            limbs.append(jnp.where(active, ck, 0))
+        r = _cumsum96(tuple(limbs))
+
+        # compact running sums at token ends to dense token order (one sort)
+        key = jnp.where(needed_end, tok_id.astype(_U32), _INF)
+        ops = [key, r[0], r[1], r[2]]
+        if B < K:
+            padw = K - B
+            ops = [jnp.concatenate([o, jnp.full((Cn, padw), _INF if i == 0 else 0,
+                                                o.dtype)], axis=-1)
+                   for i, o in enumerate(ops)]
+        s_key, s0, s1, s2 = jax.lax.sort(tuple(ops), dimension=1, num_keys=1,
+                                         is_stable=False)
+        s = (s0[:, :K], s1[:, :K], s2[:, :K])
+        prev = tuple(jnp.roll(x, 1, axis=-1).at[:, 0].set(0) for x in s)
+        acc = _sub96(s, prev)
+        acc = tuple(x.reshape(Cn, N, T) for x in acc)
+
+        found = jnp.sum(needed_end.astype(jnp.int32), axis=-1)
+        truncated = found < K_valid
+        consumed = jnp.sum((active & (tok_id < K_valid[:, None])).astype(jnp.int32),
+                           axis=-1)
+
+        out = jnp.zeros((Cn, N, self.point_step), jnp.uint8)
+        bad = truncated | overflow | g_corrupt
+        pts_valid = jnp.arange(N, dtype=jnp.int32)[None, :] < n_valid[:, None]
+        for t, slot in enumerate(lay.slots):
+            unit = self.plan.units[slot.unit_index]
+            a = (acc[0][..., t], acc[1][..., t], acc[2][..., t])
+            if slot.kind == "V":
+                from .device_codec import (
+                    _dequant_store_float_lossy,
+                    _dequant_store_floatn_lane,
+                    _undelta_store_int,
+                )
+
+                biased = (a[0], a[1])  # u64 wrap, like the host assembly
+                nan = u64.is_zero(biased)
+                uu = u64.sub(
+                    biased,
+                    u64.select(nan, u64.const(0, nan.shape), u64.const(1, nan.shape)),
+                )
+                val = u64.unzigzag(uu)
+                val = u64.select(nan, u64.const(0, nan.shape), val)
+                if unit.kind == UnitKind.FLOATN_LOSSY:
+                    out = _dequant_store_floatn_lane(
+                        unit, slot.lane, val[0].astype(jnp.int32), nan, out
+                    )
+                elif unit.kind == UnitKind.FLOAT_LOSSY:
+                    out = _dequant_store_float_lossy(unit, val, nan, out)
+                else:  # INT_DELTA: the NaN marker is illegal (host raises)
+                    bad = bad | jnp.any(nan & pts_valid, axis=-1)
+                    out = _undelta_store_int(unit, val, out)
+            elif slot.kind == "F":
+                width = slot.width
+                value = (a[0], a[1])
+                if unit.kind == UnitKind.FLOAT_XOR:
+                    value = _xor_scan_pair(value)
+                if unit.offsets[0] != DECODE_BUT_SKIP_STORE:
+                    out = C.store_bytes(out, unit.offsets[0], u64.to_bytes(value, width))
+            else:  # GORILLA
+                bits, gbad = _gorilla_values(a, n_valid, slot.width)
+                bad = bad | gbad
+                if unit.offsets[0] != DECODE_BUT_SKIP_STORE:
+                    out = C.store_bytes(out, unit.offsets[0], u64.to_bytes(bits, slot.width))
+
+        consumed = jnp.where(n_valid > 0, consumed, 0)
+        return out, jnp.where(bad, np.int32(2**31 - 1), consumed)
+
+
+def _gorilla_values(a, n_valid: jnp.ndarray, width: int) -> Tuple[u64.U64, jnp.ndarray]:
+    """Per-token 96-bit accumulators of one Gorilla column -> raw value bit
+    patterns (u64 pair) + per-chunk corrupt flag. Wire rules: ref/gorilla.py
+    (reference field_decoder.hpp:155-300)."""
+    a0, a1, a2 = a
+    Cn, N = a0.shape
+    bitsw = width * 8
+    idx = jnp.arange(N, dtype=jnp.int32)[None, :]
+    validp = idx < n_valid[:, None]
+    first = idx == 0
+    low = a0.astype(jnp.int32)
+    same = validp & ~first & ((low & 1) == 0)
+    neww = validp & ~first & ((low & 3) == 3)
+    reuse = validp & ~first & ((low & 3) == 1)
+    del same  # xor = 0 there; nothing to compute
+    lead = (low >> 2) & 31
+    m_new = ((low >> 7) & 63) + 1
+    trail_new = bitsw - lead - m_new
+    bad_new = neww & (trail_new < 0)
+
+    wm, wtr, wseen = _hold_last_excl(neww, m_new, trail_new)
+    bad_reuse = reuse & ~wseen
+
+    a13 = _shr96_const(a, 13)
+    a2v = _shr96_const(a, 2)
+    xor_new = u64.shl_var(
+        u64.bit_and(a13, u64.mask_bits(m_new)), jnp.clip(trail_new, 0, 63)
+    )
+    xor_re = u64.shl_var(
+        u64.bit_and(a2v, u64.mask_bits(jnp.clip(wm, 0, 64))), jnp.clip(wtr, 0, 63)
+    )
+    zero = u64.const(0, a0.shape)
+    xor = u64.select(neww, xor_new, u64.select(reuse, xor_re, zero))
+    w0 = u64.select(first, (a0, a1) if width == 8 else (a0, jnp.zeros_like(a1)), xor)
+    w0 = u64.select(validp, w0, zero)
+    vals = _xor_scan_pair(w0)
+    corrupt = jnp.any(bad_new | bad_reuse, axis=-1)
+    return vals, corrupt

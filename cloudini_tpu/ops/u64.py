@@ -319,3 +319,33 @@ def _low_mask_nonzero(a: U64, below_pos: jnp.ndarray) -> jnp.ndarray:
     hi_mask = jnp.where(nh == 0, _ZERO, ~(_ONES << jnp.minimum(nh, 31)))
     hi_mask = jnp.where(nh >= 32, _ONES, hi_mask)
     return ((lo & lo_mask) != 0) | ((hi & hi_mask) != 0)
+
+
+def shl_var(v: U64, s: jnp.ndarray) -> U64:
+    """Logical left shift by a per-lane dynamic amount s in [0, 63]."""
+    lo, hi = v
+    s = s.astype(_U32)
+    big = s >= np.uint32(32)
+    sh = jnp.where(big, s - np.uint32(32), s) & np.uint32(31)
+    cross = jnp.where(sh == 0, _ZERO, lo >> ((np.uint32(32) - sh) & np.uint32(31)))
+    hi_small = (hi << sh) | cross
+    return jnp.where(big, _ZERO, lo << sh), jnp.where(big, lo << sh, hi_small)
+
+
+def mask_bits(m: jnp.ndarray) -> U64:
+    """(2^m - 1) as a pair, m in [0, 64] per lane."""
+    m = m.astype(jnp.int32)
+    lo = jnp.where(m >= 32, np.uint32(0xFFFFFFFF),
+                   (np.uint32(1) << (m.astype(_U32) & np.uint32(31))) - np.uint32(1))
+    hm = jnp.clip(m - 32, 0, 32)
+    hi = jnp.where(hm >= 32, np.uint32(0xFFFFFFFF),
+                   (np.uint32(1) << (hm.astype(_U32) & np.uint32(31))) - np.uint32(1))
+    return lo, jnp.where(m > 32, hi, _ZERO)
+
+
+def bit_and(a: U64, b: U64) -> U64:
+    return a[0] & b[0], a[1] & b[1]
+
+
+def bit_xor(a: U64, b: U64) -> U64:
+    return a[0] ^ b[0], a[1] ^ b[1]

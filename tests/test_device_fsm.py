@@ -1,0 +1,224 @@
+"""Device decode of Gorilla-bearing interleaved streams via the
+enumerative-FSM block decoder (ops/fsm.py + ops/fsm_decode.py).
+
+These are the plans the device previously could not decode at all
+(VERDICT r1 item 1): the flagship DDS LiDAR schema (x/y/z/intensity
+f32-lossy + f64-Gorilla timestamps) and its variants. Every test
+cross-checks device rows bit-exactly against the host decoder on streams
+produced by the host encoder (itself locked to the reference C++ by
+tests/test_golden.py); the real-fixture test additionally decodes the
+reference binary's own bytes.
+"""
+
+import numpy as np
+import pytest
+
+from cloudini_tpu.codec.pipeline import PointcloudDecoder, PointcloudEncoder
+from cloudini_tpu.core.types import (
+    CompressionOption,
+    EncodingInfo,
+    EncodingOptions,
+    FieldType,
+    PointField,
+)
+
+CHUNK = 512
+
+
+def _info(fields, n, step, version=4, comp=CompressionOption.NONE):
+    return EncodingInfo(
+        fields=tuple(fields), width=n, height=1, point_step=step,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=comp, version=version,
+    )
+
+
+def _roundtrip_both(info, rows):
+    enc = PointcloudEncoder(info, backend="host", chunk_points=CHUNK)
+    data = enc.encode(rows, write_header=False)
+    host = PointcloudDecoder(backend="host", chunk_points=CHUNK).decode(info, data)
+    dev = PointcloudDecoder(backend="device", chunk_points=CHUNK).decode(info, data)
+    assert np.array_equal(host, dev), "device decode differs from host"
+    return host
+
+
+def _ts_column(rng, n, kind):
+    """Timestamp-like f64 columns exercising each Gorilla token class."""
+    if kind == "monotonic":
+        return (1.7e9 + np.cumsum(rng.uniform(0, 1e-4, n))).astype(np.float64)
+    if kind == "constant":
+        return np.full(n, 1.7e9, np.float64)
+    if kind == "steps":  # long same-value runs + occasional jumps
+        v = np.repeat(rng.uniform(0, 1e6, max(n // 7, 1)), 7)[:n]
+        return np.resize(v, n).astype(np.float64)
+    return rng.uniform(-1e9, 1e9, n).astype(np.float64)  # random: new windows
+
+
+def _dds_rows(rng, n, kind="monotonic"):
+    pts = np.cumsum(rng.normal(0, 0.05, (n, 4)), axis=0).astype(np.float32)
+    ts = _ts_column(rng, n, kind)
+    rows = np.zeros((n, 26), np.uint8)
+    rows[:, :16] = pts.view(np.uint8).reshape(n, 16)
+    rows[:, 16:18] = (np.arange(n) % 16).astype(np.uint16).reshape(-1, 1).view(np.uint8)
+    rows[:, 18:26] = ts.reshape(-1, 1).view(np.uint8)
+    return rows, pts, ts
+
+
+_DDS_FIELDS = [
+    PointField("x", 0, FieldType.FLOAT32, 0.001),
+    PointField("y", 4, FieldType.FLOAT32, 0.001),
+    PointField("z", 8, FieldType.FLOAT32, 0.001),
+    PointField("intensity", 12, FieldType.FLOAT32, 0.001),
+    PointField("ring", 16, FieldType.UINT16, None),
+    PointField("timestamp", 18, FieldType.FLOAT64, None),
+]
+
+
+@pytest.mark.parametrize("kind", ["monotonic", "constant", "steps", "random"])
+def test_dds_schema_v4(kind):
+    """FloatN varints + ring INT_DELTA varint + f64 Gorilla, interleaved
+    (version 4: ring stays a regular varint unit)."""
+    rng = np.random.default_rng(hash(kind) % 2**31)
+    n = 2 * CHUNK + 201
+    rows, pts, ts = _dds_rows(rng, n, kind)
+    out = _roundtrip_both(_info(_DDS_FIELDS, n, 26, version=4), rows)
+    assert out[:, 18:26].tobytes() == ts.tobytes()  # gorilla lossless
+    assert out[:, 16:18].tobytes() == rows[:, 16:18].tobytes()
+    err = np.abs(out[:, :16].copy().view(np.float32).reshape(n, 4) - pts).max()
+    assert err <= 0.001 * 1.0001
+
+
+def test_dds_schema_v5_sections_host():
+    """Version 5: ring becomes a V5 adaptive section after the regular
+    stream; the FSM's `consumed` must hand the section decoder the exact
+    offset."""
+    rng = np.random.default_rng(7)
+    n = 3 * CHUNK + 33
+    rows, pts, ts = _dds_rows(rng, n, "monotonic")
+    out = _roundtrip_both(_info(_DDS_FIELDS, n, 26, version=5), rows)
+    assert out[:, 18:26].tobytes() == ts.tobytes()
+    assert out[:, 16:18].tobytes() == rows[:, 16:18].tobytes()
+
+
+def test_gorilla_only_plan():
+    """A single f64 Gorilla field: T == 1, records are back-to-back Gorilla
+    tokens (start states alternate record0 -> steady)."""
+    rng = np.random.default_rng(5)
+    n = 2 * CHUNK + 77
+    ts = _ts_column(rng, n, "monotonic")
+    rows = ts.reshape(-1, 1).view(np.uint8).copy()
+    fields = [PointField("t", 0, FieldType.FLOAT64, None)]
+    out = _roundtrip_both(_info(fields, n, 8, version=4), rows)
+    assert out.tobytes() == rows.tobytes()
+
+
+def test_gorilla_with_xor_and_copy():
+    """LOSSLESS cloud: f32 XOR + f64 Gorilla + u8 COPY interleaved (v4 maps
+    resolution-free FLOAT64 to Gorilla even in LOSSLESS,
+    codec_common.cpp:116-198)."""
+    rng = np.random.default_rng(6)
+    n = CHUNK + 13
+    x = np.cumsum(rng.normal(0, 0.05, n)).astype(np.float32)
+    ts = _ts_column(rng, n, "steps")
+    flags = rng.integers(0, 256, (n, 1), dtype=np.uint8)
+    rows = np.zeros((n, 13), np.uint8)
+    rows[:, :4] = x.reshape(-1, 1).view(np.uint8)
+    rows[:, 4:12] = ts.reshape(-1, 1).view(np.uint8)
+    rows[:, 12:] = flags
+    fields = [
+        PointField("x", 0, FieldType.FLOAT32, None),
+        PointField("t", 4, FieldType.FLOAT64, None),
+        PointField("flag", 12, FieldType.UINT8, None),
+    ]
+    info = EncodingInfo(
+        fields=tuple(fields), width=n, height=1, point_step=13,
+        encoding_opt=EncodingOptions.LOSSLESS,
+        compression_opt=CompressionOption.NONE, version=4,
+    )
+    out = _roundtrip_both(info, rows)
+    assert out.tobytes() == rows.tobytes()
+
+
+def test_dds_with_nans():
+    rng = np.random.default_rng(9)
+    n = CHUNK + 250
+    rows, pts, ts = _dds_rows(rng, n, "monotonic")
+    pts_nan = pts.copy()
+    pts_nan[rng.random((n, 4)) < 0.07] = np.nan
+    rows[:, :16] = pts_nan.view(np.uint8).reshape(n, 16)
+    out = _roundtrip_both(_info(_DDS_FIELDS, n, 26, version=4), rows)
+    assert out[:, 18:26].tobytes() == ts.tobytes()
+
+
+@pytest.mark.parametrize("n", [1, 2, 3, CHUNK - 1, CHUNK, CHUNK + 1])
+def test_dds_boundaries(n):
+    rng = np.random.default_rng(100 + n)
+    rows, pts, ts = _dds_rows(rng, n, "monotonic")
+    out = _roundtrip_both(_info(_DDS_FIELDS, n, 26, version=4), rows)
+    assert out[:, 18:26].tobytes() == ts.tobytes()
+
+
+def test_truncated_stream_raises():
+    rng = np.random.default_rng(11)
+    n = 300
+    rows, _, _ = _dds_rows(rng, n, "random")
+    info = _info(_DDS_FIELDS, n, 26, version=4)
+    enc = PointcloudEncoder(info, backend="host", chunk_points=CHUNK)
+    data = enc.encode(rows, write_header=False)
+    # cut the stage-1 payload short (keep the u32 frame consistent)
+    import struct
+
+    (size,) = struct.unpack_from("<I", data, 0)
+    cut = data[4 : 4 + size - 7]
+    bad = struct.pack("<I", len(cut)) + cut
+    dec = PointcloudDecoder(backend="device", chunk_points=CHUNK)
+    with pytest.raises(ValueError):
+        dec.decode(info, bad)
+
+
+def test_corrupt_gorilla_window_raises():
+    """A reuse token before any window is corrupt input (the reference's
+    decoder throws 'corrupt window parameters')."""
+    rng = np.random.default_rng(12)
+    n = 8
+    ts = _ts_column(rng, n, "constant")
+    rows = ts.reshape(-1, 1).view(np.uint8).copy()
+    fields = [PointField("t", 0, FieldType.FLOAT64, None)]
+    info = _info(fields, n, 8, version=4)
+    enc = PointcloudEncoder(info, backend="host", chunk_points=CHUNK)
+    data = bytearray(enc.encode(rows, write_header=False))
+    # constant column: tokens after the raw first value are single '0' bytes;
+    # flip one to a reuse control ('01') with no window established
+    data[4 + 8] = 0x01
+    dec = PointcloudDecoder(backend="device", chunk_points=CHUNK)
+    host = PointcloudDecoder(backend="host", chunk_points=CHUNK)
+    with pytest.raises(ValueError):
+        host.decode(info, bytes(data))
+    with pytest.raises(ValueError):
+        dec.decode(info, bytes(data))
+
+
+def test_dds_fixture_reference_bytes(dds_message_bin, oracle):
+    """The real 64000-pt DDS fixture: encode with the oracle (reference C++),
+    decode its bytes on device, require bit-equality with the reference's own
+    decode. This is the VERDICT r1 'done' criterion for device decode."""
+    from cloudini_tpu.core.header import decode_header
+    from cloudini_tpu.io.ros_msgs import (
+        apply_resolution_profile,
+        get_deserialized_point_cloud_message,
+    )
+
+    raw = open(dds_message_bin, "rb").read()
+    pc = get_deserialized_point_cloud_message(raw)
+    fields = apply_resolution_profile({}, pc.fields, default_resolution=0.001)
+    rows = np.frombuffer(pc.data, np.uint8).reshape(-1, pc.point_step)
+    info = EncodingInfo(
+        fields=tuple(fields), width=rows.shape[0], height=1,
+        point_step=pc.point_step, encoding_opt=EncodingOptions.LOSSY,
+        compression_opt=CompressionOption.NONE, version=5,
+    )
+    golden = oracle.encode(info, rows.tobytes())
+    ref_rows = oracle.decode(golden)
+    dinfo, hlen = decode_header(golden)
+    dev = PointcloudDecoder(backend="device")
+    got = dev.decode(dinfo, golden[hlen:])
+    assert got.tobytes() == ref_rows
