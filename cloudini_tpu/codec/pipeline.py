@@ -590,8 +590,10 @@ class PointcloudDecoder:
         # worst-case ~19% of wasted scan/sort width
         max_bytes = max((len(r) for r in raws), default=0) + 1
         max_bytes = _quarter_octave(max_bytes)
+        with_sections = bool(plan.adaptive)
         self._device_dec = cached_decoder(
-            plan, info.point_step, self.chunk_points, max_bytes, raw_words_out=True
+            plan, info.point_step, self.chunk_points, max_bytes,
+            raw_words_out=not with_sections, with_sections=with_sections,
         )
         payloads = np.zeros((c_pad, max_bytes), dtype=np.uint8)
         sizes = np.zeros(c_pad, dtype=np.int32)
@@ -608,18 +610,29 @@ class PointcloudDecoder:
                 rows_h.shape[0], self.chunk_points, info.point_step
             )
         consumed = np.asarray(consumed)
+        from ..ops.adaptive_decode import RETRY
+
         row = 0
         for i, (raw, (_, pts)) in enumerate(zip(raws, chunks)):
+            if consumed[i] == RETRY:
+                # legal-but-unusual stream shapes (e.g. per-chunk V5 wire
+                # modes diverging): decode this chunk entirely host-side
+                self._decode_stage1_host(info, plan, np.frombuffer(raw, np.uint8),
+                                         out[row : row + pts])
+                row += pts
+                continue
             if consumed[i] > len(raw):
                 raise ValueError("Truncated encoded data: not enough bytes for a complete point")
             out[row : row + pts] = rows_h[i, :pts]
-            if plan.adaptive:
+            if plan.adaptive and not with_sections:
                 data = np.frombuffer(raw, np.uint8)
                 pos = int(consumed[i])
                 for field in plan.adaptive:
                     pos = np_v5.decode_section(field, data, pos, out[row : row + pts], pts)
                 if pos != len(data):
                     raise ValueError("V5 chunk has trailing bytes after decode")
+            elif with_sections and consumed[i] != len(raw):
+                raise ValueError("V5 chunk has trailing bytes after decode")
             row += pts
 
     def _decode_stage1_host(self, info, plan, data: np.ndarray, out_rows: np.ndarray):

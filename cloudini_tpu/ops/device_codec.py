@@ -514,11 +514,14 @@ def cached_encoder(plan: CodecPlan, point_step: int, chunk_points: int = 32 * 10
 
 def cached_decoder(plan: CodecPlan, point_step: int, chunk_points: int = 32 * 1024,
                    max_bytes: int | None = None,
-                   raw_words_out: bool = False) -> "DeviceStage1Decoder":
-    key = ("dec", plan, point_step, chunk_points, max_bytes, raw_words_out)
+                   raw_words_out: bool = False,
+                   with_sections: bool = False) -> "DeviceStage1Decoder":
+    key = ("dec", plan, point_step, chunk_points, max_bytes, raw_words_out,
+           with_sections)
     dec = _cache_get(key)
     if dec is None:
-        dec = DeviceStage1Decoder(plan, point_step, chunk_points, max_bytes, raw_words_out)
+        dec = DeviceStage1Decoder(plan, point_step, chunk_points, max_bytes,
+                                  raw_words_out, with_sections)
         _cache_put(key, dec)
     return dec
 
@@ -728,7 +731,8 @@ class DeviceStage1Decoder:
     """
 
     def __init__(self, plan: CodecPlan, point_step: int, chunk_points: int = 32 * 1024,
-                 max_bytes: int | None = None, raw_words_out: bool = False):
+                 max_bytes: int | None = None, raw_words_out: bool = False,
+                 with_sections: bool = False):
         """``raw_words_out``: for identity-layout all-FloatN plans (offsets
         0,4,..,4(T-1), point_step == 4T), return rows as the flat (C, N*T)
         u32 little-endian array instead of (C, N, point_step) u8 — the bytes
@@ -763,9 +767,40 @@ class DeviceStage1Decoder:
             from .fsm_decode import FsmStage1Decoder
 
             self._fsm_dec = FsmStage1Decoder(plan, point_step, chunk_points)
-            self._fn = jax.jit(self._fsm_dec.decode)
+            regular = self._fsm_dec.decode
         else:
-            self._fn = jax.jit(self._decode_general if self.general else self._decode)
+            regular = self._decode_general if self.general else self._decode
+        self.with_sections = with_sections and bool(plan.adaptive)
+        if self.with_sections:
+            if raw_words_out and self.raw_words_out:
+                raise ValueError("raw_words_out is incompatible with sections")
+            self._regular = regular
+            self._fn = jax.jit(self._decode_with_sections)
+        else:
+            self._fn = jax.jit(regular)
+
+    def _decode_with_sections(self, payloads, sizes, n_valid):
+        """Regular stream + every V5 adaptive section decoded in ONE program;
+        ``consumed`` covers the whole chunk (the caller's trailing-bytes check
+        needs no host section pass). Sentinels: 2^31-1 corrupt, 2^31-2 retry
+        host-side (per-chunk wire modes diverging from chunk 0's — legal but
+        never produced by a conformant encoder)."""
+        from .adaptive_decode import RETRY, SectionDecoder
+
+        out, consumed = self._regular(payloads, sizes, n_valid)
+        bad = consumed == np.int32(2**31 - 1)
+        pos = jnp.where(bad, 0, consumed)
+        retry = jnp.zeros_like(bad)
+        for field in self.plan.adaptive:
+            sd = SectionDecoder(field, self.chunk_points)
+            out, c_f, b_f, r_f = sd.decode(payloads, sizes, pos, n_valid, out)
+            pos = pos + c_f
+            bad = bad | b_f
+            retry = retry | r_f
+        # retry wins over bad: a mode-divergent chunk was decoded by the WRONG
+        # branch, so its corrupt flag is meaningless — the host retry decides
+        consumed = jnp.where(retry, RETRY, jnp.where(bad, np.int32(2**31 - 1), pos))
+        return out, consumed
 
     @staticmethod
     def _identity_floatn(plan: CodecPlan, point_step: int) -> bool:

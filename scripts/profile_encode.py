@@ -44,27 +44,68 @@ def main():
     CH = 32 * 1024
     n = C * CH
     rng = np.random.default_rng(0)
-    fields = tuple(
-        PointField(nm, 4 * i, FieldType.FLOAT32, 0.001) for i, nm in enumerate("xyzi")
-    )
+    if which == "fsm":
+        # the DDS mixed schema (FloatN + ring INT_DELTA + f64 Gorilla): the
+        # FSM decode path
+        step = 26
+        fields = tuple(
+            PointField(nm, 4 * i, FieldType.FLOAT32, 0.001) for i, nm in enumerate("xyzi")
+        ) + (
+            PointField("ring", 16, FieldType.UINT16, None),
+            PointField("timestamp", 18, FieldType.FLOAT64, None),
+        )
+        pts = np.cumsum(rng.normal(0, 0.05, (n, 4)), axis=0).astype(np.float32)
+        ts = (1.7e9 + np.cumsum(rng.uniform(0, 1e-4, n))).astype(np.float64)
+        rows_h = np.zeros((n, step), np.uint8)
+        rows_h[:, :16] = pts.view(np.uint8).reshape(n, 16)
+        rows_h[:, 16:18] = (np.arange(n) % 16).astype(np.uint16).reshape(-1, 1).view(np.uint8)
+        rows_h[:, 18:26] = ts.reshape(-1, 1).view(np.uint8)
+        rows_h = rows_h.reshape(C, CH, step)
+    else:
+        step = 16
+        fields = tuple(
+            PointField(nm, 4 * i, FieldType.FLOAT32, 0.001) for i, nm in enumerate("xyzi")
+        )
+        pts = np.cumsum(rng.normal(0, 0.05, (n, 4)), axis=1).astype(np.float32)
+        rows_h = np.ascontiguousarray(pts).view(np.uint8).reshape(C, CH, step)
     info = EncodingInfo(
-        fields=fields, width=n, height=1, point_step=16,
+        fields=fields, width=n, height=1, point_step=step,
         encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.NONE,
         version=4,
     )
     plan = build_plan(info)
-    pts = np.cumsum(rng.normal(0, 0.05, (n, 4)), axis=1).astype(np.float32)
-    rows_h = np.ascontiguousarray(pts).view(np.uint8).reshape(C, CH, 16)
     rows = jax.device_put(jnp.asarray(rows_h))
     nv = jnp.full(C, CH, jnp.int32)
 
-    enc = DeviceStage1Encoder(plan, 16, chunk_points=CH)
-    p, s = jax.block_until_ready(enc.encode_chunks(rows, nv))
-    s_h = np.asarray(s)
-    b_act = int(-(-(int(s_h.max()) + 1) // 1024) * 1024)
-    dec = DeviceStage1Decoder(plan, 16, chunk_points=CH, max_bytes=b_act)
-    pt = jax.block_until_ready(jax.jit(lambda p: p[:, :b_act])(p))
-    o, _c = jax.block_until_ready(dec.decode_chunks(pt, s, nv))
+    if which == "fsm":
+        # host-encode (device Gorilla encode is not the target here)
+        from cloudini_tpu.ref import stage1 as np_stage1
+
+        eplan = build_plan(info, for_decode=False)
+        plist = [np_stage1.encode_chunk(eplan, rows_h[i]) for i in range(C)]
+        b_act = int(-(-(max(len(x) for x in plist) + 1) // 1024) * 1024)
+        p_h = np.zeros((C, b_act), np.uint8)
+        s_h = np.zeros(C, np.int32)
+        for i, x in enumerate(plist):
+            p_h[i, : len(x)] = x
+            s_h[i] = len(x)
+        p = jax.device_put(p_h)
+        s = jax.device_put(s_h)
+        dplan = build_plan(info, for_decode=True)
+        dec = DeviceStage1Decoder(dplan, step, chunk_points=CH, max_bytes=b_act)
+        pt = p
+        o, _c = jax.block_until_ready(dec.decode_chunks(pt, s, nv))
+        which = "decode"
+        enc = None
+    else:
+        enc = DeviceStage1Encoder(plan, step, chunk_points=CH)
+        p, s = jax.block_until_ready(enc.encode_chunks(rows, nv))
+        s_h = np.asarray(s)
+        b_act = int(-(-(int(s_h.max()) + 1) // 1024) * 1024)
+        dec = DeviceStage1Decoder(plan, step, chunk_points=CH, max_bytes=b_act)
+    if enc is not None:
+        pt = jax.block_until_ready(jax.jit(lambda p: p[:, :b_act])(p))
+        o, _c = jax.block_until_ready(dec.decode_chunks(pt, s, nv))
 
     iota = jnp.arange(CH, dtype=jnp.int32)[None, :]
 
