@@ -216,7 +216,7 @@ class SectionDecoder:
         )
         lay = FsmLayout(plan, dynamic_start=True)
         tstart = start + 5
-        p_bytes, _corrupt, p_final = run_fsm(lay, payloads, sizes, start=tstart)
+        p_bytes, _corrupt, p_final, _ovf = run_fsm(lay, payloads, sizes, start=tstart)
         Cn, B = payloads.shape
         idx = jnp.arange(B, dtype=jnp.int32)[None, :]
         active = (idx < sizes[:, None]) & (p_bytes >= 0)

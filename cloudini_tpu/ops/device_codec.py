@@ -278,19 +278,21 @@ def _interleave_scatter(token_streams, n_points: int, max_bytes: int):
     # worst-case chunk exceeds 16 MiB (never for 32Ki-point chunks).
     packed = max_bytes < (1 << 24)
 
-    def pack_with_cap(cap: int):
-        """Sort with every stream trimmed to its first ``cap`` lanes. Legal
-        whenever no token in the batch is longer than ``cap``; the sort is the
-        whole cost of encode, and real clouds never emit the worst-case 5- or
-        10-byte varints (a 4-byte token means |quantized delta| >= 2^20), so
-        the common tiers sort 40-70% fewer slots."""
+    def pack_with_cap(cap):
+        """Sort with stream ``i`` trimmed to its first ``cap[i]`` lanes (int
+        cap = uniform). Legal whenever no token of stream i is longer than
+        cap[i]; the sort is the whole cost of encode, and real clouds never
+        emit the worst-case 5- or 10-byte varints (a 4-byte token means
+        |quantized delta| >= 2^20), so the common tiers sort 40-70% fewer
+        slots."""
+        caps = [cap] * len(streams) if isinstance(cap, int) else cap
         keys = []
         vals = []
         intra = None  # exclusive running sum of stream lengths, (C, N)
-        for lanes, ln in streams:
+        for (lanes, ln), cap_i in zip(streams, caps):
             tok_start = point_off if intra is None else point_off + intra
             intra = ln if intra is None else intra + ln
-            for k, byte_lane in enumerate(lanes[:cap]):
+            for k, byte_lane in enumerate(lanes[:cap_i]):
                 pos = tok_start + k
                 if packed:
                     key_l = (pos.astype(jnp.uint32) << 8) | byte_lane
@@ -320,19 +322,35 @@ def _interleave_scatter(token_streams, n_points: int, max_bytes: int):
         return out, total.astype(jnp.int32)
 
     full = max(len(lanes) for lanes, _ in streams)
-    tiers = [t for t in (3, 5) if t < full] + [full]
+    tiers = [t for t in (2, 3, 5) if t < full] + [full]
     if len(tiers) == 1:
         return pack_with_cap(full)
-    # longest token in the batch across ALL streams (fixed-width streams have
-    # constant lengths, so they just raise the tier to their width)
-    cap_rt = jnp.max(jnp.stack([ln.max() for _, ln in streams]))
+    # longest token per stream / in the batch (fixed-width streams have
+    # constant lengths, so they just raise their tier to their width)
+    per_stream = jnp.stack([ln.max() for _, ln in streams])
+    cap_rt = jnp.max(per_stream)
 
     def build(i):
         if i == len(tiers) - 1:
             return lambda: pack_with_cap(tiers[i])
-        return lambda: jax.lax.cond(
-            cap_rt <= tiers[i], lambda: pack_with_cap(tiers[i]), build(i + 1)
-        )
+        nxt = build(i + 1)
+        this = tiers[i]
+
+        def tier():
+            return jax.lax.cond(cap_rt <= this, lambda: pack_with_cap(this), nxt)
+
+        if this == 3 and len(streams) >= 3:
+            # asymmetric LiDAR tier: on ground-vehicle clouds the planar x/y
+            # deltas exceed z/intensity, so chunks often need 3 bytes only in
+            # the LEADING lanes — sort 3+3+2+... slots instead of 3 per lane
+            caps = tuple(3 if k < 2 else 2 for k in range(len(streams)))
+            fits = jnp.all(per_stream <= jnp.asarray(caps))
+
+            def asym():
+                return jax.lax.cond(fits, lambda: pack_with_cap(caps), tier)
+
+            return asym
+        return tier
 
     return build(0)()
 
@@ -789,8 +807,8 @@ class DeviceStage1Decoder:
 
         out, consumed = self._regular(payloads, sizes, n_valid)
         bad = consumed == np.int32(2**31 - 1)
-        pos = jnp.where(bad, 0, consumed)
-        retry = jnp.zeros_like(bad)
+        retry = consumed == RETRY  # regular decoder may itself defer to host
+        pos = jnp.where(bad | retry, 0, consumed)
         for field in self.plan.adaptive:
             sd = SectionDecoder(field, self.chunk_points)
             out, c_f, b_f, r_f = sd.decode(payloads, sizes, pos, n_valid, out)

@@ -108,7 +108,6 @@ class FsmLayout:
         if dynamic_start and self.gslot is not None:
             raise NotImplementedError("dynamic-start FSM streams cannot carry Gorilla")
         self.dynamic_start = dynamic_start
-        self.hl = HL if self.gslot is not None else 1
 
         # record-0 region: slots 0..gslot-1 at full width, then 1 code for the
         # raw-token Gorilla start
@@ -157,44 +156,49 @@ class FsmLayout:
                 q += 1 if s.kind == "V" else s.width
         self.f_start_codes = sorted(f_codes)
         self.entry0 = 0 if self.gslot is not None else self.entry[0]
-        self.n_hyp = self.P * self.hl + 1  # steady codes + (ENTRY0 or IDLE)
 
     # ------------------------------------------------------------ transitions
 
-    def step(self, s: jnp.ndarray, f: jnp.ndarray, lmap: Optional[jnp.ndarray]):
+    def step(self, s: jnp.ndarray, f: jnp.ndarray, hl: int,
+             lmap: Optional[jnp.ndarray]):
         """One byte: state codes ``s`` (i32, any shape) consume feature word
         ``f`` (broadcastable). Pure arithmetic — see the class docstring for
-        the numbering that makes the default transition ``p + 1``."""
-        hl = self.hl
+        the numbering that makes the default transition ``p + 1``. ``hl`` is
+        the L-tier width (the window-length component enumerates only the L
+        values actually present in the batch, via ``lmap``)."""
         if hl > 1:
             p = s // hl
             l = s - p * hl
         else:
             p, l = s, None
         msb = f & 1
-        p1 = p + 1
         # varint codes hold while the continuation bit is set
         is_v = _in_ranges(p, self.v_ranges)
-        p1 = jnp.where(is_v & (msb > 0), p, p1)
+        p1 = jnp.where(is_v & (msb > 0), p, p + 1)
         if self.gslot is not None:
-            gcls = (f >> 1) & 3
-            n_new = (f >> 3) & 15
-            l_new = (f >> 7) & 15
             at_g = p == self.g0
-            # L component -> actual reuse byte length via the (static) tier map
-            l_act = jnp.zeros_like(p)
-            for i in range(1, hl):
-                l_act = jnp.where(l == i, lmap[i], l_act)
-            n = jnp.where(gcls == 1, l_act, jnp.where((gcls & 1) == 0, 1, n_new))
-            n = jnp.maximum(n, 1)  # corrupt reuse-without-window: flagged in replay
-            p1 = jnp.where(at_g, self.g0 + 11 - n, p1)
+            reuse = (f >> 1) & 1
+            # identity lane map: the L component IS the reuse byte length
+            # (lmap left as an escape hatch for explicit maps)
+            if lmap is None:
+                l_act = l
+            else:
+                l_act = jnp.zeros_like(p)
+                for i in range(1, hl):
+                    l_act = jnp.where(l == i, lmap[i], l_act)
+            # same/new targets ride precomputed in the feature word; only the
+            # reuse target needs runtime state (corrupt L=0 clamps in range;
+            # the replay pass flags it)
+            tgt = jnp.where(reuse > 0, self.g0 + 11 - jnp.maximum(l_act, 1),
+                            (f >> 3) & 511)
+            p1 = jnp.where(at_g, tgt, p1)
             p1 = jnp.where(p == self.r0g, self.g0 + 11 - self.slots[self.gslot].width, p1)
-            l1 = jnp.where(at_g & (gcls == 3), l_new, l)
+            l1 = jnp.where(at_g & (((f >> 2) & 1) > 0), (f >> 12) & 15, l)
         else:
             l1 = None
         p1 = jnp.where(p1 == self.wrap, self.entry[0], p1)
         if self.dynamic_start:
-            enter = (f >> 12) & 1
+            enter = (f >> 17) & 1
             p1 = jnp.where(p == -1, jnp.where(enter > 0, self.entry[0], -1), p1)
         return p1 * hl + l1 if hl > 1 else p1
 
@@ -203,17 +207,18 @@ class FsmLayout:
         'Gorilla: corrupt window parameters', ref/gorilla.py)."""
         if self.gslot is None:
             return jnp.zeros(p.shape, bool)
-        gcls = (f >> 1) & 3
-        bad_new = ((f >> 11) & 1) > 0
+        reuse = ((f >> 1) & 1) > 0
+        neww = ((f >> 2) & 1) > 0
+        bad_new = ((f >> 16) & 1) > 0
         at_g = p == self.g0
-        return at_g & (((gcls == 1) & (l == 0)) | ((gcls == 3) & bad_new))
+        return at_g & ((reuse & (l == 0)) | (neww & bad_new))
 
-    def hyp_codes(self) -> np.ndarray:
+    def hyp_codes(self, hl: int) -> np.ndarray:
         """Entry-hypothesis state codes: every steady code, then ENTRY0/IDLE.
         (IDLE only exists for dynamic-start streams, which never carry Gorilla,
         so its code is plain -1.)"""
-        steady = np.arange(self.P * self.hl, dtype=np.int32) + self.R0 * self.hl
-        extra = np.int32(-1 if self.dynamic_start else self.entry0 * self.hl)
+        steady = np.arange(self.P * hl, dtype=np.int32) + self.R0 * hl
+        extra = np.int32(-1 if self.dynamic_start else self.entry0 * hl)
         return np.concatenate([steady, [extra]]).astype(np.int32)
 
     def token_starts(self, p_bytes: jnp.ndarray, p_final: jnp.ndarray):
@@ -236,12 +241,12 @@ class FsmLayout:
             ts = ts | (p == self.g0) | (p == self.r0g)
         return ts
 
-    def code_to_hyp(self, code: jnp.ndarray) -> jnp.ndarray:
+    def code_to_hyp(self, code: jnp.ndarray, hl: int) -> jnp.ndarray:
         """Map a state code to its hypothesis index (codes outside the steady
         region are the ENTRY0/IDLE extra — valid only where they can occur)."""
-        base = self.R0 * self.hl
-        steady = (code >= base) & (code < base + self.P * self.hl)
-        return jnp.where(steady, code - base, self.P * self.hl)
+        base = self.R0 * hl
+        steady = (code >= base) & (code < base + self.P * hl)
+        return jnp.where(steady, code - base, self.P * hl)
 
 
 def _ranges(codes: List[int]) -> List[Tuple[int, int]]:
@@ -271,24 +276,31 @@ def _in_set(p: jnp.ndarray, codes: List[int]) -> jnp.ndarray:
 def build_features(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
                    start: Optional[jnp.ndarray], lmap_inv) -> jnp.ndarray:
     """Per-byte packed feature word (C, B) i32:
-    bit 0 msb; bits 1-2 byte&3; bits 3-6 new-window token length (2..10);
-    bits 7-10 new-window L lane index; bit 11 corrupt new-window header;
-    bit 12 next-byte-enters-stream (dynamic start)."""
+    bit 0 msb; bit 1 gorilla-reuse control; bit 2 gorilla-new control;
+    bits 3-11 precomputed same/new gorilla-start TARGET code; bits 12-15
+    new-window L lane index (tier map); bit 16 corrupt new-window header;
+    bit 17 next-byte-enters-stream (dynamic start)."""
     b = payloads.astype(jnp.int32)
     f = (b >> 7) & 1
     if layout.gslot is not None:
         bits = layout.slots[layout.gslot].width * 8
+        g0 = layout.g0
         b1 = jnp.concatenate([b[:, 1:], jnp.zeros_like(b[:, :1])], axis=-1)
         head = b | (b1 << 8)
         m = ((head >> 7) & 0x3F) + 1
         lead = (head >> 2) & 0x1F
         n_new = (13 + m + 7) >> 3
-        l_new_lane = lmap_inv(( (2 + m + 7) >> 3 ))
+        tgt_new = jnp.clip(g0 + 11 - n_new, g0 + 1, g0 + 10)
+        tgt_sn = jnp.where((b & 1) == 0, g0 + 10, tgt_new)
+        l_new_lane = lmap_inv((2 + m + 7) >> 3)
         corrupt_new = (lead + m) > bits
-        f = f | ((b & 3) << 1) | (n_new << 3) | (l_new_lane << 7) | (corrupt_new.astype(jnp.int32) << 11)
+        f = (f | (((b & 3) == 1).astype(jnp.int32) << 1)
+               | (((b & 3) == 3).astype(jnp.int32) << 2)
+               | (tgt_sn << 3) | (l_new_lane << 12)
+               | (corrupt_new.astype(jnp.int32) << 16))
     if layout.dynamic_start:
         idx = jnp.arange(payloads.shape[1], dtype=jnp.int32)[None, :]
-        f = f | (((idx + 1) == start[:, None]).astype(jnp.int32) << 12)
+        f = f | (((idx + 1) == start[:, None]).astype(jnp.int32) << 17)
     return f
 
 
@@ -315,46 +327,40 @@ def run_fsm(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
             start: Optional[jnp.ndarray] = None, block: int = 512):
     """Three-pass FSM over (C, B) payloads. Returns (p_bytes (C, B) i32
     positional codes, corrupt (C,) bool, p_final (C,) positional code of the
-    virtual byte B — the state the chain would be in after the whole buffer)."""
+    virtual byte B — the state the chain would be in after the whole buffer,
+    tier_overflow () bool — reserved, currently always False).
+
+    Gorilla plans factor the window length into the state with the IDENTITY
+    lane map (lane == L value): enumerating fewer, data-observed L values was
+    tried and rejected — the candidate superset (every byte whose low bits
+    read as a new-window control) is hopelessly noisy on real streams, and
+    the identity map removes the lane->L translation chain from the inner
+    transition entirely, which is most of the same win."""
+    hl = 1 if layout.gslot is None else HL
+    p, c, f = _run_tier(layout, hl, None, payloads, sizes, start, block)
+    return p, c, f, jnp.asarray(False)
+
+
+def _run_tier(layout: FsmLayout, hl: int, _unused, payloads, sizes, start, block):
     c, b = payloads.shape
     k = min(block, b) if b else 1
     nb = max(-(-b // k), 1)
     pad = nb * k - b
-    if layout.hl > 1:
-        lmask = gorilla_l_values(layout, payloads, sizes)
-        # tier map: lane i >= 1 -> i-th smallest present L value (traced)
-        lmap_list = [jnp.int32(0)]
-        taken = jnp.int32(0)
-        for _ in range(1, layout.hl):
-            nxt = jnp.int32(0)
-            for v in range(1, 10):
-                hit = (((lmask >> v) & 1) > 0) & (v > taken) & (nxt == 0)
-                nxt = jnp.where(hit, jnp.int32(v), nxt)
-            lmap_list.append(nxt)
-            taken = jnp.where(nxt > 0, nxt, taken)
-        lmap = jnp.stack(lmap_list)
+    lmap = None  # identity lane map: lane == L value
 
-        def lmap_inv(Lv):
-            lane = jnp.zeros_like(Lv)
-            for i in range(1, layout.hl):
-                lane = jnp.where(Lv == lmap[i], i, lane)
-            return lane
-    else:
-        lmap = None
-
-        def lmap_inv(Lv):
-            return jnp.zeros_like(Lv)
+    def lmap_inv(Lv):
+        return Lv if hl > 1 else jnp.zeros_like(Lv)
 
     feats = build_features(layout, payloads, sizes, start, lmap_inv)
     if pad:
         feats = jnp.concatenate([feats, jnp.zeros((c, pad), jnp.int32)], axis=-1)
     feats_t = feats.reshape(c, nb, k).transpose(2, 0, 1)  # (K, C, nb)
 
-    hyp_np = layout.hyp_codes()  # static numpy (H,)
+    hyp_np = layout.hyp_codes(hl)  # static numpy (H,)
     hyp = jnp.asarray(hyp_np)
 
     def p1_step(s, f_k):
-        return layout.step(s, f_k[:, :, None], lmap), None
+        return layout.step(s, f_k[:, :, None], hl, lmap), None
 
     entries = jnp.broadcast_to(hyp[None, None, :], (c, nb, hyp.shape[0])).astype(jnp.int32)
     exits, _ = jax.lax.scan(p1_step, entries, feats_t)
@@ -365,7 +371,7 @@ def run_fsm(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
         e0 = jnp.where(start == 0, jnp.int32(layout.entry[0]), e0)
 
     def p2_step(carry, exit_b):  # exit_b: (C, H)
-        idx = layout.code_to_hyp(carry)
+        idx = layout.code_to_hyp(carry, hl)
         nxt = jnp.take_along_axis(exit_b, idx[:, None], axis=1)[:, 0]
         return nxt, carry
 
@@ -374,12 +380,11 @@ def run_fsm(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
 
     # pass 3: replay each block once with its true entry; emit per-byte states
     def p3_step(s, f_k):
-        return layout.step(s, f_k, lmap), s
+        return layout.step(s, f_k, hl, lmap), s
 
     _, states = jax.lax.scan(p3_step, entries_true, feats_t)
     states = states.transpose(1, 2, 0).reshape(c, nb * k)[:, :b]
 
-    hl = layout.hl
     if hl > 1:
         p_bytes = states // hl
         l_bytes = states - p_bytes * hl

@@ -129,7 +129,8 @@ class FsmStage1Decoder:
         Cn, B = payloads.shape
         N, T = self.chunk_points, lay.T
         K = N * T
-        p_bytes, g_corrupt, p_final = run_fsm(lay, payloads, sizes, block=self.block)
+        p_bytes, g_corrupt, p_final, tier_ovf = run_fsm(lay, payloads, sizes,
+                                                        block=self.block)
 
         idx = jnp.arange(B, dtype=jnp.int32)[None, :]
         active = idx < sizes[:, None]
@@ -161,21 +162,31 @@ class FsmStage1Decoder:
             ck = jnp.where((d >= 0) & (d < 32), left,
                            jnp.where((d < 0) & (d > -8), right, 0))
             limbs.append(jnp.where(active, ck, 0))
-        r = _cumsum96(tuple(limbs))
-
-        # compact running sums at token ends to dense token order (one sort)
         key = jnp.where(needed_end, tok_id.astype(_U32), _INF)
-        ops = [key, r[0], r[1], r[2]]
-        if B < K:
-            padw = K - B
-            ops = [jnp.concatenate([o, jnp.full((Cn, padw), _INF if i == 0 else 0,
-                                                o.dtype)], axis=-1)
-                   for i, o in enumerate(ops)]
-        s_key, s0, s1, s2 = jax.lax.sort(tuple(ops), dimension=1, num_keys=1,
-                                         is_stable=False)
-        s = (s0[:, :K], s1[:, :K], s2[:, :K])
+
+        def _compact(ops):
+            if B < K:
+                ops = [jnp.concatenate([o, jnp.full((Cn, K - B), _INF if i == 0 else 0,
+                                                    o.dtype)], axis=-1)
+                       for i, o in enumerate(ops)]
+            srt = jax.lax.sort(tuple(ops), dimension=1, num_keys=1, is_stable=False)
+            return [x[:, :K] for x in srt[1:]]
+
+        # the third limb only matters when some token reaches 9+ bytes (acc
+        # bits >= 64): never on real LiDAR streams, so its running sum and
+        # sort word run under a cond (same trick as the pure path's plane b)
+        def with_w2():
+            r = _cumsum96(tuple(limbs))
+            return _compact([key, r[0], r[1], r[2]])
+
+        def without_w2():
+            r = u64.cumsum((limbs[0], limbs[1]))
+            s0, s1 = _compact([key, r[0], r[1]])
+            return [s0, s1, jnp.zeros_like(s0)]
+
+        s = jax.lax.cond(jnp.any(active & (pos >= 8)), with_w2, without_w2)
         prev = tuple(jnp.roll(x, 1, axis=-1).at[:, 0].set(0) for x in s)
-        acc = _sub96(s, prev)
+        acc = _sub96(tuple(s), prev)
         acc = tuple(x.reshape(Cn, N, T) for x in acc)
 
         found = jnp.sum(needed_end.astype(jnp.int32), axis=-1)
@@ -227,7 +238,12 @@ class FsmStage1Decoder:
                     out = C.store_bytes(out, unit.offsets[0], u64.to_bytes(bits, slot.width))
 
         consumed = jnp.where(n_valid > 0, consumed, 0)
-        return out, jnp.where(bad, np.int32(2**31 - 1), consumed)
+        consumed = jnp.where(bad, np.int32(2**31 - 1), consumed)
+        # >3 distinct window lengths: outside the compiled L tier — the
+        # pipeline re-decodes host-side (RETRY), preserving exact semantics
+        from .adaptive_decode import RETRY
+
+        return out, jnp.where(tier_ovf, RETRY, consumed)
 
 
 def _gorilla_values(a, n_valid: jnp.ndarray, width: int) -> Tuple[u64.U64, jnp.ndarray]:
