@@ -241,13 +241,6 @@ def main():
     fingerprint = _fnv1a(ref_rows.tobytes())
 
     gbps = total_bytes / (t_enc + t_dec) / 1e9
-    result = {
-        "metric": "stage1 encode+decode throughput per chip (lidar.pcd XYZI, 1mm)",
-        "value": round(gbps, 4),
-        "unit": "GB/s",
-        "vs_baseline": round(gbps / base_gbps, 3),
-    }
-    print(json.dumps(result))
     # details to stderr for humans
     print(
         f"# enc {total_bytes/t_enc/1e9:.3f} GB/s, dec {total_bytes/t_dec/1e9:.3f} GB/s, "
@@ -255,6 +248,319 @@ def main():
         f"baseline(C++ 1-core) {base_gbps:.4f} GB/s, device {jax.devices()[0]}",
         file=sys.stderr,
     )
+
+    # ---- BASELINE config matrix (each row best-effort within the deadline;
+    # the headline JSON is always the LAST line printed) --------------------
+    configs = {}
+    deadline = _START + 450
+    for name, fn in (
+        ("xyz_1mm_zstd1_end_to_end", lambda: _cfg_xyz_zstd(jax, enc, chunks, n_valid)),
+        ("padded_xyzi_fused_device_lz4", lambda: _cfg_fused_lz4(jax, plan, chunks, n_valid)),
+        ("bag_stream_ragged_batch", lambda: _cfg_bag_stream(jax, enc, big, rows)),
+        ("dds_mixed_fsm_decode", lambda: _cfg_dds_fsm(jax)),
+    ):
+        if time.monotonic() > deadline:
+            print(f"# config {name}: skipped (bench deadline)", file=sys.stderr)
+            continue
+        try:
+            row = fn()
+            configs[name] = row
+            print(json.dumps({"metric": name, **row}))
+        except Exception as exc:  # a failed row must not kill the headline
+            print(f"# config {name}: failed: {exc!r}", file=sys.stderr)
+
+    result = {
+        "metric": "stage1 encode+decode throughput per chip (lidar.pcd XYZI, 1mm)",
+        "value": round(gbps, 4),
+        "unit": "GB/s",
+        "vs_baseline": round(gbps / base_gbps, 3),
+        "configs": configs,
+    }
+    print(json.dumps(result))
+
+
+_START = time.monotonic()
+_MULT = np.int32(-1640531535)
+
+
+def _chain_encode(jax, enc_fn, d_rows, d_valid, iters=6, point_col=12):
+    """Best-of-2 chained encode timing (see the honesty notes in main)."""
+    import jax.numpy as jnp
+
+    n_pts = d_rows.shape[1]
+    iota = jnp.arange(n_pts, dtype=jnp.int32)[None, :]
+
+    @jax.jit
+    def mix(r, p, k):
+        st = (p.astype(jnp.int32) * _MULT).sum() + k * np.int32(40503)
+        v = (((st + iota * _MULT) >> 7) & 0x7F).astype(jnp.uint8)
+        return r.at[:, :, point_col].set(v)
+
+    p0 = jax.block_until_ready(enc_fn(d_rows, d_valid))
+    best = float("inf")
+    for trial in range(2):
+        base = jnp.int32(1000 * trial)
+        rr = jax.block_until_ready(mix(d_rows, p0[0], base))
+        t0 = time.perf_counter()
+        for i in range(iters):
+            p_i = enc_fn(rr, d_valid)
+            rr = mix(rr, p_i[0], base + jnp.int32(i + 1))
+        jax.block_until_ready((p_i, rr))
+        best = min(best, (time.perf_counter() - t0) / iters)
+        rr.delete()
+    return best, p0
+
+
+def _cfg_xyz_zstd(jax, _enc, chunks, n_valid):
+    """BASELINE config 1: XYZ-only 1 mm, delta+varint stage 1 on device +
+    ZSTD level 1 (host, reference codec_common.cpp:242) end to end. Stage 2
+    is IN the timed path (serialized estimate; the pipeline overlaps it)."""
+    from cloudini_tpu.codec import stage2
+    from cloudini_tpu.core.plan import build_plan
+    from cloudini_tpu.core.types import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+        FieldType,
+        PointField,
+    )
+    from cloudini_tpu.ops.device_codec import DeviceStage1Encoder
+
+    info = EncodingInfo(
+        fields=tuple(PointField(n, 4 * i, FieldType.FLOAT32, 0.001)
+                     for i, n in enumerate("xyz")),
+        width=0, height=1, point_step=12,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.ZSTD,
+    )
+    plan = build_plan(info)
+    rows12 = np.ascontiguousarray(chunks[:, :, :12])
+    enc = DeviceStage1Encoder(plan, 12, chunk_points=CHUNK)
+    d_rows = jax.device_put(rows12)
+    d_valid = jax.device_put(n_valid)
+    t_dev, (payloads, sizes) = _chain_encode(jax, enc.encode_chunks, d_rows, d_valid,
+                                             point_col=8)
+    sizes_h = np.asarray(sizes)
+    blobs = [np.asarray(payloads[i, : sizes_h[i]]).tobytes() for i in range(4)]
+    blobs = blobs * (N_CHUNKS // 4)  # sample D2H (pull 4, host cost scales)
+    t0 = time.perf_counter()
+    comp = [stage2.compress_chunk(CompressionOption.ZSTD, b) for b in blobs]
+    t_z = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for cb, b in zip(comp, blobs):
+        stage2.decompress_chunk(CompressionOption.ZSTD, cb, len(b) + 1)
+    t_uz = time.perf_counter() - t0
+    raw = rows12.nbytes
+    return {
+        "value": round(raw / (t_dev + t_z) / 1e9, 4), "unit": "GB/s",
+        "enc_dev_gbps": round(raw / t_dev / 1e9, 3),
+        "zstd1_host_gbps": round(raw / t_z / 1e9, 3),
+        "unzstd_host_gbps": round(raw / t_uz / 1e9, 3),
+        "ratio": round(raw / sum(len(c) for c in comp), 3),
+        "note": "device stage-1 + host zstd-1 serialized; pipeline overlaps them",
+    }
+
+
+def _cfg_fused_lz4(jax, plan, chunks, n_valid):
+    """BASELINE config 2: ROS-padded XYZI (point_step 32, 50% padding like
+    README.md:28-31) with stage-2 LZ4 FUSED into the device program
+    (ops/lz4.py sorted-gram matcher); the stream never leaves the device
+    uncompressed."""
+    from cloudini_tpu.core.plan import build_plan
+    from cloudini_tpu.core.types import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+        FieldType,
+        PointField,
+    )
+    from cloudini_tpu.ops.device_codec import DeviceStage1Encoder
+
+    c = chunks.shape[0]
+    padded = np.zeros((c, CHUNK, 32), np.uint8)
+    padded[:, :, :16] = chunks
+    info = EncodingInfo(
+        fields=tuple(PointField(n, 4 * i, FieldType.FLOAT32, 0.001)
+                     for i, n in enumerate("xyzi")),
+        width=0, height=1, point_step=32,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.LZ4,
+    )
+    eplan = build_plan(info)
+    enc = DeviceStage1Encoder(eplan, 32, chunk_points=CHUNK, stage2="lz4")
+    d_rows = jax.device_put(padded)
+    d_valid = jax.device_put(n_valid)
+    t_dev, (payloads, sizes) = _chain_encode(jax, enc.encode_chunks, d_rows, d_valid)
+    sizes_h = np.asarray(sizes)
+    # validity gate: sampled blocks must round-trip through liblz4
+    from cloudini_tpu.codec import stage2 as s2
+    from cloudini_tpu.core.types import CompressionOption as CO
+    from cloudini_tpu.ref import stage1 as np_stage1
+
+    for i in (0, c - 1):
+        blk = np.asarray(payloads[i, : sizes_h[i]]).tobytes()
+        want = np_stage1.encode_chunk(eplan, padded[i]).tobytes()
+        got = s2.decompress_chunk(CO.LZ4, blk, len(want) + 1)
+        assert got == want, f"fused LZ4 chunk {i} does not round-trip"
+    raw = padded.nbytes
+    return {
+        "value": round(raw / t_dev / 1e9, 4), "unit": "GB/s (encode, stage1+stage2 on device)",
+        "ratio": round(raw / float(sizes_h.sum()), 3),
+        "note": "16B/point padding encoded away + device LZ4; decode uses host liblz4 + device stage 1",
+    }
+
+
+def _cfg_bag_stream(jax, enc, big, rows):
+    """BASELINE config 3: rosbag-style stream — a window of whole messages
+    (115385-pt lidar.pcd each) batched into ONE ragged device dispatch
+    (PointcloudEncoder.encode_many / topic_converter --batch-window). Same
+    chunk program as the headline; the ragged tail chunks measure the
+    per-message framing cost."""
+    n_msg = N_CHUNKS * CHUNK // rows.shape[0]  # whole messages in the window
+    per_msg_chunks = -(-rows.shape[0] // CHUNK)
+    c = n_msg * per_msg_chunks
+    chunks2 = np.zeros((c, CHUNK, 16), np.uint8)
+    n_valid2 = np.zeros(c, np.int32)
+    k = 0
+    for _ in range(n_msg):
+        for i in range(per_msg_chunks):
+            part = rows[i * CHUNK : (i + 1) * CHUNK]
+            chunks2[k, : len(part)] = part
+            n_valid2[k] = len(part)
+            k += 1
+    d_rows = jax.device_put(chunks2)
+    d_valid = jax.device_put(n_valid2)
+    t_dev, (payloads, sizes) = _chain_encode(jax, enc.encode_chunks, d_rows, d_valid)
+    raw = int(n_valid2.sum()) * 16
+    return {
+        "value": round(raw / t_dev / 1e9, 4), "unit": "GB/s (encode)",
+        "messages": n_msg,
+        "ratio": round(raw / float(np.asarray(sizes).sum()), 3),
+    }
+
+
+def _cfg_dds_fsm(jax):
+    """The mixed real-world schema (dds_message.bin shape: FloatN + f64
+    Gorilla + V5 ring): FSM device decode vs the host-native bar (VERDICT r1
+    item 1). Kept small (C=16) — per-chunk streams are host-built here."""
+    import jax.numpy as jnp
+
+    from cloudini_tpu.core.plan import build_plan
+    from cloudini_tpu.core.types import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+        FieldType,
+        PointField,
+    )
+    from cloudini_tpu.ops.device_codec import DeviceStage1Decoder
+    from cloudini_tpu.ref import stage1 as np_stage1
+
+    C = 16
+    n = C * CHUNK
+    dds = pathlib.Path("/root/reference/cloudini_lib/samples/dds_message.bin")
+    if dds.exists():
+        # the real 64000-pt fixture, tiled — its timestamp statistics (mostly
+        # same/reuse Gorilla tokens) are what the live workload looks like
+        from cloudini_tpu.io.ros_msgs import (
+            apply_resolution_profile,
+            get_deserialized_point_cloud_message,
+        )
+
+        pc = get_deserialized_point_cloud_message(dds.read_bytes())
+        pc.fields = apply_resolution_profile({}, pc.fields, 0.001)
+        base = np.frombuffer(pc.data, np.uint8).reshape(-1, pc.point_step)
+        rows = np.tile(base, (-(-n // base.shape[0]), 1))[:n]
+        fields = tuple(pc.fields)
+    else:
+        rng = np.random.default_rng(0)
+        pts = np.cumsum(rng.normal(0, 0.05, (n, 4)), axis=0).astype(np.float32)
+        ts = (1.7e9 + np.cumsum(rng.uniform(0, 1e-4, n))).astype(np.float64)
+        rows = np.zeros((n, 26), np.uint8)
+        rows[:, :16] = pts.view(np.uint8).reshape(n, 16)
+        rows[:, 16:18] = (np.arange(n) % 16).astype(np.uint16).reshape(-1, 1).view(np.uint8)
+        rows[:, 18:26] = ts.reshape(-1, 1).view(np.uint8)
+        fields = tuple(PointField(nm, 4 * i, FieldType.FLOAT32, 0.001)
+                       for i, nm in enumerate("xyzi")) + (
+            PointField("ring", 16, FieldType.UINT16, None),
+            PointField("timestamp", 18, FieldType.FLOAT64, None),
+        )
+    info = EncodingInfo(fields=fields, width=n, height=1, point_step=26,
+                        encoding_opt=EncodingOptions.LOSSY,
+                        compression_opt=CompressionOption.NONE, version=4)
+    plan = build_plan(info, for_decode=True)
+    eplan = build_plan(info, for_decode=False)
+    chunks = rows.reshape(C, CHUNK, 26)
+    # host-encode with the native runtime (the numpy Gorilla oracle is a
+    # per-value Python loop — fine for tests, too slow here)
+    from cloudini_tpu import native
+
+    if native.available():
+        mpb = eplan.max_encoded_point_bytes
+        plist = [np.asarray(native.encode_chunk(eplan, chunks[i], mpb)) for i in range(C)]
+    else:
+        plist = [np_stage1.encode_chunk(eplan, chunks[i]) for i in range(C)]
+    b = -(-(max(len(p) for p in plist) + 1) // 1024) * 1024
+    payloads = np.zeros((C, b), np.uint8)
+    sizes = np.zeros(C, np.int32)
+    for i, p in enumerate(plist):
+        payloads[i, : len(p)] = p
+        sizes[i] = len(p)
+    dec = DeviceStage1Decoder(plan, 26, chunk_points=CHUNK, max_bytes=b)
+    d_pay = jax.device_put(payloads)
+    d_sizes = jax.device_put(sizes)
+    d_valid = jax.device_put(np.full(C, CHUNK, np.int32))
+    out, consumed = jax.block_until_ready(dec.decode_chunks(d_pay, d_sizes, d_valid))
+    assert int(np.asarray(consumed).max()) < 2**31 - 2, "FSM decode flagged"
+
+    # correctness gate: device fingerprints vs host-native decode (sampled)
+    @jax.jit
+    def _fp(x):
+        flat = x.reshape(x.shape[0], -1).astype(jnp.int32)
+        w = jnp.arange(flat.shape[1], dtype=jnp.int32) % 251 + 1
+        return jnp.sum(flat * w, axis=1, dtype=jnp.int32)
+
+    fps = np.asarray(_fp(out))
+    np.seterr(over="ignore")
+    for i in (0, C - 1):
+        want = np.zeros((CHUNK, 26), np.uint8)
+        if native.available():
+            native.decode_chunk(plan, np.frombuffer(plist[i], np.uint8), want, CHUNK)
+        else:
+            np_stage1.decode_chunk(plan, plist[i], want, CHUNK)
+        flat = want.reshape(-1).astype(np.int32)
+        w = np.arange(flat.shape[0], dtype=np.int32) % 251 + 1
+        assert fps[i] == int(np.sum(flat * w, dtype=np.int32)), f"chunk {i} mismatch"
+
+    @jax.jit
+    def mix(p, o, k):
+        st = (o.reshape(o.shape[0], -1).astype(jnp.int32) * _MULT).sum() + k * np.int32(40503)
+        v = (((st + jnp.arange(C, dtype=jnp.int32) * _MULT) >> 7) & 0x7F).astype(jnp.uint8)
+        return p.at[:, -1].set(v)
+
+    best = float("inf")
+    for trial in range(2):
+        base = jnp.int32(1000 * trial)
+        pp = jax.block_until_ready(mix(d_pay, out, base))
+        t0 = time.perf_counter()
+        for i in range(6):
+            o_i, c_i = dec.decode_chunks(pp, d_sizes, d_valid)
+            pp = mix(pp, o_i, base + jnp.int32(i + 1))
+        jax.block_until_ready((o_i, c_i, pp))
+        best = min(best, (time.perf_counter() - t0) / 6)
+        o_i.delete(), pp.delete()
+    # host-native bar on identical data
+    out_h = np.zeros((CHUNK, 26), np.uint8)
+    t0 = time.perf_counter()
+    for i in range(4):
+        if native.available():
+            native.decode_chunk(plan, np.frombuffer(plist[i % C], np.uint8), out_h, CHUNK)
+        else:
+            np_stage1.decode_chunk(plan, plist[i % C], out_h, CHUNK)
+    t_host = (time.perf_counter() - t0) / 4 * C
+    return {
+        "value": round(rows.nbytes / best / 1e9, 4), "unit": "GB/s (decode)",
+        "host_native_gbps": round(rows.nbytes / t_host / 1e9, 3),
+        "vs_host_native": round(t_host / best, 3),
+    }
 
 
 if __name__ == "__main__":

@@ -156,6 +156,10 @@ class FsmLayout:
                 q += 1 if s.kind == "V" else s.width
         self.f_start_codes = sorted(f_codes)
         self.entry0 = 0 if self.gslot is not None else self.entry[0]
+        self.max_record_bytes = sum(
+            10 if s.kind == "V" else (11 if s.kind == "G" else s.width)
+            for s in slots
+        )
 
     # ------------------------------------------------------------ transitions
 
@@ -337,8 +341,7 @@ def run_fsm(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
     the identity map removes the lane->L translation chain from the inner
     transition entirely, which is most of the same win."""
     hl = 1 if layout.gslot is None else HL
-    p, c, f = _run_tier(layout, hl, None, payloads, sizes, start, block)
-    return p, c, f, jnp.asarray(False)
+    return _run_tier(layout, hl, None, payloads, sizes, start, block)
 
 
 def _run_tier(layout: FsmLayout, hl: int, _unused, payloads, sizes, start, block):
@@ -358,24 +361,72 @@ def _run_tier(layout: FsmLayout, hl: int, _unused, payloads, sizes, start, block
 
     hyp_np = layout.hyp_codes(hl)  # static numpy (H,)
     hyp = jnp.asarray(hyp_np)
+    H = hyp_np.shape[0]
 
     def p1_step(s, f_k):
         return layout.step(s, f_k[:, :, None], hl, lmap), None
 
-    entries = jnp.broadcast_to(hyp[None, None, :], (c, nb, hyp.shape[0])).astype(jnp.int32)
-    exits, _ = jax.lax.scan(p1_step, entries, feats_t)
+    entries = jnp.broadcast_to(hyp[None, None, :], (c, nb, H)).astype(jnp.int32)
 
-    # pass 2: stitch the true entry state through the blocks
     e0 = jnp.full((c,), int(hyp_np[-1]), jnp.int32)
     if layout.dynamic_start:
         e0 = jnp.where(start == 0, jnp.int32(layout.entry[0]), e0)
 
-    def p2_step(carry, exit_b):  # exit_b: (C, H)
-        idx = layout.code_to_hyp(carry, hl)
-        nxt = jnp.take_along_axis(exit_b, idx[:, None], axis=1)[:, 0]
-        return nxt, carry
+    # Gorilla plans carry a large hypothesis set (H = P*10 + 1); evolving all
+    # of it through every byte is pass 1's whole cost. Hypothesis chains MERGE
+    # fast (varint terminators resynchronize positions; the window component
+    # converges at the first new-window token), so: round A runs all H
+    # hypotheses through only the first W bytes, the (few) distinct survivors
+    # are extracted arithmetically into D lanes, and round B runs just those
+    # through the rest of the block. Streams whose survivors exceed D (never
+    # observed on real data; e.g. adversarial interleavings) flag
+    # ``dedup_overflow`` and the caller defers to the host decoder.
+    W = 64  # no correctness constraint: unconverged chains just add survivors
+    D = 24
+    dedup_overflow = jnp.asarray(False)
+    if H > 2 * D and k > 2 * W:
+        exits_w, _ = jax.lax.scan(p1_step, entries, feats_t[:W])
+        # distinct survivor extraction: D rounds of masked min
+        INF = jnp.int32(1 << 30)
+        remaining = exits_w
+        distinct = []
+        for _ in range(D):
+            m = jnp.min(remaining, axis=-1)  # (C, nb)
+            distinct.append(m)
+            remaining = jnp.where(remaining == m[:, :, None], INF, remaining)
+        d_states = jnp.stack(distinct, axis=-1)  # (C, nb, D), INF-padded
+        dedup_overflow = jnp.any(jnp.min(remaining, axis=-1) < INF)
+        # rank of each hypothesis's survivor among the distinct values
+        rank = jnp.zeros((c, nb, H), jnp.int32)
+        for j in range(D):
+            rank = jnp.where(exits_w == d_states[:, :, j : j + 1], j, rank)
 
-    s_final, entries_true = jax.lax.scan(p2_step, e0, exits.transpose(1, 0, 2))
+        def p1b_step(s, f_k):
+            return layout.step(s, f_k[:, :, None], hl, lmap), None
+
+        exits_d, _ = jax.lax.scan(
+            p1b_step, jnp.where(d_states == INF, 0, d_states), feats_t[W:]
+        )
+
+        def p2_step(carry, xs):  # two-level exit lookup
+            rank_b, exit_b = xs  # (C, H), (C, D)
+            idx = layout.code_to_hyp(carry, hl)
+            r = jnp.take_along_axis(rank_b, idx[:, None], axis=1)
+            nxt = jnp.take_along_axis(exit_b, r, axis=1)[:, 0]
+            return nxt, carry
+
+        s_final, entries_true = jax.lax.scan(
+            p2_step, e0, (rank.transpose(1, 0, 2), exits_d.transpose(1, 0, 2))
+        )
+    else:
+        exits, _ = jax.lax.scan(p1_step, entries, feats_t)
+
+        def p2_step(carry, exit_b):  # exit_b: (C, H)
+            idx = layout.code_to_hyp(carry, hl)
+            nxt = jnp.take_along_axis(exit_b, idx[:, None], axis=1)[:, 0]
+            return nxt, carry
+
+        s_final, entries_true = jax.lax.scan(p2_step, e0, exits.transpose(1, 0, 2))
     entries_true = entries_true.transpose(1, 0)  # (C, nb)
 
     # pass 3: replay each block once with its true entry; emit per-byte states
@@ -396,4 +447,4 @@ def _run_tier(layout: FsmLayout, hl: int, _unused, payloads, sizes, start, block
         active = active & (p_bytes >= 0)
     corrupt = jnp.any(active & layout.replay_corrupt(p_bytes, l_bytes, feats[:, :b]), axis=-1)
     p_final = s_final // hl if hl > 1 else s_final
-    return p_bytes, corrupt, p_final
+    return p_bytes, corrupt, p_final, dedup_overflow

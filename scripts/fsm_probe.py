@@ -73,7 +73,14 @@ def main() -> int:
     eplan = build_plan(info, for_decode=False)
 
     chunks = rows.reshape(C, CHUNK, 26)
-    payload_list = [np_stage1.encode_chunk(eplan, chunks[i]) for i in range(C)]
+    from cloudini_tpu import native
+
+    if native.available():
+        mpb = eplan.max_encoded_point_bytes
+        payload_list = [np.asarray(native.encode_chunk(eplan, chunks[i], mpb))
+                        for i in range(C)]
+    else:
+        payload_list = [np_stage1.encode_chunk(eplan, chunks[i]) for i in range(C)]
     b = max(len(p) for p in payload_list) + 1
     b = -(-b // 1024) * 1024
     payloads = np.zeros((C, b), np.uint8)
