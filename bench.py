@@ -248,35 +248,42 @@ def main():
         f"baseline(C++ 1-core) {base_gbps:.4f} GB/s, device {jax.devices()[0]}",
         file=sys.stderr,
     )
-
-    # ---- BASELINE config matrix (each row best-effort within the deadline;
-    # the headline JSON is always the LAST line printed) --------------------
-    configs = {}
-    deadline = _START + 450
-    for name, fn in (
-        ("xyz_1mm_zstd1_end_to_end", lambda: _cfg_xyz_zstd(jax, enc, chunks, n_valid)),
-        ("padded_xyzi_fused_device_lz4", lambda: _cfg_fused_lz4(jax, plan, chunks, n_valid)),
-        ("bag_stream_ragged_batch", lambda: _cfg_bag_stream(jax, enc, big, rows)),
-        ("dds_mixed_fsm_decode", lambda: _cfg_dds_fsm(jax)),
-    ):
-        if time.monotonic() > deadline:
-            print(f"# config {name}: skipped (bench deadline)", file=sys.stderr)
-            continue
-        try:
-            row = fn()
-            configs[name] = row
-            print(json.dumps({"metric": name, **row}))
-        except Exception as exc:  # a failed row must not kill the headline
-            print(f"# config {name}: failed: {exc!r}", file=sys.stderr)
-
     result = {
         "metric": "stage1 encode+decode throughput per chip (lidar.pcd XYZI, 1mm)",
         "value": round(gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(gbps / base_gbps, 3),
-        "configs": configs,
     }
-    print(json.dumps(result))
+    # the headline prints IMMEDIATELY (a deadline kill mid-matrix must never
+    # lose it); the matrix re-prints it last with the config rows embedded
+    print(json.dumps(result), flush=True)
+
+    # ---- BASELINE config matrix, cheapest compile first; every row gated by
+    # its own worst-case cost estimate against the global deadline ----------
+    configs = {}
+    deadline = _START + 480
+    for name, cost_s, fn in (
+        ("bag_stream_ragged_batch", 45,
+         lambda: _cfg_bag_stream(jax, enc, big, rows)),
+        ("dds_mixed_fsm_decode", 110, lambda: _cfg_dds_fsm(jax)),
+        ("xyz_1mm_zstd1_end_to_end", 100,
+         lambda: _cfg_xyz_zstd(jax, enc, chunks, n_valid)),
+        ("padded_xyzi_fused_device_lz4", 170,
+         lambda: _cfg_fused_lz4(jax, plan, chunks, n_valid)),
+    ):
+        if time.monotonic() + cost_s > deadline:
+            print(f"# config {name}: skipped (bench deadline)", file=sys.stderr)
+            continue
+        try:
+            row = fn()
+            configs[name] = row
+            print(f"# config {json.dumps({'metric': name, **row})}",
+                  file=sys.stderr, flush=True)
+        except Exception as exc:  # a failed row must not kill the headline
+            print(f"# config {name}: failed: {exc!r}", file=sys.stderr)
+
+    if configs:
+        print(json.dumps({**result, "configs": configs}))
 
 
 _START = time.monotonic()
