@@ -261,14 +261,14 @@ def main():
     # ---- BASELINE config matrix, cheapest compile first; every row gated by
     # its own worst-case cost estimate against the global deadline ----------
     configs = {}
-    deadline = _START + 480
+    deadline = _START + 460
     for name, cost_s, fn in (
         ("bag_stream_ragged_batch", 45,
          lambda: _cfg_bag_stream(jax, enc, big, rows)),
         ("dds_mixed_fsm_decode", 110, lambda: _cfg_dds_fsm(jax)),
         ("xyz_1mm_zstd1_end_to_end", 100,
          lambda: _cfg_xyz_zstd(jax, enc, chunks, n_valid)),
-        ("padded_xyzi_fused_device_lz4", 170,
+        ("padded_xyzi_fused_device_lz4", 230,
          lambda: _cfg_fused_lz4(jax, plan, chunks, n_valid)),
     ):
         if time.monotonic() + cost_s > deadline:

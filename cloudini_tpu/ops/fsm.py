@@ -373,43 +373,50 @@ def _run_tier(layout: FsmLayout, hl: int, _unused, payloads, sizes, start, block
         e0 = jnp.where(start == 0, jnp.int32(layout.entry[0]), e0)
 
     # Gorilla plans carry a large hypothesis set (H = P*10 + 1); evolving all
-    # of it through every byte is pass 1's whole cost. Hypothesis chains MERGE
-    # fast (varint terminators resynchronize positions; the window component
-    # converges at the first new-window token), so: round A runs all H
-    # hypotheses through only the first W bytes, the (few) distinct survivors
-    # are extracted arithmetically into D lanes, and round B runs just those
-    # through the rest of the block. Streams whose survivors exceed D (never
-    # observed on real data; e.g. adversarial interleavings) flag
-    # ``dedup_overflow`` and the caller defers to the host decoder.
-    W = 64  # no correctness constraint: unconverged chains just add survivors
-    D = 24
+    # of it through every byte is pass 1's whole cost. Hypothesis chains'
+    # POSITION components merge fast (varint terminators resynchronize; a few
+    # phase-locked parses persist on very regular streams — measured <= 8
+    # distinct positions after 64 bytes on the real DDS fixture), while the
+    # window-length component need not converge at all (same-heavy timestamp
+    # columns have no new-window tokens). So: round A runs all H hypotheses
+    # through the first W bytes, the distinct surviving POSITIONS are
+    # extracted into Dp lanes (pure arithmetic), each expanded with all 10 L
+    # lanes — an EXACT cover of the survivors — and round B runs those
+    # Dp*10 states through the rest of the block. More than Dp surviving
+    # positions (not observed on real data) flags ``dedup_overflow`` and the
+    # caller defers to the host decoder.
+    W = 64
+    Dp = 8
     dedup_overflow = jnp.asarray(False)
-    if H > 2 * D and k > 2 * W:
+    if hl > 1 and H > 2 * Dp * hl and k > 2 * W:
         exits_w, _ = jax.lax.scan(p1_step, entries, feats_t[:W])
-        # distinct survivor extraction: D rounds of masked min
+        pos_w = exits_w // hl
+        # distinct surviving positions: Dp rounds of masked min
         INF = jnp.int32(1 << 30)
-        remaining = exits_w
+        remaining = pos_w
         distinct = []
-        for _ in range(D):
+        for _ in range(Dp):
             m = jnp.min(remaining, axis=-1)  # (C, nb)
             distinct.append(m)
             remaining = jnp.where(remaining == m[:, :, None], INF, remaining)
-        d_states = jnp.stack(distinct, axis=-1)  # (C, nb, D), INF-padded
+        d_pos = jnp.stack(distinct, axis=-1)  # (C, nb, Dp), INF-padded
         dedup_overflow = jnp.any(jnp.min(remaining, axis=-1) < INF)
-        # rank of each hypothesis's survivor among the distinct values
-        rank = jnp.zeros((c, nb, H), jnp.int32)
-        for j in range(D):
-            rank = jnp.where(exits_w == d_states[:, :, j : j + 1], j, rank)
+        # rank of each hypothesis: position index * hl + its L component
+        posrank = jnp.zeros((c, nb, H), jnp.int32)
+        for j in range(Dp):
+            posrank = jnp.where(pos_w == d_pos[:, :, j : j + 1], j, posrank)
+        rank = posrank * hl + (exits_w - pos_w * hl)
 
         def p1b_step(s, f_k):
             return layout.step(s, f_k[:, :, None], hl, lmap), None
 
-        exits_d, _ = jax.lax.scan(
-            p1b_step, jnp.where(d_states == INF, 0, d_states), feats_t[W:]
-        )
+        entries_b = jnp.repeat(
+            jnp.where(d_pos == INF, 0, d_pos), hl, axis=-1
+        ) * hl + jnp.tile(jnp.arange(hl, dtype=jnp.int32), Dp)
+        exits_d, _ = jax.lax.scan(p1b_step, entries_b, feats_t[W:])
 
         def p2_step(carry, xs):  # two-level exit lookup
-            rank_b, exit_b = xs  # (C, H), (C, D)
+            rank_b, exit_b = xs  # (C, H), (C, Dp*hl)
             idx = layout.code_to_hyp(carry, hl)
             r = jnp.take_along_axis(rank_b, idx[:, None], axis=1)
             nxt = jnp.take_along_axis(exit_b, r, axis=1)[:, 0]

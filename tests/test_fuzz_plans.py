@@ -59,7 +59,18 @@ def _random_rows(rng, info, n):
             col = np.cumsum(rng.normal(0, 0.05, n)).astype(np.float32)
             col[rng.random(n) < 0.03] = np.nan
         elif f.type == FieldType.FLOAT64:
-            col = (1.7e9 + np.cumsum(rng.uniform(0, 1e-4, n))).astype(np.float64)
+            # exercise every Gorilla token class: monotonic (reuse-heavy),
+            # constant (same-heavy), steppy (mixed), random (new-window-heavy)
+            kind = int(rng.integers(0, 4))
+            if kind == 0:
+                col = (1.7e9 + np.cumsum(rng.uniform(0, 1e-4, n))).astype(np.float64)
+            elif kind == 1:
+                col = np.full(n, float(rng.uniform(0, 1e9)), np.float64)
+            elif kind == 2:
+                col = np.repeat(rng.uniform(0, 1e6, max(n // 5, 1)), 5)[:n]
+                col = np.resize(col, n).astype(np.float64)
+            else:
+                col = rng.uniform(-1e9, 1e9, n).astype(np.float64)
         else:
             lo, hi = (0, 50) if "U" in f.type.name else (-25, 25)
             col = np.cumsum(rng.integers(lo, hi, n)).astype(
