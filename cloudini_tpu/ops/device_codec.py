@@ -52,9 +52,11 @@ def encoder_prefers_device(plan: CodecPlan) -> bool:
 
 def decoder_prefers_device(plan: CodecPlan) -> bool:
     """Whether the ``auto`` backend should pick the device decoder. The
-    general mixed fixed/varint path (speculative successor + binary lifting)
-    is gather-bound and loses to the host/native sequential decoder by ~100x;
-    only the pure-varint scan+sort path wins on device."""
+    pure-varint scan+sort path clearly wins on device; the enumerative-FSM
+    path (mixed fixed/varint/Gorilla) measures around the host-native rate
+    (PROFILE.md), so ``auto`` keeps those on the host until a real-workload
+    bench shows the device ahead (explicit ``backend='device'`` always
+    dispatches)."""
     return decoder_supports_plan(plan) and plan.all_varint_class
 
 
@@ -661,45 +663,6 @@ def _segmented_undelta_u64(deltas: u64.U64, nan: jnp.ndarray | None) -> u64.U64:
     )
 
 
-def _assemble_varint32(payloads, batch, starts, tok_len, B: int):
-    """Gather+decode <=5-byte zigzag varints at ``starts``; returns (int32
-    value, nan mask). NaN marker is the single byte 0; a longer all-zero token
-    is the biased-value wrap (delta INT32_MIN) — u-1 then yields INT32_MIN
-    exactly like the reference's 64-bit decode + int32 truncation."""
-    u = jnp.zeros(starts.shape, jnp.uint32)
-    for k in range(5):
-        idx = jnp.clip(starts + k, 0, B - 1)
-        byte = payloads[batch, idx].astype(jnp.uint32)
-        u = u | jnp.where(k < tok_len, (byte & np.uint32(0x7F)) << np.uint32(7 * k), 0)
-    # u is assembled mod 2^32, so biased 2^32 (the INT32_MIN delta wrap, wire
-    # group 0x10 in byte 5) also lands on u == 0 — the length condition keeps
-    # the wrap case distinct while still treating every SHORT zero encoding
-    # (canonical 1-byte and non-canonical up to 4 bytes) as the NaN marker,
-    # matching the biased==0 semantics of the other backends
-    nan = (u == 0) & (tok_len < 5)
-    uu = u - jnp.where(nan, np.uint32(0), np.uint32(1))
-    m = (np.uint32(0) - (uu & np.uint32(1))).astype(jnp.uint32)
-    sval = ((uu >> 1) ^ m).astype(jnp.int32)
-    return jnp.where(nan, 0, sval), nan
-
-
-def _assemble_varint64(payloads, batch, starts, tok_len, B: int):
-    """Gather+decode <=10-byte zigzag varints; returns (i64 value as u32 pair,
-    nan mask)."""
-    lo = jnp.zeros(starts.shape, jnp.uint32)
-    hi = jnp.zeros(starts.shape, jnp.uint32)
-    for k in range(10):
-        idx = jnp.clip(starts + k, 0, B - 1)
-        byte = payloads[batch, idx].astype(jnp.uint32)
-        g = jnp.where(k < tok_len, byte & np.uint32(0x7F), np.uint32(0))
-        lo, hi = u64.assemble_group((lo, hi), g, k)
-    # NaN marker = biased 0 regardless of length (reference decodeVarint u==0)
-    nan = u64.is_zero((lo, hi))
-    biased = u64.sub((lo, hi), u64.select(nan, u64.const(0, nan.shape), u64.const(1, nan.shape)))
-    v = u64.unzigzag(biased)
-    return u64.select(nan, u64.const(0, nan.shape), v), nan
-
-
 def _dequant_store_floatn_lane(unit: CodecUnit, lane: int, d32, nan_l, out):
     """int32 deltas (C, N) of one fused-FloatN lane -> dequantized f32 column."""
     q = _segmented_undelta_i32(d32, nan_l)
@@ -1024,115 +987,54 @@ class DeviceStage1Decoder:
         return out, jnp.where(bad, np.int32(2**31 - 1), consumed)
 
     def _decode_general(self, payloads: jnp.ndarray, sizes: jnp.ndarray, n_valid: jnp.ndarray):
-        """Mixed varint + fixed-width (COPY/XOR) plans.
-
-        Terminator counting no longer works (fixed-token bytes have arbitrary
-        MSBs), but token lengths are still position-independent, so the point
-        record length starting at ANY byte b is computable in parallel:
-        succ(b) = b advanced over every unit's token. Point starts are then
-        succ^i(0), evaluated for all i at once by binary lifting on succ
-        (log2(N) gather rounds — the same construction as ops/orbit.py)."""
+        """All-fixed-width plans (COPY/XOR only): point starts are a static
+        stride, decode is pure arithmetic. (Plans mixing varints or Gorilla
+        route to the enumerative-FSM decoder — ops/fsm_decode.py — which
+        replaced the old binary-lifting successor walk.)"""
         Cn, B = payloads.shape
         N = self.chunk_points
         batch = jnp.arange(Cn, dtype=np.int32)[:, None]
         units = self.plan.units
-        has_varint = any(u.is_varint_class for u in units)
+        assert not any(u.is_varint_class for u in units)
 
-        nt = None
-        if has_varint:
-            # nt[b] = position of first terminator byte at-or-after b (B if none)
-            idxb = jnp.arange(B, dtype=np.int32)
-            term_pos = jnp.where((payloads & 0x80) == 0, idxb[None, :], B)
-            nt = jnp.flip(jax.lax.cummin(jnp.flip(term_pos, -1), axis=1), -1)
-
-        if not has_varint:
-            stride = sum(int(u.fixed_size) for u in units)
-            starts = jnp.broadcast_to(
-                (jnp.arange(N, dtype=np.int32) * stride)[None, :], (Cn, N)
-            )
-            out, _ = self._extract_store_general(payloads, batch, starts, nt, n_valid)
-            return out, (n_valid * stride).astype(jnp.int32)
-
-        # successor of every byte position (as a point-record start)
-        cur = jnp.broadcast_to(jnp.arange(B, dtype=np.int32)[None, :], (Cn, B))
-        for unit in units:
-            if unit.is_varint_class:
-                for _ in range(unit.num_lanes):
-                    nxt = nt[batch, jnp.clip(cur, 0, B - 1)]
-                    cur = jnp.where(cur >= B, B, jnp.minimum(nxt + 1, B))
-            else:
-                cur = jnp.minimum(cur + int(unit.fixed_size), B)
-        # binary lifting: pos_i = succ^i(0); domain [0, B] with fixpoint B
-        F = jnp.concatenate([cur, jnp.full((Cn, 1), B, jnp.int32)], axis=-1)
-        levels = int(N).bit_length()
-        ibits = jnp.arange(N, dtype=np.int32)
-        pos = jnp.zeros((Cn, N), jnp.int32)
-        pos_c = jnp.zeros((Cn,), jnp.int32)  # succ^{n_valid}(0) = bytes consumed
-        Fk = F
-        for k in range(levels):
-            pos = jnp.where(((ibits >> k) & 1) > 0, Fk[batch, pos], pos)
-            pos_c = jnp.where(
-                ((n_valid >> k) & 1) > 0, Fk[jnp.arange(Cn, dtype=np.int32), pos_c], pos_c
-            )
-            pos = jax.lax.optimization_barrier(pos)
-            if k < levels - 1:
-                Fk = jax.lax.optimization_barrier(Fk[batch, Fk])
-        out, overflow = self._extract_store_general(payloads, batch, pos, nt, n_valid)
-        consumed = jnp.where(n_valid > 0, pos_c, 0).astype(jnp.int32)
-        return out, jnp.where(overflow, np.int32(2**31 - 1), consumed)
+        stride = sum(int(u.fixed_size) for u in units)
+        starts = jnp.broadcast_to(
+            (jnp.arange(N, dtype=np.int32) * stride)[None, :], (Cn, N)
+        )
+        out, _ = self._extract_store_general(payloads, batch, starts, None, n_valid)
+        return out, (n_valid * stride).astype(jnp.int32)
 
     def _extract_store_general(self, payloads, batch, starts, nt, n_valid):
-        """Walk each unit's token at every point start; decode + store columns."""
+        """Decode + store the fixed-width columns at static point starts."""
         Cn, B = payloads.shape
         N = self.chunk_points
-        valid = jnp.arange(N, dtype=np.int32)[None, :] < n_valid[:, None]
         out = jnp.zeros((Cn, N, self.point_step), jnp.uint8)
         overflow = jnp.zeros((Cn,), bool)
         cur = starts
         for unit in self.plan.units:
-            if unit.is_varint_class:
-                lanes = unit.num_lanes if unit.kind == UnitKind.FLOATN_LOSSY else 1
-                for lane in range(lanes):
-                    tok_end = nt[batch, jnp.clip(cur, 0, B - 1)]
-                    tok_len = tok_end - cur + 1
-                    overflow = overflow | jnp.any(valid & (tok_len > 10), axis=-1)
-                    if unit.kind == UnitKind.FLOATN_LOSSY:
-                        sval, nan_l = _assemble_varint32(payloads, batch, cur, tok_len, B)
-                        out = _dequant_store_floatn_lane(unit, lane, sval, nan_l, out)
-                    elif unit.kind == UnitKind.FLOAT_LOSSY:
-                        v, nan_l = _assemble_varint64(payloads, batch, cur, tok_len, B)
-                        out = _dequant_store_float_lossy(unit, v, nan_l, out)
-                    else:  # INT_DELTA
-                        v, nan_l = _assemble_varint64(payloads, batch, cur, tok_len, B)
-                        # NaN marker is illegal in integer lanes (the host
-                        # decoder raises): flag the chunk instead of storing 0
-                        overflow = overflow | jnp.any(valid & nan_l, axis=-1)
-                        out = _undelta_store_int(unit, v, out)
-                    cur = tok_end + 1
-            else:  # COPY / FLOAT_XOR: static width
-                width = int(unit.fixed_size)
-                cols = jnp.stack(
-                    [payloads[batch, jnp.clip(cur + k, 0, B - 1)] for k in range(width)],
-                    axis=-1,
-                )  # (C, N, width)
-                if unit.kind == UnitKind.COPY:
-                    if unit.offsets[0] != DECODE_BUT_SKIP_STORE:
-                        out = C.store_bytes(out, unit.offsets[0], cols)
-                else:  # FLOAT_XOR: value = XOR-prefix-scan of residuals
-                    limbs = []
-                    for limb in range(width // 4):
-                        r = cols[..., 4 * limb].astype(jnp.uint32)
-                        for k in range(1, 4):
-                            r = r | (cols[..., 4 * limb + k].astype(jnp.uint32) << (8 * k))
-                        limbs.append(jax.lax.associative_scan(jnp.bitwise_xor, r, axis=-1))
-                    if unit.offsets[0] != DECODE_BUT_SKIP_STORE:
-                        if width == 8:
-                            out = C.store_bytes(
-                                out, unit.offsets[0], u64.to_bytes((limbs[0], limbs[1]), 8)
-                            )
-                        else:
-                            out = C.store_bytes(out, unit.offsets[0], C.split_bytes(limbs[0], 4))
-                cur = cur + width
+            width = int(unit.fixed_size)
+            cols = jnp.stack(
+                [payloads[batch, jnp.clip(cur + k, 0, B - 1)] for k in range(width)],
+                axis=-1,
+            )  # (C, N, width)
+            if unit.kind == UnitKind.COPY:
+                if unit.offsets[0] != DECODE_BUT_SKIP_STORE:
+                    out = C.store_bytes(out, unit.offsets[0], cols)
+            else:  # FLOAT_XOR: value = XOR-prefix-scan of residuals
+                limbs = []
+                for limb in range(width // 4):
+                    r = cols[..., 4 * limb].astype(jnp.uint32)
+                    for k in range(1, 4):
+                        r = r | (cols[..., 4 * limb + k].astype(jnp.uint32) << (8 * k))
+                    limbs.append(jax.lax.associative_scan(jnp.bitwise_xor, r, axis=-1))
+                if unit.offsets[0] != DECODE_BUT_SKIP_STORE:
+                    if width == 8:
+                        out = C.store_bytes(
+                            out, unit.offsets[0], u64.to_bytes((limbs[0], limbs[1]), 8)
+                        )
+                    else:
+                        out = C.store_bytes(out, unit.offsets[0], C.split_bytes(limbs[0], 4))
+            cur = cur + width
         return out, overflow
 
     def _store_unit(self, unit: CodecUnit, svals, nan, t0: int, lanes: int, out):
