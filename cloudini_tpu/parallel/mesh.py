@@ -62,8 +62,14 @@ class ShardedChunkCodec:
             dec = DeviceStage1Decoder(self.plan, self.point_step, self.chunk_points, max_bytes)
             shard = NamedSharding(self.mesh, P(self.axis))
             # re-jit with shardings, honoring the decoder's own path dispatch
-            # (mixed fixed-width/varint plans use the general decoder)
-            body = dec._decode_general if dec.general else dec._decode
+            # (mixed fixed/varint and Gorilla plans use the FSM decoder;
+            # all-fixed plans the arithmetic walk; pure-varint the scan+sort)
+            if dec.fsm:
+                body = dec._fsm_dec.decode
+            elif dec.general:
+                body = dec._decode_general
+            else:
+                body = dec._decode
             dec._fn = jax.jit(
                 body,
                 in_shardings=(NamedSharding(self.mesh, P(self.axis, None)), shard, shard),
