@@ -1,0 +1,464 @@
+"""Numpy kernel of truth: ZSTD frame writer (raw literals + predefined-FSE
+sequences), RFC 8878 conformant.
+
+The reference's headline stage-2 is ZSTD level 1 on the host
+(/root/reference/cloudini_lib/src/codec_common.cpp:242). This module is the
+wire-format oracle for the DEVICE zstd stage 2 (ops/zstd.py): it serializes
+(literals, sequences) into frames that any conforming zstd decoder accepts —
+every test round-trips through the ``zstandard`` C library.
+
+Scope (deliberate):
+  * literals are RAW (no Huffman stage); the compression win comes from the
+    LZ sequences, FSE-coded with the spec's PREDEFINED distributions
+    (RFC 8878 3.1.1.3.2.2) — no table headers on the wire.
+  * offsets always use Offset_Value = offset + 3 (no repeat-offset codes).
+  * blocks are capped at BLOCK_CAP bytes so Literals_Length / Match_Length /
+    Number_of_Sequences can never overflow their predefined-code ranges.
+
+FSE here is formulated by INVERTING the decode table: the decoder's states
+for a symbol partition [0, table_size) into dyadic intervals, so the encoder
+transition is a dense (n_symbols, table_size) lookup — the same formulation
+the device kernel vectorizes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+MAGIC = b"\x28\xb5\x2f\xfd"
+BLOCK_CAP = 126 * 1024  # <= 2^17 window; keeps LL/ML/#seq in predefined range
+MINMATCH = 3
+
+# ---- predefined FSE distributions (RFC 8878 3.1.1.3.2.2) -------------------
+
+LL_DEFAULT = np.array(
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2, 2, 2,
+     2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1], np.int32)
+LL_LOG = 6
+ML_DEFAULT = np.array(
+    [1, 4, 3, 2, 2, 2, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, -1,
+     -1, -1, -1, -1, -1, -1], np.int32)
+ML_LOG = 6
+OF_DEFAULT = np.array(
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     -1, -1, -1, -1, -1], np.int32)
+OF_LOG = 5
+
+# ---- literals-length / match-length code tables (RFC 8878 3.1.1.3.2.1.1) ---
+# code -> (baseline, number_of_extra_bits); codes 0..15 are LL 0..15 direct,
+# codes 0..31 are ML 3..34 direct.
+
+_LL_EXTRA = [(16, 1), (18, 1), (20, 1), (22, 1), (24, 2), (28, 2), (32, 3),
+             (40, 3), (48, 4), (64, 6), (128, 7), (256, 8), (512, 9),
+             (1024, 10), (2048, 11), (4096, 12), (8192, 13), (16384, 14),
+             (32768, 15), (65536, 16)]
+LL_BASE = np.array([i for i in range(16)] + [b for b, _ in _LL_EXTRA], np.int64)
+LL_BITS = np.array([0] * 16 + [n for _, n in _LL_EXTRA], np.int32)
+
+_ML_EXTRA = [(35, 1), (37, 1), (39, 1), (41, 1), (43, 2), (47, 2), (51, 3),
+             (59, 3), (67, 4), (83, 4), (99, 5), (131, 7), (259, 8), (515, 9),
+             (1027, 10), (2051, 11), (4099, 12), (8195, 13), (16387, 14),
+             (32771, 15), (65539, 16)]
+ML_BASE = np.array([i + 3 for i in range(32)] + [b for b, _ in _ML_EXTRA], np.int64)
+ML_BITS = np.array([0] * 32 + [n for _, n in _ML_EXTRA], np.int32)
+
+
+def ll_code(v: np.ndarray) -> np.ndarray:
+    """Literals_Length_Code for length v (vectorized)."""
+    v = np.asarray(v, np.int64)
+    return np.searchsorted(LL_BASE, v, side="right").astype(np.int32) - 1
+
+
+def ml_code(v: np.ndarray) -> np.ndarray:
+    v = np.asarray(v, np.int64)
+    return np.searchsorted(ML_BASE, v, side="right").astype(np.int32) - 1
+
+
+def of_code(offset_value: np.ndarray) -> np.ndarray:
+    """Offset code = floor(log2(Offset_Value)); extra bits count = code."""
+    v = np.asarray(offset_value, np.int64)
+    return np.floor(np.log2(v)).astype(np.int32)
+
+
+# ---- FSE tables ------------------------------------------------------------
+
+
+def fse_spread(norm: np.ndarray, table_log: int) -> np.ndarray:
+    """Symbol spread over table positions (RFC 8878 4.1.1): low-probability
+    (-1) symbols take the highest positions; the rest spread with the
+    standard step, skipping positions above high_threshold."""
+    size = 1 << table_log
+    spread = np.full(size, -1, np.int32)
+    high = size - 1
+    for s, c in enumerate(norm):
+        if c == -1:
+            spread[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, c in enumerate(norm):
+        for _ in range(max(int(c), 0)):
+            spread[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    assert pos == 0 and np.all(spread >= 0)
+    return spread
+
+
+def fse_decode_table(norm: np.ndarray, table_log: int):
+    """(symbol, nb_bits, baseline) per table position. Decoding at position u
+    reads nb_bits[u] bits b and moves to position baseline[u] + b."""
+    size = 1 << table_log
+    spread = fse_spread(norm, table_log)
+    next_count = np.where(norm == -1, 1, norm).astype(np.int64)
+    nb_bits = np.zeros(size, np.int32)
+    base = np.zeros(size, np.int32)
+    for u in range(size):
+        s = spread[u]
+        x = next_count[s]
+        next_count[s] += 1
+        nb = table_log - int(x).bit_length() + 1
+        nb_bits[u] = nb
+        base[u] = (int(x) << nb) - size
+    return spread, nb_bits, base
+
+
+def fse_encode_table(norm: np.ndarray, table_log: int):
+    """Dense inverse: enc[s, p] = the unique position u with symbol u == s and
+    baseline[u] <= p < baseline[u] + 2^nb_bits[u] (the intervals of a
+    symbol's states partition [0, size)). Also returns the per-position
+    (symbol, nb_bits, baseline) decode arrays and the first position of each
+    symbol (the canonical initial encoder state)."""
+    size = 1 << table_log
+    spread, nb_bits, base = fse_decode_table(norm, table_log)
+    enc = np.full((len(norm), size), -1, np.int32)
+    first = np.full(len(norm), -1, np.int32)
+    for u in range(size):
+        s = spread[u]
+        enc[s, base[u]: base[u] + (1 << nb_bits[u])] = u
+        if first[s] < 0:
+            first[s] = u
+    for s, c in enumerate(norm):
+        if c != 0:
+            assert np.all(enc[s] >= 0), f"symbol {s} does not cover the table"
+    return enc, spread, nb_bits, base, first
+
+
+LL_TABLE = fse_encode_table(LL_DEFAULT, LL_LOG)
+ML_TABLE = fse_encode_table(ML_DEFAULT, ML_LOG)
+OF_TABLE = fse_encode_table(OF_DEFAULT, OF_LOG)
+
+
+# ---- bit writer (forward little-endian; decoder reads it backward) ---------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.acc = 0
+        self.n = 0
+
+    def add(self, value: int, nbits: int):
+        assert 0 <= value < (1 << nbits) if nbits else value == 0
+        self.acc |= value << self.n
+        self.n += nbits
+
+    def close(self) -> bytes:
+        self.add(1, 1)  # end-of-stream marker bit
+        nbytes = (self.n + 7) // 8
+        return self.acc.to_bytes(nbytes, "little")
+
+
+# ---- sequences section -----------------------------------------------------
+
+
+def encode_sequences(seqs: Sequence[Tuple[int, int, int]]) -> bytes:
+    """(literals_length, match_length, offset) triples -> the
+    Sequences_Section bytes (predefined mode, backward FSE bitstream)."""
+    n = len(seqs)
+    if n == 0:
+        return b"\x00"
+    assert n <= 32511, "block too many sequences for the 2-byte header"
+    if n < 128:
+        head = bytes([n])
+    else:
+        head = bytes([128 + (n >> 8), n & 0xFF])
+    head += b"\x00"  # all three symbols in Predefined_Mode
+
+    ll = np.array([s[0] for s in seqs], np.int64)
+    mlv = np.array([s[1] for s in seqs], np.int64)
+    off = np.array([s[2] for s in seqs], np.int64)
+    assert mlv.min() >= MINMATCH and off.min() >= 1
+    ofv = off + 3  # no repeat-offset codes
+    llc = ll_code(ll)
+    mlc = ml_code(mlv)
+    ofc = np.floor(np.log2(ofv)).astype(np.int32)
+    ll_extra = (ll - LL_BASE[llc]).astype(np.int64)
+    ml_extra = (mlv - ML_BASE[mlc]).astype(np.int64)
+    of_extra = (ofv - (np.int64(1) << ofc.astype(np.int64))).astype(np.int64)
+    llb = LL_BITS[llc]
+    mlb = ML_BITS[mlc]
+
+    enc_ll, _, nb_ll, base_ll, first_ll = LL_TABLE
+    enc_ml, _, nb_ml, base_ml, first_ml = ML_TABLE
+    enc_of, _, nb_of, base_of, first_of = OF_TABLE
+
+    w = _BitWriter()
+    # encoder walks sequences LAST -> FIRST; init states carry no bits
+    p_ll = int(first_ll[llc[n - 1]])
+    p_ml = int(first_ml[mlc[n - 1]])
+    p_of = int(first_of[ofc[n - 1]])
+    w.add(int(ll_extra[n - 1]), int(llb[n - 1]))
+    w.add(int(ml_extra[n - 1]), int(mlb[n - 1]))
+    w.add(int(of_extra[n - 1]), int(ofc[n - 1]))
+    for i in range(n - 2, -1, -1):
+        u = int(enc_of[ofc[i], p_of])
+        w.add(p_of - int(base_of[u]), int(nb_of[u]))
+        p_of = u
+        u = int(enc_ml[mlc[i], p_ml])
+        w.add(p_ml - int(base_ml[u]), int(nb_ml[u]))
+        p_ml = u
+        u = int(enc_ll[llc[i], p_ll])
+        w.add(p_ll - int(base_ll[u]), int(nb_ll[u]))
+        p_ll = u
+        w.add(int(ll_extra[i]), int(llb[i]))
+        w.add(int(ml_extra[i]), int(mlb[i]))
+        w.add(int(of_extra[i]), int(ofc[i]))
+    # final (= decoder-initial) states, then the close marker
+    w.add(p_ml, ML_LOG)
+    w.add(p_of, OF_LOG)
+    w.add(p_ll, LL_LOG)
+    return head + w.close()
+
+
+# ---- block / frame assembly ------------------------------------------------
+
+
+def _raw_literals_header(size: int) -> bytes:
+    # Raw_Literals_Block, Size_Format 3 (3-byte header, 20-bit size)
+    assert size < (1 << 20)
+    b0 = 0 | (3 << 2) | ((size & 0xF) << 4)
+    return bytes([b0, (size >> 4) & 0xFF, size >> 12])
+
+
+def encode_block(data: bytes, seqs: Sequence[Tuple[int, int, int]],
+                 last: bool) -> bytes:
+    """One block: compressed (raw literals + FSE sequences) when that is
+    smaller than the raw copy, else a Raw_Block."""
+    n = len(data)
+    lit_total = sum(s[0] for s in seqs) + (
+        n - sum(s[0] + s[1] for s in seqs)
+    )
+    # literals = all bytes not covered by a match, in order
+    lits = bytearray()
+    pos = 0
+    for (l, m, _o) in seqs:
+        lits += data[pos: pos + l]
+        pos += l + m
+    lits += data[pos:]
+    assert len(lits) == lit_total
+    content = _raw_literals_header(len(lits)) + bytes(lits) + encode_sequences(seqs)
+    if len(content) < n:
+        hdr = (len(content) << 3) | (2 << 1) | int(last)
+        return hdr.to_bytes(3, "little") + content
+    hdr = (n << 3) | (0 << 1) | int(last)
+    return hdr.to_bytes(3, "little") + data
+
+
+def encode_frame(blocks: Sequence[Tuple[bytes, Sequence[Tuple[int, int, int]]]]) -> bytes:
+    """[(block_data, sequences)] -> one ZSTD frame. The frame header pins a
+    128 KiB window (>= BLOCK_CAP, so any in-block offset is legal)."""
+    out = bytearray(MAGIC)
+    out.append(0x00)  # FHD: no FCS, no checksum, no dict
+    out.append((17 - 10) << 3)  # window descriptor: 2^17
+    for i, (data, seqs) in enumerate(blocks):
+        out += encode_block(data, seqs, last=(i == len(blocks) - 1))
+    return bytes(out)
+
+
+# ---- mini-decoder (predefined mode only) -----------------------------------
+# Parses frames whose compressed blocks use raw/RLE literals and
+# Predefined_Mode sequences — enough to decode libzstd level-1 output on
+# small inputs, which is how these tables are conformance-locked in
+# tests/test_zstd_frame.py (decode real libzstd frames, compare content).
+
+
+class _BitReader:
+    """Backward bitstream reader (RFC 8878 3.1.1.3.2.1.x)."""
+
+    def __init__(self, data: bytes):
+        self.val = int.from_bytes(data, "little")
+        top = self.val.bit_length()
+        assert top and (self.val >> (top - 1)) == 1, "missing marker bit"
+        self.n = top - 1  # bits available below the marker
+
+    def read(self, nbits: int) -> int:
+        assert self.n >= nbits, "bitstream exhausted"
+        self.n -= nbits
+        return (self.val >> self.n) & ((1 << nbits) - 1)
+
+
+def decode_sequences_section(raw: bytes):
+    """Sequences_Section bytes -> list of (ll, ml, offset_value). Only
+    Predefined_Mode is supported."""
+    b0 = raw[0]
+    if b0 == 0:
+        return [], 1
+    if b0 < 128:
+        n, pos = b0, 1
+    elif b0 < 255:
+        n, pos = ((b0 - 128) << 8) + raw[1], 2
+    else:
+        n, pos = raw[1] + (raw[2] << 8) + 0x7F00, 3
+    modes = raw[pos]
+    pos += 1
+    assert modes == 0, f"non-predefined modes {modes:#x} unsupported"
+    _, sym_ll, nb_ll, base_ll, _ = LL_TABLE
+    _, sym_ml, nb_ml, base_ml, _ = ML_TABLE
+    _, sym_of, nb_of, base_of, _ = OF_TABLE
+    r = _BitReader(raw[pos:])
+    p_ll = r.read(LL_LOG)
+    p_of = r.read(OF_LOG)
+    p_ml = r.read(ML_LOG)
+    out = []
+    for i in range(n):
+        ofc = int(sym_of[p_of])
+        ofv = (1 << ofc) + (r.read(ofc) if ofc else 0)
+        mlc = int(sym_ml[p_ml])
+        ml = int(ML_BASE[mlc]) + (r.read(int(ML_BITS[mlc])) if ML_BITS[mlc] else 0)
+        llc = int(sym_ll[p_ll])
+        ll = int(LL_BASE[llc]) + (r.read(int(LL_BITS[llc])) if LL_BITS[llc] else 0)
+        out.append((ll, ml, ofv))
+        if i + 1 < n:
+            p_ll = int(base_ll[p_ll]) + r.read(int(nb_ll[p_ll]))
+            p_ml = int(base_ml[p_ml]) + r.read(int(nb_ml[p_ml]))
+            p_of = int(base_of[p_of]) + r.read(int(nb_of[p_of]))
+    assert r.n == 0, f"{r.n} unconsumed bits"
+    return out, None
+
+
+def decode_frame(frame: bytes) -> bytes:
+    """Predefined-mode frame parser (raw/RLE literals). Repeat-offset codes
+    (Offset_Value 1-3) are resolved with the standard 3-slot history."""
+    assert frame[:4] == MAGIC
+    fhd = frame[4]
+    pos = 5
+    single_seg = (fhd >> 5) & 1
+    if not single_seg:
+        pos += 1  # window descriptor
+    pos += [0, 1, 2, 4][fhd & 3]
+    fcs_flag = fhd >> 6
+    pos += [1 if single_seg else 0, 2, 4, 8][fcs_flag]
+    out = bytearray()
+    rep = [1, 4, 8]  # repeat-offset history (spec initial values)
+    while True:
+        bh = int.from_bytes(frame[pos: pos + 3], "little")
+        pos += 3
+        last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+        if btype == 0:
+            out += frame[pos: pos + bsize]
+            pos += bsize
+        elif btype == 1:
+            out += frame[pos: pos + 1] * bsize
+            pos += 1
+        else:
+            assert btype == 2
+            blk = frame[pos: pos + bsize]
+            pos += bsize
+            lb = blk[0]
+            lit_type = lb & 3
+            size_fmt = (lb >> 2) & 3
+            assert lit_type in (0, 1), "entropy literals unsupported"
+            if size_fmt in (0, 2):
+                lit_size, lpos = lb >> 3, 1
+            elif size_fmt == 1:
+                lit_size, lpos = (lb >> 4) | (blk[1] << 4), 2
+            else:
+                lit_size, lpos = (lb >> 4) | (blk[1] << 4) | (blk[2] << 12), 3
+            if lit_type == 0:
+                lits = blk[lpos: lpos + lit_size]
+                spos = lpos + lit_size
+            else:
+                lits = blk[lpos: lpos + 1] * lit_size
+                spos = lpos + 1
+            seqs, _ = decode_sequences_section(blk[spos:])
+            lpos2 = 0
+            for (ll, ml, ofv) in seqs:
+                out += lits[lpos2: lpos2 + ll]
+                lpos2 += ll
+                if ofv > 3:
+                    off = ofv - 3
+                    rep = [off, rep[0], rep[1]]
+                else:
+                    idx = ofv - 1
+                    if ll == 0:
+                        if idx == 2:
+                            off = rep[0] - 1
+                        else:
+                            off = rep[idx + 1]
+                        # promote
+                        if idx == 0:
+                            rep = [rep[1], rep[0], rep[2]]
+                        else:
+                            rep = [off, rep[0], rep[1]]
+                    else:
+                        off = rep[idx]
+                        if idx:
+                            rep = [off, rep[0], rep[2] if idx == 1 else rep[1]]
+                for _ in range(ml):
+                    out.append(out[-off])
+            out += lits[lpos2:]
+        if last:
+            break
+    return bytes(out)
+
+
+# ---- simple host matcher (tests / ratio probes) ----------------------------
+
+
+def greedy_matches(data: bytes, min_match: int = 4) -> List[Tuple[int, int, int]]:
+    """Greedy hash-4 nearest-previous-occurrence matcher, numpy-assisted.
+    Produces (ll, ml, offset) triples valid within one block."""
+    n = len(data)
+    if n < min_match + 1:
+        return []
+    a = np.frombuffer(data, np.uint8)
+    h = (a[:-3].astype(np.uint32)
+         | (a[1:-2].astype(np.uint32) << 8)
+         | (a[2:-1].astype(np.uint32) << 16)
+         | (a[3:].astype(np.uint32) << 24))
+    h = (h * np.uint32(2654435761)) >> np.uint32(16)
+    table = {}
+    seqs = []
+    anchor = 0
+    i = 0
+    limit = n - min_match
+    while i <= limit:
+        key = int(h[i])
+        cand = table.get(key, -1)
+        table[key] = i
+        if cand >= 0 and a[cand] == a[i]:
+            # verify + extend
+            ml = 0
+            while i + ml < n and a[cand + ml] == a[i + ml]:
+                ml += 1
+            if ml >= min_match:
+                seqs.append((i - anchor, ml, i - cand))
+                i += ml
+                anchor = i
+                continue
+        i += 1
+    return seqs
+
+
+def compress(data: bytes) -> bytes:
+    """data -> a multi-block ZSTD frame (greedy matcher, raw literals)."""
+    blocks = []
+    for s in range(0, max(len(data), 1), BLOCK_CAP):
+        blk = data[s: s + BLOCK_CAP]
+        blocks.append((blk, greedy_matches(blk)))
+    return encode_frame(blocks)

@@ -1,0 +1,148 @@
+"""Conformance tests for the ZSTD frame writer (ref/zstd_frame.py).
+
+Two directions, both against the real libzstd (the ``zstandard`` wheel):
+  * every frame we emit must decompress to the original bytes;
+  * real libzstd level-1 frames (predefined sequence mode, raw literals)
+    must parse with our mini-decoder — this locks the predefined FSE tables
+    (RFC 8878 3.1.1.3.2.2) empirically, the same differential-oracle pattern
+    as tests/test_varint.py.
+"""
+
+import numpy as np
+import pytest
+import zstandard
+
+from cloudini_tpu.ref import zstd_frame as Z
+
+dctx = zstandard.ZstdDecompressor()
+
+
+def _rt(data: bytes):
+    frame = Z.compress(data)
+    got = dctx.decompress(frame, max_output_size=max(len(data), 1) + 16)
+    assert got == data
+    return len(frame)
+
+
+@pytest.mark.parametrize(
+    "data",
+    [
+        b"",
+        b"a",
+        b"ab",
+        b"abcabcabcabcabcabcabcabcabc",
+        bytes(range(256)) * 10,
+        b"\x00" * 200000,
+    ],
+    ids=["empty", "one", "two", "tiny-repeat", "cycle", "zeros-200k"],
+)
+def test_roundtrip_basic(data):
+    _rt(data)
+
+
+def test_roundtrip_random_and_low_entropy():
+    rng = np.random.default_rng(0)
+    _rt(rng.integers(0, 256, 5000, dtype=np.uint8).tobytes())
+    # multi-block (>126 KiB)
+    n = _rt(rng.integers(0, 4, 300000, dtype=np.uint8).tobytes())
+    assert n < 300000  # actually compresses
+
+
+@pytest.mark.parametrize("stride", [26, 113, 1021, 16384])
+def test_roundtrip_periodic_offsets(stride):
+    rng = np.random.default_rng(stride)
+    base = rng.integers(0, 256, stride, dtype=np.uint8).tobytes()
+    data = base * 9 + base[: stride // 2]
+    n = _rt(data)
+    assert n < len(data) // 2
+
+
+def test_fse_tables_normalized():
+    for norm, log in ((Z.LL_DEFAULT, Z.LL_LOG), (Z.ML_DEFAULT, Z.ML_LOG),
+                      (Z.OF_DEFAULT, Z.OF_LOG)):
+        assert int(np.where(norm == -1, 1, norm).sum()) == 1 << log
+
+
+def test_decode_real_libzstd_frames():
+    """Our mini-decoder must decode real libzstd level-1 output bit-exactly
+    (predefined mode): locks the FSE spread + state tables to libzstd's."""
+    cctx = zstandard.ZstdCompressor(level=1, write_content_size=False,
+                                    write_checksum=False)
+    rng = np.random.default_rng(7)
+    cases = [
+        (b"hello world, " * 40) + rng.integers(0, 256, 100, dtype=np.uint8).tobytes(),
+        b"abcabcabcabcabcabcabcabcabc" + b"XYZ",
+        b"the quick brown fox jumps over the lazy dog. " * 30,
+    ]
+    # varied match lengths / literal runs exercise many FSE states
+    for k in (5, 9, 17, 33, 65, 129):
+        lead = bytes(rng.integers(1, 255, k, dtype=np.uint8))
+        cases.append(lead + b"A" * (k + 4) + lead)
+    checked = 0
+    for data in cases:
+        frame = cctx.compress(data)
+        try:
+            got = Z.decode_frame(frame)
+        except AssertionError as exc:
+            if "unsupported" in str(exc):
+                continue  # libzstd chose entropy literals / custom tables
+            raise
+        assert got == data
+        checked += 1
+    assert checked >= 5  # the corpus must actually exercise the decoder
+
+
+def test_sequences_section_forms():
+    """0, <128, and >=128 sequence-count headers all round-trip."""
+    rng = np.random.default_rng(3)
+    # ~n sequences: n short records with a repeating 8-byte token each
+    def mk(n):
+        tok = bytes(range(8))
+        out = bytearray()
+        for i in range(n):
+            out += bytes(rng.integers(1, 255, 3, dtype=np.uint8)) + tok
+        return bytes(out)
+
+    _rt(mk(0) if False else b"nosequencehere")  # no matches -> 0 sequences
+    _rt(mk(50))
+    _rt(mk(400))  # > 128 sequences
+
+
+def test_fixture_ratio_beats_lz4_on_mixed():
+    """On the dds mixed stage-1 stream the sequences-only frame must beat
+    liblz4 (measured r2: 0.445 vs 0.479)."""
+    import pathlib
+
+    import jax
+
+    from cloudini_tpu import native
+    from cloudini_tpu.codec import stage2
+    from cloudini_tpu.core.plan import build_plan
+    from cloudini_tpu.core.types import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+    )
+    from cloudini_tpu.io.ros_msgs import (
+        apply_resolution_profile,
+        get_deserialized_point_cloud_message,
+    )
+
+    dds = pathlib.Path("/root/reference/cloudini_lib/samples/dds_message.bin")
+    if not dds.exists() or not native.available():
+        pytest.skip("fixture or native runtime unavailable")
+    pc = get_deserialized_point_cloud_message(dds.read_bytes())
+    pc.fields = apply_resolution_profile({}, pc.fields, 0.001)
+    rows = np.frombuffer(pc.data, np.uint8).reshape(-1, pc.point_step)
+    info = EncodingInfo(fields=tuple(pc.fields), width=rows.shape[0], height=1,
+                        point_step=pc.point_step,
+                        encoding_opt=EncodingOptions.LOSSY,
+                        compression_opt=CompressionOption.NONE)
+    plan = build_plan(info)
+    blob = np.asarray(
+        native.encode_chunk(plan, rows[:32768], plan.max_encoded_point_bytes)
+    ).tobytes()
+    mine = Z.compress(blob)
+    assert dctx.decompress(mine, max_output_size=len(blob) + 16) == blob
+    lz4 = stage2.compress_chunk(CompressionOption.LZ4, blob)
+    assert len(mine) < len(lz4)
