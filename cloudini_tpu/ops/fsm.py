@@ -327,6 +327,39 @@ def gorilla_l_values(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarra
 # ------------------------------------------------------------------ passes
 
 
+def _scan_unrolled(fn, init, xs, u: int):
+    """lax.scan of a carry-emitting chain ``fn(carry, *x) -> carry`` with the
+    body unrolled ``u`` steps (per-step work is tiny; scan-step latency
+    dominates). The leading dim need not divide ``u`` — the remainder runs in
+    a short plain scan. Returns (final_carry, stacked_carries) like lax.scan
+    with ``ys = carry-before-step``."""
+    n = xs[0].shape[0]
+    n0 = (n // u) * u
+
+    def body_u(carry, x_u):
+        outs = []
+        for j in range(u):
+            outs.append(carry)
+            carry = fn(carry, *[x[j] for x in x_u])
+        return carry, jnp.stack(outs)
+
+    def body_1(carry, x):
+        return fn(carry, *x), carry
+
+    carries = []
+    if n0:
+        init, ys = jax.lax.scan(
+            body_u, init,
+            tuple(x[:n0].reshape((n0 // u, u) + x.shape[1:]) for x in xs),
+        )
+        carries.append(ys.reshape((n0,) + ys.shape[2:]))
+    if n - n0:
+        init, ys = jax.lax.scan(body_1, init, tuple(x[n0:] for x in xs))
+        carries.append(ys)
+    out = carries[0] if len(carries) == 1 else jnp.concatenate(carries, axis=0)
+    return init, out
+
+
 def run_fsm(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
             start: Optional[jnp.ndarray] = None, block: int = 512):
     """Three-pass FSM over (C, B) payloads. Returns (p_bytes (C, B) i32
@@ -346,7 +379,12 @@ def run_fsm(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
 
 def _run_tier(layout: FsmLayout, hl: int, _unused, payloads, sizes, start, block):
     c, b = payloads.shape
+    # U bytes advance per lax.scan step: per-step work (c*nb*lanes elements)
+    # is far below VPU saturation, so the pass cost is SCAN-STEP LATENCY —
+    # unrolling U transitions into one step body cuts sequential steps ~U-x
+    U = 8
     k = min(block, b) if b else 1
+    k = -(-k // U) * U  # multiple of U (pad bytes carry zero features)
     nb = max(-(-b // k), 1)
     pad = nb * k - b
     lmap = None  # identity lane map: lane == L value
@@ -363,8 +401,10 @@ def _run_tier(layout: FsmLayout, hl: int, _unused, payloads, sizes, start, block
     hyp = jnp.asarray(hyp_np)
     H = hyp_np.shape[0]
 
-    def p1_step(s, f_k):
-        return layout.step(s, f_k[:, :, None], hl, lmap), None
+    def p1_step(s, f_u):  # f_u: (U, c, nb) — U unrolled byte transitions
+        for j in range(U):
+            s = layout.step(s, f_u[j][:, :, None], hl, lmap)
+        return s, None
 
     entries = jnp.broadcast_to(hyp[None, None, :], (c, nb, H)).astype(jnp.int32)
 
@@ -389,7 +429,8 @@ def _run_tier(layout: FsmLayout, hl: int, _unused, payloads, sizes, start, block
     Dp = 8
     dedup_overflow = jnp.asarray(False)
     if hl > 1 and H > 2 * Dp * hl and k > 2 * W:
-        exits_w, _ = jax.lax.scan(p1_step, entries, feats_t[:W])
+        exits_w, _ = jax.lax.scan(p1_step, entries,
+                                  feats_t[:W].reshape(W // U, U, c, nb))
         pos_w = exits_w // hl
         # distinct surviving positions: Dp rounds of masked min
         INF = jnp.int32(1 << 30)
@@ -407,41 +448,44 @@ def _run_tier(layout: FsmLayout, hl: int, _unused, payloads, sizes, start, block
             posrank = jnp.where(pos_w == d_pos[:, :, j : j + 1], j, posrank)
         rank = posrank * hl + (exits_w - pos_w * hl)
 
-        def p1b_step(s, f_k):
-            return layout.step(s, f_k[:, :, None], hl, lmap), None
-
         entries_b = jnp.repeat(
             jnp.where(d_pos == INF, 0, d_pos), hl, axis=-1
         ) * hl + jnp.tile(jnp.arange(hl, dtype=jnp.int32), Dp)
-        exits_d, _ = jax.lax.scan(p1b_step, entries_b, feats_t[W:])
+        exits_d, _ = jax.lax.scan(p1_step, entries_b,
+                                  feats_t[W:].reshape((k - W) // U, U, c, nb))
 
-        def p2_step(carry, xs):  # two-level exit lookup
-            rank_b, exit_b = xs  # (C, H), (C, Dp*hl)
+        def p2_one(carry, rank_b, exit_b):  # two-level exit lookup
             idx = layout.code_to_hyp(carry, hl)
             r = jnp.take_along_axis(rank_b, idx[:, None], axis=1)
-            nxt = jnp.take_along_axis(exit_b, r, axis=1)[:, 0]
-            return nxt, carry
+            return jnp.take_along_axis(exit_b, r, axis=1)[:, 0]
 
-        s_final, entries_true = jax.lax.scan(
-            p2_step, e0, (rank.transpose(1, 0, 2), exits_d.transpose(1, 0, 2))
+        s_final, entries_true = _scan_unrolled(
+            p2_one, e0, (rank.transpose(1, 0, 2), exits_d.transpose(1, 0, 2)), U
         )
     else:
-        exits, _ = jax.lax.scan(p1_step, entries, feats_t)
+        exits, _ = jax.lax.scan(p1_step, entries,
+                                feats_t.reshape(k // U, U, c, nb))
 
-        def p2_step(carry, exit_b):  # exit_b: (C, H)
+        def p2_one(carry, exit_b):  # exit_b: (C, H)
             idx = layout.code_to_hyp(carry, hl)
-            nxt = jnp.take_along_axis(exit_b, idx[:, None], axis=1)[:, 0]
-            return nxt, carry
+            return jnp.take_along_axis(exit_b, idx[:, None], axis=1)[:, 0]
 
-        s_final, entries_true = jax.lax.scan(p2_step, e0, exits.transpose(1, 0, 2))
+        s_final, entries_true = _scan_unrolled(p2_one, e0,
+                                               (exits.transpose(1, 0, 2),), U)
     entries_true = entries_true.transpose(1, 0)  # (C, nb)
 
     # pass 3: replay each block once with its true entry; emit per-byte states
-    def p3_step(s, f_k):
-        return layout.step(s, f_k, hl, lmap), s
+    def p3_step(s, f_u):  # f_u: (U, c, nb)
+        outs = []
+        for j in range(U):
+            outs.append(s)
+            s = layout.step(s, f_u[j], hl, lmap)
+        return s, jnp.stack(outs)
 
-    _, states = jax.lax.scan(p3_step, entries_true, feats_t)
-    states = states.transpose(1, 2, 0).reshape(c, nb * k)[:, :b]
+    _, states = jax.lax.scan(p3_step, entries_true,
+                             feats_t.reshape(k // U, U, c, nb))
+    # (k//U, U, c, nb) -> (c, nb, k//U, U) -> byte index blk*k + s*U + j
+    states = states.transpose(2, 3, 0, 1).reshape(c, nb * k)[:, :b]
 
     if hl > 1:
         p_bytes = states // hl
