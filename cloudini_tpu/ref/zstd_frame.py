@@ -8,9 +8,12 @@ wire-format oracle for the DEVICE zstd stage 2 (ops/zstd.py): it serializes
 every test round-trips through the ``zstandard`` C library.
 
 Scope (deliberate):
-  * literals are RAW (no Huffman stage); the compression win comes from the
-    LZ sequences, FSE-coded with the spec's PREDEFINED distributions
-    (RFC 8878 3.1.1.3.2.2) — no table headers on the wire.
+  * LZ sequences are FSE-coded with the spec's PREDEFINED distributions
+    (RFC 8878 3.1.1.3.2.2) — no sequence table headers on the wire.
+  * literals are Huffman-coded (4 streams, package-merge length-limited
+    codes, direct or FSE-compressed weights) whenever that is smaller than
+    the raw form; match acceptance is entropy-gated so low-entropy streams
+    keep their literals for the Huffman stage.
   * offsets always use Offset_Value = offset + 3 (no repeat-offset codes).
   * blocks are capped at BLOCK_CAP bytes so Literals_Length / Match_Length /
     Number_of_Sequences can never overflow their predefined-code ranges.
@@ -261,7 +264,11 @@ def encode_block(data: bytes, seqs: Sequence[Tuple[int, int, int]],
         pos += l + m
     lits += data[pos:]
     assert len(lits) == lit_total
-    content = _raw_literals_header(len(lits)) + bytes(lits) + encode_sequences(seqs)
+    lit_section = _raw_literals_header(len(lits)) + bytes(lits)
+    huf = encode_huffman_literals(bytes(lits))
+    if huf is not None:
+        lit_section = huf
+    content = lit_section + encode_sequences(seqs)
     if len(content) < n:
         hdr = (len(content) << 3) | (2 << 1) | int(last)
         return hdr.to_bytes(3, "little") + content
@@ -278,6 +285,374 @@ def encode_frame(blocks: Sequence[Tuple[bytes, Sequence[Tuple[int, int, int]]]])
     for i, (data, seqs) in enumerate(blocks):
         out += encode_block(data, seqs, last=(i == len(blocks) - 1))
     return bytes(out)
+
+
+# ---- Huffman literals ------------------------------------------------------
+# RFC 8878 3.1.1.1.1 (literals section) + 4.2 (Huffman) + 4.1.1 (FSE table
+# description, used for the compressed weight stream). Max code length for
+# literals is 11 bits; the last present symbol's weight is implicit (it
+# completes the Kraft sum to a power of two).
+
+HUF_MAX_BITS = 11
+
+
+def huf_lengths(counts: np.ndarray, max_bits: int = HUF_MAX_BITS) -> np.ndarray:
+    """Optimal length-limited prefix-code lengths (package-merge / coin
+    collector), Kraft-exact: sum(2^-len) == 1 over present symbols. Needs at
+    least two present symbols."""
+    items = sorted((int(c), int(s)) for s, c in enumerate(counts) if c)
+    n = len(items)
+    assert n >= 2, "Huffman needs >= 2 symbols"
+    assert n <= (1 << max_bits), "alphabet exceeds depth limit"
+    level: List[Tuple[int, Tuple[int, ...]]] = [(c, (s,)) for c, s in items]
+    for _ in range(max_bits - 1):
+        packages = [
+            (level[i][0] + level[i + 1][0], level[i][1] + level[i + 1][1])
+            for i in range(0, len(level) - 1, 2)
+        ]
+        level = sorted([(c, (s,)) for c, s in items] + packages)
+    lengths = np.zeros(len(counts), np.int32)
+    for _c, syms in level[: 2 * n - 2]:
+        for s in syms:
+            lengths[s] += 1
+    assert sum(1 << (max_bits - l) for l in lengths[lengths > 0]) == 1 << max_bits
+    return lengths
+
+
+def _weights_from_lengths(lengths: np.ndarray):
+    """Per-symbol weights 0..max_bits for symbols 0..last_present (inclusive).
+    Returns (weights list, max_bits)."""
+    max_bits = int(lengths.max())
+    last = int(np.nonzero(lengths)[0][-1])
+    ws = [0 if lengths[s] == 0 else max_bits + 1 - int(lengths[s])
+          for s in range(last + 1)]
+    return ws, max_bits
+
+
+def _fse_normalize(hist: np.ndarray, log: int) -> np.ndarray:
+    """Normalize a histogram to sum 2^log with every present symbol >= 1."""
+    size = 1 << log
+    total = int(hist.sum())
+    assert total > 0
+    norm = (hist.astype(np.int64) * size) // total
+    norm = np.where((hist > 0) & (norm == 0), 1, norm).astype(np.int32)
+    # fix the sum by adjusting the most frequent symbol
+    big = int(np.argmax(norm))
+    norm[big] += size - int(norm.sum())
+    assert norm[big] >= 1, "normalization collapsed the dominant symbol"
+    return norm
+
+
+def _huf_weights_fse_encode(ws: Sequence[int]):
+    """Explicit weights -> FSE-compressed weight stream (table description +
+    backward bitstream with two interleaved states), or None when the stream
+    would not terminate correctly (0-bit transitions). Self-checked by
+    decoding with _huf_weights_fse_decode."""
+    m = len(ws)
+    if m < 2:
+        return None
+    hist = np.bincount(np.asarray(ws, np.int64), minlength=max(ws) + 1)
+    n_present = int((hist > 0).sum())
+    if n_present < 2:
+        return None  # FSE needs a real distribution
+    # weight-table accuracy log: wire field encodes log-5; spec max is 6
+    log = 5 if m < 32 else 6
+    norm = _fse_normalize(hist, log)
+    enc, spread, nb, base, first = fse_encode_table(norm, log)
+    evens, odds = list(ws[0::2]), list(ws[1::2])
+
+    def chain(xs):
+        sigma = int(first[xs[-1]])
+        ups = []
+        for x in xs[-2::-1]:
+            u = int(enc[x, sigma])
+            ups.append((sigma - int(base[u]), int(nb[u])))
+            sigma = u
+        ups.reverse()  # decode order
+        return sigma, ups
+
+    s1_init, u1 = chain(evens)
+    s2_init, u2 = chain(odds)
+    # interleave updates in decode order: u1_0, u2_0, u1_1, ...
+    inter = []
+    for i in range(max(len(u1), len(u2))):
+        if i < len(u1):
+            inter.append(u1[i])
+        if i < len(u2):
+            inter.append(u2[i])
+    w = _BitWriter()
+    for val, nbits in reversed(inter):
+        w.add(val, nbits)
+    w.add(s2_init, log)
+    w.add(s1_init, log)
+    payload = _ncount_write(norm, log) + w.close()
+    if len(payload) >= 128:
+        return None  # headerByte must stay < 128
+    try:
+        got = _huf_weights_fse_decode(payload)
+    except (AssertionError, IndexError):
+        return None
+    if got != list(ws):
+        return None  # implicit-length termination failed for this table
+    return bytes([len(payload)]) + payload
+
+
+def _huf_weights_direct(ws: Sequence[int]):
+    """Direct 4-bit weight representation (headerByte >= 128), or None when
+    there are more than 128 explicit weights."""
+    m = len(ws)
+    if not 1 <= m <= 128:
+        return None
+    out = bytearray([127 + m])
+    for i in range(0, m - 1, 2):
+        out.append((ws[i] << 4) | ws[i + 1])
+    if m & 1:
+        out.append(ws[m - 1] << 4)
+    return bytes(out)
+
+
+def _huf_tree_description(ws: Sequence[int]):
+    """Smaller of the two weight representations, or None when neither fits
+    (e.g. >128 equal weights: single-symbol FSE is unrepresentable — such
+    near-uniform literals would not compress anyway)."""
+    fse = _huf_weights_fse_encode(ws)
+    direct = _huf_weights_direct(ws)
+    cands = [c for c in (fse, direct) if c is not None]
+    return min(cands, key=len) if cands else None
+
+
+def _huf_decode_table(ws: Sequence[int], max_bits: int):
+    """Full weights (incl. the implicit last) -> (symbol, length) arrays of
+    size 2^max_bits for the peek decoder."""
+    size = 1 << max_bits
+    sym = np.zeros(size, np.int32)
+    ln = np.zeros(size, np.int32)
+    start = 0
+    for wgt in range(1, max_bits + 1):
+        for s, sw in enumerate(ws):
+            if sw == wgt:
+                span = 1 << (wgt - 1)
+                sym[start: start + span] = s
+                ln[start: start + span] = max_bits + 1 - wgt
+                start += span
+    assert start == size, "weights do not complete the table"
+    return sym, ln
+
+
+def _huf_encode_stream(chunk: bytes, codes) -> bytes:
+    """One backward Huffman stream: first literal decoded = last bits
+    written."""
+    w = _BitWriter()
+    for b in reversed(chunk):
+        c, ln = codes[b]
+        w.add(c, ln)
+    return w.close()
+
+
+def encode_huffman_literals(lits: bytes):
+    """Literals -> a Compressed_Literals_Block section (4 Huffman streams),
+    or None when Huffman is impossible (degenerate alphabet) or larger than
+    the raw form."""
+    n = len(lits)
+    if n < 16:
+        return None
+    counts = np.bincount(np.frombuffer(lits, np.uint8), minlength=256)
+    if int((counts > 0).sum()) < 2:
+        return None
+    lengths = huf_lengths(counts)
+    ws, max_bits = _weights_from_lengths(lengths)
+    tree = _huf_tree_description(ws[:-1])
+    if tree is None:
+        return None
+    codes = _huf_codes(ws, max_bits)
+    s13 = (n + 3) // 4
+    chunks = [lits[0:s13], lits[s13: 2 * s13], lits[2 * s13: 3 * s13],
+              lits[3 * s13:]]
+    assert all(chunks), "stream split produced an empty stream"
+    streams = [_huf_encode_stream(c, codes) for c in chunks]
+    jump = b"".join(len(s).to_bytes(2, "little") for s in streams[:3])
+    comp = len(tree) + len(jump) + sum(len(s) for s in streams)
+    # pick the smallest 4-stream size format that fits
+    if n < (1 << 10) and comp < (1 << 10):
+        fmt, hbits = 1, 10
+    elif n < (1 << 14) and comp < (1 << 14):
+        fmt, hbits = 2, 14
+    else:
+        assert n < (1 << 18) and comp < (1 << 18)
+        fmt, hbits = 3, 18
+    hdr_val = 2 | (fmt << 2) | (n << 4) | (comp << (4 + hbits))
+    hdr = hdr_val.to_bytes((4 + 2 * hbits) // 8, "little")
+    section = hdr + tree + jump + b"".join(streams)
+    if len(section) >= 3 + n:  # not smaller than the raw-literals form
+        return None
+    return section
+
+
+def _ncount_read(data: bytes):
+    """FSE table description decoder (RFC 8878 4.1.1). Returns
+    (norm list with -1 entries, accuracy_log, bytes consumed)."""
+    bits = int.from_bytes(data, "little")
+    pos = 0
+    total_bits = 8 * len(data)
+
+    def take(n):
+        nonlocal pos
+        assert pos + n <= total_bits
+        v = (bits >> pos) & ((1 << n) - 1)
+        pos += n
+        return v
+
+    log = take(4) + 5
+    size = 1 << log
+    remaining = size + 1
+    threshold = size
+    nb = log + 1
+    norm = []
+    while remaining > 1:
+        mx = (2 * threshold - 1) - remaining
+        low = (bits >> pos) & ((1 << (nb - 1)) - 1)  # peek nb-1
+        if low < mx:  # phase-in: the mx smallest low-fields are short
+            value = low
+            pos += nb - 1
+        else:
+            value = take(nb)
+            if value >= threshold:
+                value -= mx
+        count = value - 1  # -1 encodes "less than 1"
+        norm.append(count)
+        remaining -= -count if count < 0 else count
+        if count == 0:
+            while True:
+                rep = take(2)
+                norm += [0] * rep
+                if rep != 3:
+                    break
+        while remaining > 1 and remaining < threshold:
+            threshold >>= 1
+            nb -= 1
+    return norm, log, (pos + 7) // 8
+
+
+def _ncount_write(norm, log: int) -> bytes:
+    """Inverse of _ncount_read (forward bitstream)."""
+    size = 1 << log
+    acc = 0
+    pos = 0
+
+    def put(v, n):
+        nonlocal acc, pos
+        assert 0 <= v < (1 << n)
+        acc |= v << pos
+        pos += n
+
+    put(log - 5, 4)
+    remaining = size + 1
+    threshold = size
+    nb = log + 1
+    i = 0
+    while remaining > 1:
+        assert i < len(norm), "normalized counts do not fill the table"
+        count = int(norm[i])
+        i += 1
+        mx = (2 * threshold - 1) - remaining
+        value = count + 1
+        if value < mx:  # phase-in: the mx smallest values are short
+            put(value, nb - 1)
+        else:
+            put(value if value < threshold else value + mx, nb)
+        remaining -= -count if count < 0 else count
+        if count == 0:
+            # zero-repeat flags cover the following zeros
+            j = 0
+            while i + j < len(norm) and norm[i + j] == 0:
+                j += 1
+            while True:
+                rep = min(j, 3)
+                put(rep, 2)
+                i += rep
+                j -= rep
+                if rep != 3:
+                    break
+        while remaining > 1 and remaining < threshold:
+            threshold >>= 1
+            nb -= 1
+    return acc.to_bytes((pos + 7) // 8, "little")
+
+
+def _huf_table_from_weights(weights):
+    """Explicit weights (last symbol implicit) -> (lengths per symbol 0..N-1,
+    max_bits). Weight w>0 -> code length max_bits+1-w."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    # implicit last weight completes to the next power of two
+    nxt = 1 << (total - 1).bit_length() if total else 1
+    if nxt < total + 1:
+        nxt <<= 1
+    rest = nxt - total
+    assert rest & (rest - 1) == 0 and rest > 0, "corrupt weights"
+    w_last = rest.bit_length()
+    max_bits = (nxt).bit_length() - 1
+    ws = list(weights) + [w_last]
+    lengths = [0 if w == 0 else max_bits + 1 - w for w in ws]
+    return ws, lengths, max_bits
+
+
+def _huf_codes(ws, max_bits):
+    """Canonical code per symbol: the decode table is filled in (weight asc,
+    symbol asc) order, each weight-w symbol occupying 2^(w-1) slots; a
+    symbol's code is its slot start >> (w-1), length max_bits+1-w."""
+    start = 0
+    codes = {}
+    for w in range(1, max_bits + 1):
+        for s, sw in enumerate(ws):
+            if sw == w:
+                codes[s] = (start >> (w - 1), max_bits + 1 - w)
+                start += 1 << (w - 1)
+    assert start == 1 << max_bits
+    return codes
+
+
+def _huf_decode_stream(data: bytes, table, max_bits: int, n_out: int) -> bytes:
+    """One backward Huffman stream -> exactly n_out symbols."""
+    r = _BitReader(data)
+    out = bytearray()
+    sym, ln = table
+    for _ in range(n_out):
+        # peek max_bits (pad with zeros when near the end, per spec)
+        avail = min(r.n, max_bits)
+        v = (r.val >> (r.n - avail)) & ((1 << avail) - 1)
+        v <<= max_bits - avail
+        s = int(sym[v])
+        used = int(ln[v])
+        assert used <= r.n + (max_bits - avail), "stream exhausted"
+        r.n -= min(used, r.n)
+        out.append(s)
+    assert r.n == 0, f"{r.n} unconsumed literal-stream bits"
+    return bytes(out)
+
+
+def _huf_weights_fse_decode(data: bytes):
+    """FSE-compressed Huffman weights: table description + backward bitstream
+    with two interleaved states; symbol count implicit (read to exhaustion)."""
+    norm, log, used = _ncount_read(data)
+    norm = norm + [0] * (256 - len(norm))
+    spread, nb_bits, base = fse_decode_table(np.asarray(norm[:64], np.int32), log)
+    r = _BitReader(data[used:])
+    s1 = r.read(log)
+    s2 = r.read(log)
+    weights = []
+    while True:
+        weights.append(int(spread[s1]))
+        if r.n < int(nb_bits[s1]):
+            # final symbols come from the states without updates
+            weights.append(int(spread[s2]))
+            break
+        s1 = int(base[s1]) + r.read(int(nb_bits[s1]))
+        weights.append(int(spread[s2]))
+        if r.n < int(nb_bits[s2]):
+            weights.append(int(spread[s1]))
+            break
+        s2 = int(base[s2]) + r.read(int(nb_bits[s2]))
+    return weights
 
 
 # ---- mini-decoder (predefined mode only) -----------------------------------
@@ -300,6 +675,52 @@ class _BitReader:
         assert self.n >= nbits, "bitstream exhausted"
         self.n -= nbits
         return (self.val >> self.n) & ((1 << nbits) - 1)
+
+
+def _decode_compressed_literals(blk: bytes):
+    """Compressed_Literals_Block -> (literal bytes, offset of the sequences
+    section within blk). RFC 8878 3.1.1.1.1 + 4.2."""
+    lb = blk[0]
+    size_fmt = (lb >> 2) & 3
+    if size_fmt in (0, 1):
+        v = int.from_bytes(blk[:3], "little") >> 4
+        regen, comp = v & 0x3FF, v >> 10
+        hlen = 3
+    elif size_fmt == 2:
+        v = int.from_bytes(blk[:4], "little") >> 4
+        regen, comp = v & 0x3FFF, v >> 14
+        hlen = 4
+    else:
+        v = int.from_bytes(blk[:5], "little") >> 4
+        regen, comp = v & 0x3FFFF, v >> 18
+        hlen = 5
+    body = blk[hlen: hlen + comp]
+    hb = body[0]
+    if hb < 128:
+        ws = _huf_weights_fse_decode(body[1: 1 + hb])
+        tlen = 1 + hb
+    else:
+        m = hb - 127
+        ws = []
+        for i in range(m):
+            nib = body[1 + i // 2]
+            ws.append((nib >> 4) if i % 2 == 0 else (nib & 0xF))
+        tlen = 1 + (m + 1) // 2
+    ws_full, _lengths, max_bits = _huf_table_from_weights(ws)
+    table = _huf_decode_table(ws_full, max_bits)
+    sdata = body[tlen:]
+    if size_fmt == 0:  # single stream
+        return _huf_decode_stream(sdata, table, max_bits, regen), hlen + comp
+    sz = [int.from_bytes(sdata[2 * i: 2 * i + 2], "little") for i in range(3)]
+    starts = [6, 6 + sz[0], 6 + sz[0] + sz[1], 6 + sz[0] + sz[1] + sz[2]]
+    ends = starts[1:] + [len(sdata)]
+    s13 = (regen + 3) // 4
+    outs = []
+    for i in range(4):
+        n_i = s13 if i < 3 else regen - 3 * s13
+        outs.append(_huf_decode_stream(sdata[starts[i]: ends[i]], table,
+                                       max_bits, n_i))
+    return b"".join(outs), hlen + comp
 
 
 def decode_sequences_section(raw: bytes):
@@ -372,19 +793,22 @@ def decode_frame(frame: bytes) -> bytes:
             lb = blk[0]
             lit_type = lb & 3
             size_fmt = (lb >> 2) & 3
-            assert lit_type in (0, 1), "entropy literals unsupported"
-            if size_fmt in (0, 2):
-                lit_size, lpos = lb >> 3, 1
-            elif size_fmt == 1:
-                lit_size, lpos = (lb >> 4) | (blk[1] << 4), 2
+            assert lit_type != 3, "treeless literals unsupported"
+            if lit_type in (0, 1):
+                if size_fmt in (0, 2):
+                    lit_size, lpos = lb >> 3, 1
+                elif size_fmt == 1:
+                    lit_size, lpos = (lb >> 4) | (blk[1] << 4), 2
+                else:
+                    lit_size, lpos = (lb >> 4) | (blk[1] << 4) | (blk[2] << 12), 3
+                if lit_type == 0:
+                    lits = blk[lpos: lpos + lit_size]
+                    spos = lpos + lit_size
+                else:
+                    lits = blk[lpos: lpos + 1] * lit_size
+                    spos = lpos + 1
             else:
-                lit_size, lpos = (lb >> 4) | (blk[1] << 4) | (blk[2] << 12), 3
-            if lit_type == 0:
-                lits = blk[lpos: lpos + lit_size]
-                spos = lpos + lit_size
-            else:
-                lits = blk[lpos: lpos + 1] * lit_size
-                spos = lpos + 1
+                lits, spos = _decode_compressed_literals(blk)
             seqs, _ = decode_sequences_section(blk[spos:])
             lpos2 = 0
             for (ll, ml, ofv) in seqs:
@@ -422,11 +846,22 @@ def decode_frame(frame: bytes) -> bytes:
 
 def greedy_matches(data: bytes, min_match: int = 4) -> List[Tuple[int, int, int]]:
     """Greedy hash-4 nearest-previous-occurrence matcher, numpy-assisted.
-    Produces (ll, ml, offset) triples valid within one block."""
+    Produces (ll, ml, offset) triples valid within one block.
+
+    A match is only accepted when it beats entropy-coded literals: with
+    literal entropy H bits/byte, replacing ml literals saves ml*H bits and
+    spends ~10 bits of FSE state/code plus the offset's extra bits — on
+    low-entropy data short spurious matches otherwise INFLATE the frame
+    (the same economics that makes libzstd level 1 hash 6-grams)."""
     n = len(data)
     if n < min_match + 1:
         return []
     a = np.frombuffer(data, np.uint8)
+    counts = np.bincount(a, minlength=256)
+    p = counts[counts > 0] / n
+    # Huffman spends >= 1 bit per literal, so 1.0 is the true cost floor
+    # (and keeps degenerate single-symbol blocks on the match path)
+    ent = max(float(-(p * np.log2(p)).sum()), 1.0)
     h = (a[:-3].astype(np.uint32)
          | (a[1:-2].astype(np.uint32) << 8)
          | (a[2:-1].astype(np.uint32) << 16)
@@ -442,12 +877,15 @@ def greedy_matches(data: bytes, min_match: int = 4) -> List[Tuple[int, int, int]
         cand = table.get(key, -1)
         table[key] = i
         if cand >= 0 and a[cand] == a[i]:
-            # verify + extend
-            ml = 0
-            while i + ml < n and a[cand + ml] == a[i + ml]:
-                ml += 1
-            if ml >= min_match:
-                seqs.append((i - anchor, ml, i - cand))
+            # verify + extend (elementwise compare is correct for
+            # overlapping matches: LZ copies resolve byte-by-byte)
+            span = n - i
+            neq = a[cand: cand + span] != a[i: i + span]
+            first = int(np.argmax(neq))
+            ml = first if neq[first] else span
+            off = i - cand
+            if ml >= min_match and ml * ent >= 10.0 + off.bit_length():
+                seqs.append((i - anchor, ml, off))
                 i += ml
                 anchor = i
                 continue

@@ -108,6 +108,63 @@ def test_sequences_section_forms():
     _rt(mk(400))  # > 128 sequences
 
 
+def test_huffman_literals_roundtrip():
+    """Huffman-literal blocks (direct and FSE weight headers) round-trip
+    through libzstd AND the mini-decoder."""
+    rng = np.random.default_rng(0)
+    skew = rng.choice(
+        256, 80000,
+        p=(lambda w: w / w.sum())(np.exp(-np.arange(256) / 20.0)),
+    ).astype(np.uint8).tobytes()  # 240-symbol alphabet -> FSE weights
+    low = rng.integers(0, 8, 100000, dtype=np.uint8).tobytes()  # direct
+    for data in (skew, low, b"aabbbbccdddddd" * 40):
+        frame = Z.compress(data)
+        assert dctx.decompress(frame, max_output_size=len(data) + 16) == data
+        assert Z.decode_frame(frame) == data
+    # entropy-gated matcher: low-entropy random must compress near H=3 bits
+    assert len(Z.compress(low)) < 0.40 * len(low)
+
+
+def test_decode_real_libzstd_huffman_frames():
+    """Real libzstd frames with Huffman literals + FSE-compressed weights
+    must decode bit-exactly: conformance-locks _ncount_read, the weight
+    FSE stream, and the 4-stream Huffman decoder."""
+    cctx = zstandard.ZstdCompressor(level=1, write_content_size=False,
+                                    write_checksum=False)
+    rng = np.random.default_rng(42)
+    w = np.exp(-np.arange(256) / 25.0)
+    w /= w.sum()
+    for trial in range(6):
+        data = rng.choice(256, 30000 + 1000 * trial, p=w).astype(np.uint8).tobytes()
+        assert Z.decode_frame(cctx.compress(data)) == data
+
+
+def test_ncount_fuzz_roundtrip():
+    """FSE table-description writer/reader are exact inverses over random
+    normalized distributions."""
+    rng = np.random.default_rng(1)
+    done = 0
+    for _ in range(200):
+        log = int(rng.integers(5, 7))
+        size = 1 << log
+        n_sym = int(rng.integers(2, 13))
+        cuts = np.sort(rng.integers(0, size + 1, n_sym - 1))
+        parts = np.diff(np.concatenate([[0], cuts, [size]])).astype(np.int64)
+        norm = parts.copy()
+        ones = np.where(norm == 1)[0]
+        for i in ones[: int(rng.integers(0, len(ones) + 1))]:
+            norm[i] = -1
+        if (norm != 0).sum() < 2:
+            continue
+        b = Z._ncount_write(norm.astype(np.int32), log)
+        got, glog, used = Z._ncount_read(b)
+        got = got + [0] * (len(norm) - len(got))
+        assert glog == log and used == len(b)
+        assert got[: len(norm)] == list(norm)
+        done += 1
+    assert done > 150
+
+
 def test_fixture_ratio_beats_lz4_on_mixed():
     """On the dds mixed stage-1 stream the sequences-only frame must beat
     liblz4 (measured r2: 0.445 vs 0.479)."""
@@ -146,3 +203,7 @@ def test_fixture_ratio_beats_lz4_on_mixed():
     assert dctx.decompress(mine, max_output_size=len(blob) + 16) == blob
     lz4 = stage2.compress_chunk(CompressionOption.LZ4, blob)
     assert len(mine) < len(lz4)
+    # with Huffman literals the writer sits within 5% of real zstd level 1
+    z1 = zstandard.ZstdCompressor(level=1, write_content_size=False,
+                                  write_checksum=False).compress(blob)
+    assert len(mine) < 1.05 * len(z1)
