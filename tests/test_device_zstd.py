@@ -1,0 +1,144 @@
+"""Device ZSTD frame compressor (ops/zstd.py): every frame must decode with
+libzstd (the ``zstandard`` wheel — the same library family the reference
+links for its headline mode, codec_common.cpp:242) AND with the numpy
+mini-decoder (ref/zstd_frame.decode_frame), which locks the predefined FSE
+tables a second way."""
+
+import numpy as np
+import pytest
+import zstandard
+
+from cloudini_tpu.ops.zstd import compress_bound, zstd_compress_chunks
+from cloudini_tpu.ref import zstd_frame as ZF
+
+dctx = zstandard.ZstdDecompressor()
+
+
+def _device_zstd(arr: np.ndarray, max_seqs: int = 2048) -> bytes:
+    import jax.numpy as jnp
+
+    n = len(arr)
+    b = -(-max(n, 16) // 16) * 16
+    data = np.zeros((1, b), np.uint8)
+    data[0, :n] = arr
+    out, osz = zstd_compress_chunks(
+        jnp.asarray(data), jnp.asarray(np.array([n], np.int32)),
+        compress_bound(b), max_seqs,
+    )
+    return bytes(np.asarray(out)[0, : int(np.asarray(osz)[0])])
+
+
+def _corpus():
+    rng = np.random.default_rng(0)
+    return {
+        "zeros": np.zeros(50000, np.uint8),
+        "random": rng.integers(0, 256, 50000, dtype=np.uint8),
+        "period16": np.tile(rng.integers(0, 256, 16, dtype=np.uint8), 3000),
+        "period26": np.tile(rng.integers(0, 256, 26, dtype=np.uint8), 2000),
+        "runs_and_noise": np.concatenate(
+            [np.zeros(997, np.uint8), rng.integers(0, 256, 1003, dtype=np.uint8)]
+            * 10
+        ),
+        "short": np.frombuffer(b"abcabcabcXYZ", np.uint8),
+        "empty": np.zeros(0, np.uint8),
+    }
+
+
+@pytest.mark.parametrize("name", list(_corpus()))
+def test_frames_decode_with_libzstd_and_mini(name):
+    arr = _corpus()[name]
+    frame = _device_zstd(arr)
+    want = arr.tobytes()
+    assert dctx.decompress(frame, max_output_size=len(want) + 16) == want
+    assert ZF.decode_frame(frame) == want
+
+
+def test_multiblock_frame():
+    """Rows larger than the 126 KiB block cap segment into multiple
+    independent blocks of one frame."""
+    rng = np.random.default_rng(1)
+    base = rng.integers(0, 256, 113, dtype=np.uint8)
+    arr = np.tile(base, 2700)[:300000]
+    frame = _device_zstd(arr)
+    want = arr.tobytes()
+    assert dctx.decompress(frame, max_output_size=len(want) + 16) == want
+    assert len(frame) < 30000  # long periodic data compresses hard
+
+
+def test_sequence_cap_decays_to_literals():
+    """With a tiny max_seqs the kept prefix still produces valid frames;
+    dropped matches become literals."""
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 4, 40000, dtype=np.uint8)
+    frame = _device_zstd(arr, max_seqs=16)
+    want = arr.tobytes()
+    assert dctx.decompress(frame, max_output_size=len(want) + 16) == want
+
+
+def test_batched_rows_independent():
+    """Each row of a batch becomes its own frame; ragged sizes honored."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    b = 4096
+    rows = np.zeros((4, b), np.uint8)
+    sizes = np.array([4096, 100, 0, 2048], np.int32)
+    rows[0] = np.tile(rng.integers(0, 256, 32, dtype=np.uint8), 128)
+    rows[1, :100] = rng.integers(0, 256, 100, dtype=np.uint8)
+    rows[3, :2048] = np.tile(np.arange(8, dtype=np.uint8), 256)
+    out, osz = zstd_compress_chunks(
+        jnp.asarray(rows), jnp.asarray(sizes), compress_bound(b)
+    )
+    out, osz = np.asarray(out), np.asarray(osz)
+    for i in range(4):
+        want = rows[i, : sizes[i]].tobytes()
+        frame = out[i, : osz[i]].tobytes()
+        assert dctx.decompress(frame, max_output_size=len(want) + 16) == want
+
+
+def test_chain_merge_beats_device_lz4_on_mixed_fixture():
+    """On the real dds mixed stage-1 stream the zstd sequence tier must
+    out-compress the device-LZ4 kernel (measured r2: 0.48 vs 0.54)."""
+    import pathlib
+
+    import jax.numpy as jnp
+
+    from cloudini_tpu import native
+    from cloudini_tpu.core.plan import build_plan
+    from cloudini_tpu.core.types import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+    )
+    from cloudini_tpu.io.ros_msgs import (
+        apply_resolution_profile,
+        get_deserialized_point_cloud_message,
+    )
+    from cloudini_tpu.ops.lz4 import lz4_compress_chunks
+    from cloudini_tpu.ops.lz4 import compress_bound as lz4_bound
+
+    dds = pathlib.Path("/root/reference/cloudini_lib/samples/dds_message.bin")
+    if not dds.exists() or not native.available():
+        pytest.skip("fixture or native runtime unavailable")
+    pc = get_deserialized_point_cloud_message(dds.read_bytes())
+    pc.fields = apply_resolution_profile({}, pc.fields, 0.001)
+    rows = np.frombuffer(pc.data, np.uint8).reshape(-1, pc.point_step)
+    info = EncodingInfo(fields=tuple(pc.fields), width=rows.shape[0], height=1,
+                        point_step=pc.point_step,
+                        encoding_opt=EncodingOptions.LOSSY,
+                        compression_opt=CompressionOption.NONE)
+    plan = build_plan(info)
+    blob = np.asarray(
+        native.encode_chunk(plan, rows[:16384], plan.max_encoded_point_bytes)
+    ).tobytes()
+    n = len(blob)
+    b = -(-n // 1024) * 1024
+    data = np.zeros((1, b), np.uint8)
+    data[0, :n] = np.frombuffer(blob, np.uint8)
+    dj = jnp.asarray(data)
+    sz = jnp.asarray(np.array([n], np.int32))
+    zout, zsz = zstd_compress_chunks(dj, sz, compress_bound(b))
+    lout, lsz = lz4_compress_chunks(dj, sz, lz4_bound(b))
+    frame = bytes(np.asarray(zout)[0, : int(zsz[0])])
+    assert dctx.decompress(frame, max_output_size=n + 16) == blob
+    assert int(zsz[0]) < int(lsz[0])
