@@ -291,6 +291,8 @@ def main():
         ("dds_mixed_fsm_decode", 110, lambda: _cfg_dds_fsm(jax)),
         ("padded_xyzi_fused_device_lz4", 160,
          lambda: _cfg_fused_lz4(jax, plan, chunks, n_valid)),
+        ("padded_xyzi_fused_device_zstd", 200,
+         lambda: _cfg_fused_zstd(jax, chunks, n_valid)),
     ):
         if time.monotonic() + cost_s > deadline:
             print(f"# config {name}: skipped (bench deadline)", file=sys.stderr)
@@ -432,6 +434,56 @@ def _cfg_fused_lz4(jax, plan, chunks, n_valid):
         "value": round(raw / t_dev / 1e9, 4), "unit": "GB/s (encode, stage1+stage2 on device)",
         "ratio": round(raw / float(sizes_h.sum()), 3),
         "note": "16B/point padding encoded away + device LZ4; decode uses host liblz4 + device stage 1",
+    }
+
+
+def _cfg_fused_zstd(jax, chunks, n_valid):
+    """BASELINE config 5: the same ROS-padded XYZI workload with stage-2
+    ZSTD FUSED into the device program (ops/zstd.py: predefined-FSE
+    sequences + Huffman literals) — the reference's headline mode
+    (codec_common.cpp:242) with no host stage 2 at all."""
+    from cloudini_tpu.core.plan import build_plan
+    from cloudini_tpu.core.types import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+        FieldType,
+        PointField,
+    )
+    from cloudini_tpu.ops.device_codec import DeviceStage1Encoder
+
+    c = chunks.shape[0]
+    padded = np.zeros((c, CHUNK, 32), np.uint8)
+    padded[:, :, :16] = chunks
+    info = EncodingInfo(
+        fields=tuple(PointField(n, 4 * i, FieldType.FLOAT32, 0.001)
+                     for i, n in enumerate("xyzi")),
+        width=0, height=1, point_step=32,
+        encoding_opt=EncodingOptions.LOSSY, compression_opt=CompressionOption.ZSTD,
+    )
+    eplan = build_plan(info)
+    enc = DeviceStage1Encoder(eplan, 32, chunk_points=CHUNK, stage2="zstd")
+    d_rows = jax.device_put(padded)
+    d_valid = jax.device_put(n_valid)
+    t_dev, (payloads, sizes) = _chain_encode(jax, enc.encode_chunks, d_rows, d_valid)
+    sizes_h = np.asarray(sizes)
+    # validity gate: sampled frames must round-trip through libzstd
+    from cloudini_tpu.codec import stage2 as s2
+    from cloudini_tpu.core.types import CompressionOption as CO
+    from cloudini_tpu.ref import stage1 as np_stage1
+
+    for i in (0, c - 1):
+        frame = np.asarray(payloads[i, : sizes_h[i]]).tobytes()
+        want = np_stage1.encode_chunk(eplan, padded[i]).tobytes()
+        got = s2.decompress_chunk(CO.ZSTD, frame, len(want) + 1)
+        assert got == want, f"fused ZSTD chunk {i} does not round-trip"
+    raw = padded.nbytes
+    return {
+        "value": round(raw / t_dev / 1e9, 4),
+        "unit": "GB/s (encode, stage1+device zstd)",
+        "ratio": round(raw / float(sizes_h.sum()), 3),
+        "note": "device zstd frames (FSE sequences + Huffman literals); "
+                "decode uses host libzstd + device stage 1",
     }
 
 

@@ -155,11 +155,12 @@ class PointcloudEncoder:
     def __init__(self, info: EncodingInfo, backend: str = "auto",
                  chunk_points: int = POINTS_PER_CHUNK, device_stage2: bool = False,
                  viz: bool = False):
-        """``device_stage2=True`` (LZ4 only) fuses stage-2 into the device
-        program (ops/lz4.py): the stage-1 payload never leaves the device and
-        the host only writes u32 chunk frames. The stream stays decodable by
-        the reference (any valid LZ4 block), but is not byte-identical to the
-        liblz4 host path, which remains the default.
+        """``device_stage2=True`` (LZ4 or ZSTD) fuses stage-2 into the device
+        program (ops/lz4.py / ops/zstd.py): the stage-1 payload never leaves
+        the device and the host only writes u32 chunk frames. The stream
+        stays decodable by the reference (any valid LZ4 block / ZSTD frame),
+        but is not byte-identical to the liblz4/libzstd host path, which
+        remains the default.
 
         ``viz=True`` applies the visualization lossy preprocessing (NaN drop +
         voxel dedup, ros_msg_utils.cpp:249-341) before encoding. ``info`` must
@@ -180,9 +181,13 @@ class PointcloudEncoder:
         self._device_stage2 = False
         if backend not in ("auto", "host", "device"):
             raise ValueError(f"unknown backend {backend!r}")
-        if device_stage2 and info.compression_opt != CompressionOption.LZ4:
-            raise ValueError("device_stage2 requires LZ4 compression")
-        self._stage2_kind = "lz4" if device_stage2 else "none"
+        if device_stage2 and info.compression_opt not in (
+                CompressionOption.LZ4, CompressionOption.ZSTD):
+            raise ValueError("device_stage2 requires LZ4 or ZSTD compression")
+        self._stage2_kind = (
+            "none" if not device_stage2
+            else "lz4" if info.compression_opt == CompressionOption.LZ4
+            else "zstd")
         if backend in ("auto", "host") and device_stage2:
             backend = "device"
         if backend in ("auto", "device"):

@@ -378,7 +378,7 @@ class DeviceStage1Encoder:
         a remote-device tunnel)."""
         if not encoder_supports_plan(plan):  # currently always true
             raise NotImplementedError("plan is not device-encodable")
-        if stage2 not in ("none", "lz4"):
+        if stage2 not in ("none", "lz4", "zstd"):
             raise ValueError(f"unknown stage2 {stage2!r}")
         self.plan = plan
         self.point_step = point_step
@@ -420,6 +420,11 @@ class DeviceStage1Encoder:
 
             max_out = -(-compress_bound(self.max_bytes) // 1024) * 1024  # lane-align
             return lz4_compress_chunks(out, sizes, max_out)
+        if self.stage2 == "zstd":
+            from .zstd import compress_bound, zstd_compress_chunks
+
+            max_out = -(-compress_bound(self.max_bytes) // 1024) * 1024
+            return zstd_compress_chunks(out, sizes, max_out)
         return out, sizes
 
     def _stage1(self, rows: jnp.ndarray, n_valid: jnp.ndarray):

@@ -81,6 +81,225 @@ def _ml_code(mlf: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(mlf < 128, small, 36 + _ilog2(jnp.maximum(mlf, 1)))
 
 
+_PM_INF = 1 << 28  # count padding; sums over 11 levels stay < 2^31
+
+
+def _pm_lengths(hist: jnp.ndarray, max_bits: int = 11):
+    """Package-merge on device: per-row byte histograms (R, 256) -> optimal
+    length-limited prefix-code lengths (R, 256) i32 (0 for absent symbols),
+    Kraft-exact (sum 2^-len == 1) whenever the row has >= 2 present symbols.
+
+    The coin-collector levels only need VALUES and a single is-package flag
+    (packed into bit 0), not symbol sets: the chosen-singleton count per
+    level walks top-down (t_{k-1} = 2*(t_k - m_k)), and since singletons
+    enter every level in ascending count order, symbol lengths fall out of
+    count-rank comparisons against the m_k."""
+    r = hist.shape[0]
+    iota = jnp.arange(256, dtype=jnp.int32)[None, :]
+    key = jnp.where(hist > 0, hist, _PM_INF)
+    sc, ssym = jax.lax.sort((key, jnp.broadcast_to(iota, (r, 256))),
+                            dimension=1, num_keys=1, is_stable=True)
+    n = jnp.sum((hist > 0).astype(jnp.int32), axis=1)  # (R,)
+
+    w = 512
+    singles = jnp.concatenate(
+        [sc * 2, jnp.full((r, w - 256), 2 * _PM_INF, jnp.int32)], axis=1)
+    lvl = singles
+    flags = []
+    for _ in range(max_bits - 1):
+        pk = (lvl[:, 0::2] >> 1) + (lvl[:, 1::2] >> 1)
+        cand = jnp.concatenate([singles, pk * 2 + 1], axis=1)
+        lvl = jax.lax.sort(cand, dimension=1)[:, :w]
+        flags.append((lvl & 1) == 0)  # is-singleton per lane
+    lane = jnp.arange(w, dtype=jnp.int32)[None, :]
+    rank = jnp.arange(256, dtype=jnp.int32)[None, :]
+    t = 2 * n - 2  # (R,)
+    len_by_rank = jnp.zeros((r, 256), jnp.int32)
+    for fl in reversed(flags):  # top (depth 1) down to depth max_bits-1
+        m = jnp.sum((fl & (lane < t[:, None])).astype(jnp.int32), axis=1)
+        len_by_rank = len_by_rank + (rank < m[:, None]).astype(jnp.int32)
+        t = 2 * (t - m)
+    # deepest level is the raw item list: every chosen lane is a singleton
+    len_by_rank = len_by_rank + (rank < t[:, None]).astype(jnp.int32)
+    ri = jnp.arange(r, dtype=jnp.int32)[:, None]
+    lengths = jnp.zeros((r, 257), jnp.int32)
+    lengths = lengths.at[ri, jnp.where(rank < n[:, None], ssym, 256)].set(
+        jnp.where(rank < n[:, None], len_by_rank, 0), mode="drop")
+    return lengths[:, :256]
+
+
+# ---- Huffman literal machinery ---------------------------------------------
+
+_W_STEP = 43  # FSE spread step for table_log 6: 32 + 8 + 3
+_W_LOG = 6
+
+
+def _weight_fse_params(hw: jnp.ndarray):
+    """Explicit-weight histograms (R, 13) -> (norm (R, 13) summing to 64 with
+    every present weight >= 1, cumexcl (R, 13), fse_ok (R,)). fse_ok is False
+    when a weight would own a 0-bit state (norm > 32 — the implicit stream
+    termination could then mis-fire) or fewer than 2 weights are present."""
+    size = 1 << _W_LOG
+    total = jnp.maximum(jnp.sum(hw, axis=1, keepdims=True), 1)
+    norm = (hw * size) // total
+    norm = jnp.where((hw > 0) & (norm == 0), 1, norm)
+    big = jnp.argmax(norm, axis=1)
+    ri = jnp.arange(hw.shape[0], dtype=jnp.int32)
+    norm = norm.at[ri, big].add(size - jnp.sum(norm, axis=1))
+    cumexcl = jnp.cumsum(norm, axis=1) - norm
+    n_present = jnp.sum((hw > 0).astype(jnp.int32), axis=1)
+    fse_ok = (n_present >= 2) & jnp.all(norm <= size // 2, axis=1) & jnp.all(
+        norm >= 0, axis=1)
+    return norm, cumexcl, fse_ok
+
+
+def _weight_state_table(norm, cumexcl):
+    """(R, 13) norms -> (R, 64) table T with T[cumexcl[s] + rank] = the
+    rank-th smallest spread position of symbol s. The decode table's state
+    counter x advances in POSITION order (fse_decode_table), so the encoder
+    must map (s, x - norm[s]) to the symbol's position of that rank."""
+    r = norm.shape[0]
+    k = jnp.arange(64, dtype=jnp.int32)[None, :]
+    cumnorm = jnp.cumsum(norm, axis=1)  # (R, 13)
+    sym_k = jnp.sum((cumnorm[:, None, :] <= k[:, :, None]).astype(jnp.int32),
+                    axis=2)
+    pos_k = (k * _W_STEP) & 63
+    pos_k = jnp.broadcast_to(pos_k, (r, 64))
+    key = sym_k * 64 + pos_k  # sort by (symbol, position)
+    skey = jax.lax.sort(key, dimension=1)
+    return skey & 63
+
+
+def _weight_transition(sym, p, norm, cumexcl, table):
+    """FSE encode step for the weight table: symbol (R, L) + next position
+    p (R, L) -> (prev position u, update value, update width). x and its
+    bit width are closed-form from norm[sym]; the position comes from the
+    (s, rank) table."""
+    ns = jnp.take_along_axis(norm, sym, axis=1)
+    ce = jnp.take_along_axis(cumexcl, sym, axis=1)
+    pp = p + 64
+    l0 = 32 - jax.lax.clz(jnp.maximum(ns, 1))  # bitlen(norm)
+    nb1 = _W_LOG + 1 - l0
+    x1 = pp >> nb1
+    ok1 = (x1 >= ns) & (x1 < 2 * ns)
+    nb = jnp.where(ok1, nb1, jnp.maximum(_W_LOG - l0, 0))
+    x = jnp.where(ok1, x1, pp >> jnp.maximum(_W_LOG - l0, 0))
+    val = pp - (x << nb)
+    u = jnp.take_along_axis(table, jnp.clip(ce + x - ns, 0, 63), axis=1)
+    return u, val, nb
+
+
+def _weight_chain(syms, k, norm, cumexcl, table):
+    """One FSE chain over ``syms`` (R, L) with per-row live length k:
+    returns (initial position sigma_0 (R,), update values (R, L), update
+    widths (R, L)) where update i sits between symbols i and i+1 in decode
+    order (i < k-1)."""
+    from .fsm import _scan_unrolled
+
+    r, L = syms.shape
+    lane = jnp.arange(L, dtype=jnp.int32)[None, :]
+    ce_first = jnp.take_along_axis(
+        table, jnp.clip(jnp.take_along_axis(cumexcl, syms, axis=1), 0, 63),
+        axis=1)  # first-state position per lane's symbol
+
+    def fstep(carry, sym, first, jj):
+        at_last = jj == (k - 1)
+        u, _v, _nb = _weight_transition(
+            sym[:, None], carry[:, None], norm, cumexcl, table)
+        return jnp.where(at_last, first,
+                         jnp.where(jj < k - 1, u[:, 0], carry))
+
+    order = jnp.arange(L - 1, -1, -1, dtype=jnp.int32)
+    final, _before = _scan_unrolled(
+        fstep, jnp.zeros((r,), jnp.int32),
+        (syms.T[::-1], ce_first.T[::-1],
+         jnp.broadcast_to(order[:, None], (L, r))), 8)
+    # update i needs sigma_{i+1}: _before[t] is the carry BEFORE step t
+    # (= after lanes > L-1-t); lane j is processed at t = L-1-j, so the
+    # carry before that step is sigma_{j+1} — i.e. _before reversed.
+    sig_next = _before[::-1].transpose(1, 0)  # (R, L), col j = sigma_{j+1}
+    u, val, nb = _weight_transition(syms, sig_next, norm, cumexcl, table)
+    upd_live = lane < (k - 1)[:, None]
+    return final, jnp.where(upd_live, val, 0), jnp.where(upd_live, nb, 0)
+
+
+def _ncount_fields(norm: jnp.ndarray):
+    """FSE table description fields (RFC 8878 4.1.1) for the 13-symbol
+    weight alphabet: a 13-step unrolled loop over (R,) states. Returns
+    (bit length (R,), positions (R, K), values (R, K), widths (R, K)) —
+    one batched field set for a single put call."""
+    r = norm.shape[0]
+    # zrun[v]: consecutive zeros after v (within the 13 lanes)
+    run = jnp.zeros((r,), jnp.int32)
+    cols = []
+    for v in range(12, -1, -1):
+        cols.append(run)
+        run = jnp.where(norm[:, v] == 0, run + 1, 0)
+    zrun = jnp.stack(cols[::-1], axis=1)
+
+    f_pos = [jnp.zeros((r,), jnp.int32)]
+    f_val = [jnp.full((r,), _W_LOG - 5, jnp.int32)]
+    f_wid = [jnp.full((r,), 4, jnp.int32)]
+    pos = jnp.full((r,), 4, jnp.int32)
+    rem = jnp.full((r,), 65, jnp.int32)
+    thr = jnp.full((r,), 64, jnp.int32)
+    nb = jnp.full((r,), 7, jnp.int32)
+    absorbed = jnp.zeros((r,), jnp.int32)
+    for v in range(13):
+        cnt = norm[:, v]
+        active = (rem > 1) & (v >= absorbed)
+        mx = (2 * thr - 1) - rem
+        value = cnt + 1
+        short = value < mx
+        width = jnp.where(active, jnp.where(short, nb - 1, nb), 0)
+        wval = jnp.where(short, value,
+                         jnp.where(value < thr, value, value + mx))
+        f_pos.append(pos)
+        f_val.append(jnp.where(active, wval, 0))
+        f_wid.append(width)
+        pos = pos + width
+        iszero = active & (cnt == 0)
+        zr = zrun[:, v]
+        for gi in range(5):
+            exists = iszero & (gi <= zr // 3)
+            w2 = jnp.where(exists, 2, 0)
+            f_pos.append(pos)
+            f_val.append(jnp.where(exists, jnp.clip(zr - 3 * gi, 0, 3), 0))
+            f_wid.append(w2)
+            pos = pos + w2
+        absorbed = jnp.where(iszero, v + 1 + zr, absorbed)
+        rem = rem - jnp.where(active, cnt, 0)
+        for _ in range(6):
+            shrink = (rem > 1) & (rem < thr)
+            thr = jnp.where(shrink, thr >> 1, thr)
+            nb = jnp.where(shrink, nb - 1, nb)
+    return (pos, jnp.stack(f_pos, axis=1), jnp.stack(f_val, axis=1),
+            jnp.stack(f_wid, axis=1))
+
+
+def _canonical_codes(weights: jnp.ndarray, max_bits: jnp.ndarray):
+    """Full per-symbol weights (R, 256, incl. the implicit last) -> packed
+    (code << 4 | length) table (R, 256). Slots fill in (weight asc, symbol
+    asc) order; code = slot_start >> (weight-1)."""
+    r = weights.shape[0]
+    hw = jnp.sum(
+        jax.nn.one_hot(weights, 13, dtype=jnp.int32)
+        * (weights > 0)[:, :, None], axis=1)
+    # slots below weight w: sum over w' < w of hw[w'] * 2^(w'-1)
+    slot_w = hw * (1 << jnp.maximum(jnp.arange(13, dtype=jnp.int32) - 1, 0))[None, :]
+    below = jnp.cumsum(slot_w, axis=1) - slot_w  # (R, 13)
+    same_before = jnp.zeros_like(weights)
+    for wgt in range(1, 13):
+        is_w = (weights == wgt).astype(jnp.int32)
+        same_before = same_before + jnp.where(
+            weights == wgt, jnp.cumsum(is_w, axis=1) - is_w, 0)
+    start = jnp.take_along_axis(below, jnp.maximum(weights, 0), axis=1) + (
+        same_before << jnp.maximum(weights - 1, 0))
+    code = start >> jnp.maximum(weights - 1, 0)
+    length = jnp.where(weights > 0, max_bits[:, None] + 1 - weights, 0)
+    return jnp.where(weights > 0, (code << 4) | length, 0)
+
+
 def _match_parse(data: jnp.ndarray, sizes: jnp.ndarray):
     """LZ4-kernel match finding + greedy parse, zstd flavor: no LZ4 end-of-
     block rules, matches may run to the row end. Returns (is_match, mlen,
@@ -317,69 +536,23 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
     # final states (6/5/6 bits) + marker
     seq_bytes = jnp.where(n_seq > 0, (total + 17 + 1 + 7) >> 3, 0)
 
-    # ---- section geometry -------------------------------------------------
+    # ---- literal geometry -------------------------------------------------
     match_total = jnp.sum(jnp.where(keep, mlen, 0), axis=1)
     n_lits = sizes - match_total
-    seq_hdr = jnp.where(n_seq == 0, 1, jnp.where(n_seq < 128, 2, 3))
-    content = 3 + n_lits + seq_hdr + seq_bytes
-    use_raw = (content >= sizes) | (sizes == 0)
-    body_size = 3 + jnp.where(use_raw, sizes, content)
-    live_row = (n_seq > 0) & ~use_raw
-
-    # ---- emit -------------------------------------------------------------
-    nw = (s * _MAX_FIELD_BITS + 18 + 63) // 32 + 2
-    ww = cap + 16
-    scratch = max(cap, 4 * nw) + 48
-    out = jnp.zeros((r, ww + scratch), jnp.uint8)
-    park_b = ww + idx  # unique per-byte scratch
-
-    # block header (3 B): size<<3 | type<<1 | last(0, patched upstream)
-    btype = jnp.where(use_raw, 0, 2)
-    bh = (jnp.where(use_raw, sizes, content) << 3) | (btype << 1)
-    for k in range(3):
-        out = out.at[ri, jnp.full((r, 1), k, jnp.int32)].set(
-            ((bh >> (8 * k)) & 0xFF).astype(jnp.uint8)[:, None])
-
-    # literals header (3 B): raw literals, size_format 3 (20-bit size)
-    lh = jnp.stack(
-        [(0 | (3 << 2) | ((n_lits & 0xF) << 4)),
-         (n_lits >> 4) & 0xFF,
-         n_lits >> 12], axis=1,
-    ).astype(jnp.uint8)
-    lpos = jnp.where(use_raw[:, None], park_b[None, :3] * jnp.ones((r, 1), jnp.int32),
-                     3 + jnp.arange(3, dtype=jnp.int32)[None, :])
-    out = out.at[ri, lpos].set(lh, mode="drop")
-
-    # literal copies: bytes not covered by a kept match (raw rows copy all)
     bump = jnp.zeros((r, 2 * cap), jnp.int32)
     bump = bump.at[ri, jnp.where(keep, idx, cap + idx)].add(1, mode="drop")
     bump = bump.at[ri, jnp.where(keep, idx + mlen, cap + idx)].add(-1, mode="drop")
     covered = jnp.cumsum(bump[:, :cap], axis=1) > 0
     is_lit = (~covered) & (idx < size_col)
     lit_rank = jnp.cumsum(is_lit.astype(jnp.int32), axis=1) - 1
-    dest = jnp.where(use_raw[:, None], 3 + idx, 6 + lit_rank)
-    emit = jnp.where(use_raw[:, None], idx < size_col, is_lit)
-    out = out.at[ri, jnp.where(emit, dest, park_b)].set(data, mode="drop")
 
-    # sequences header: count byte(s) + predefined-mode byte
-    sq0 = 3 + 3 + n_lits  # section offset within the block body
-    h0 = jnp.where(n_seq < 128, n_seq, 128 + (n_seq >> 8)).astype(jnp.uint8)
-    out = out.at[ri, jnp.where(~use_raw, sq0, ww)[:, None]].set(
-        h0[:, None], mode="drop")
-    # byte 1: low count byte (n>=128) or the predefined-mode byte (1<=n<128)
-    h1 = jnp.where(n_seq < 128, jnp.uint8(0), (n_seq & 0xFF).astype(jnp.uint8))
-    out = out.at[ri, jnp.where(live_row, sq0 + 1, ww + 1)[:, None]].set(
-        h1[:, None], mode="drop")
-    h2pos = jnp.where(live_row & (n_seq >= 128), sq0 + 2, ww + 2)
-    out = out.at[ri, h2pos[:, None]].set(jnp.zeros((r, 1), jnp.uint8),
-                                         mode="drop")
-
-    # ---- FSE bitstream: scatter-add u32 word contributions ----------------
-    words = jnp.zeros((r, nw + s + 1), jnp.uint32)
+    # ---- words buffer: every structured field of the block body -----------
+    nw = ((cap + 64) * 8) // 32 + 8
+    words = jnp.zeros((r, nw + max(cap, 128) + 2), jnp.uint32)
 
     def put(words, pos, val, width, mask):
         lanes = pos.shape[1]
-        park = nw + sj[None, :lanes]
+        park = nw + jnp.arange(lanes, dtype=jnp.int32)[None, :]
         v = val.astype(jnp.uint32)
         sh = (pos & 31).astype(jnp.uint32)
         w0 = pos >> 5
@@ -390,31 +563,259 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
         words = words.at[ri, jnp.where(m, w0 + 1, park)].add(hi, mode="drop")
         return words
 
-    words = put(words, p_ofu, u_ofv, u_ofw, live)
-    words = put(words, p_mlu, u_mlv, u_mlw, live)
-    words = put(words, p_llu, u_llv, u_llw, live)
-    words = put(words, p_llx, r_llx, r_llxw, live)
-    words = put(words, p_mlx, r_mlx, r_mlxw, live)
-    words = put(words, p_ofx, r_ofx, r_ofxw, live)
-    # final states + marker (single lane per row)
+    # ---- Huffman literal pipeline -----------------------------------------
+    (use_huf, lit_sec_len, words) = _huffman_literals(
+        data, is_lit, lit_rank, n_lits, words, put, ri, idx)
+
+    # ---- section geometry -------------------------------------------------
+    lit_sec = jnp.where(use_huf, lit_sec_len, 3 + n_lits)
+    seq_hdr = jnp.where(n_seq == 0, 1, jnp.where(n_seq < 128, 2, 3))
+    content = lit_sec + seq_hdr + seq_bytes
+    use_raw = (content >= sizes) | (sizes == 0)
+    body_size = 3 + jnp.where(use_raw, sizes, content)
+    live_row = (n_seq > 0) & ~use_raw
+    use_huf = use_huf & ~use_raw
+    sq0 = 3 + lit_sec  # sequence-section byte offset within the block body
+
+    # one batched put: block header (3 B: size<<3|type<<1|last=0, patched
+    # upstream), raw-literals header (3 B, size_format 3, non-Huffman rows),
+    # sequence count byte(s) (mode byte is zero via the zero-init words)
+    btype = jnp.where(use_raw, 0, 2)
+    bh = (jnp.where(use_raw, sizes, content) << 3) | (btype << 1)
+    lh = (0 | (3 << 2) | (n_lits << 4))
+    h0 = jnp.where(n_seq < 128, n_seq, 128 + (n_seq >> 8))
+    zero = jnp.zeros((r,), jnp.int32)
+    ones = jnp.ones((r,), jnp.int32)
+    hdr_pos = jnp.stack([zero, 24 * ones, sq0 * 8, sq0 * 8 + 8], axis=1)
+    hdr_val = jnp.stack([bh, lh, h0, n_seq & 0xFF], axis=1)
+    hdr_wid = jnp.stack([24 * ones, 24 * ones, 8 * ones, 8 * ones], axis=1)
+    hdr_msk = jnp.stack(
+        [jnp.ones((r,), bool), ~use_raw & ~use_huf, ~use_raw,
+         live_row & (n_seq >= 128)], axis=1)
+    words = put(words, hdr_pos, hdr_val, hdr_wid, hdr_msk)
+
+    # ---- sequence FSE bitstream -------------------------------------------
+    sqb = (sq0 + seq_hdr)[:, None] * 8  # bit base of the sequence stream
+    words = put(words, sqb + p_ofu, u_ofv, u_ofw, live & live_row[:, None])
+    words = put(words, sqb + p_mlu, u_mlv, u_mlw, live & live_row[:, None])
+    words = put(words, sqb + p_llu, u_llv, u_llw, live & live_row[:, None])
+    words = put(words, sqb + p_llx, r_llx, r_llxw, live & live_row[:, None])
+    words = put(words, sqb + p_mlx, r_mlx, r_mlxw, live & live_row[:, None])
+    words = put(words, sqb + p_ofx, r_ofx, r_ofxw, live & live_row[:, None])
     fs = (f_ml.astype(jnp.uint32)
           | (f_of.astype(jnp.uint32) << 6)
           | (f_ll.astype(jnp.uint32) << 11)
           | (jnp.uint32(1) << 17))
-    words = put(words, total[:, None], fs[:, None],
+    words = put(words, sqb + total[:, None], fs[:, None],
                 jnp.full((r, 1), 18, jnp.int32), live_row[:, None])
     words = words[:, :nw]
 
-    # words -> bytes (little-endian), scatter the stream into the section
+    # ---- emit: words bytes + literal copies (disjoint, add-combined) ------
+    ww = cap + 16
+    out = jnp.zeros((r, ww + cap + 48), jnp.uint8)
+    park_b = ww + idx  # unique per-byte scratch
+
+    # literal copies: raw rows copy everything at 3+idx; raw-literal rows
+    # copy literals at 6+rank; Huffman rows carry literals in the bitstream
+    dest = jnp.where(use_raw[:, None], 3 + idx, 6 + lit_rank)
+    emit = jnp.where(use_raw[:, None], idx < size_col,
+                     is_lit & ~use_huf[:, None])
+    out = out.at[ri, jnp.where(emit, dest, park_b)].add(data, mode="drop")
+
+    # words -> bytes (little-endian); bytes beyond the body are parked.
+    # raw rows only keep the 3 header bytes (their body is the data copy)
     wb = jnp.repeat(words, 4, axis=1) >> jnp.tile(
         jnp.arange(4, dtype=jnp.uint32) * 8, nw)[None, :]
     wb = (wb & jnp.uint32(0xFF)).astype(jnp.uint8)
     bidx = jnp.arange(nw * 4, dtype=jnp.int32)
+    blim = jnp.where(use_raw, 3, body_size)
     bpos = jnp.where(
-        (bidx[None, :] < seq_bytes[:, None]) & live_row[:, None],
-        (sq0 + seq_hdr)[:, None] + bidx[None, :],
-        ww + 32 + bidx[None, :],
+        bidx[None, :] < blim[:, None],
+        bidx[None, :],
+        ww + 32 + (bidx[None, :] % cap),
     )
-    out = out.at[ri, bpos].set(wb, mode="drop")
+    out = out.at[ri, bpos].add(wb, mode="drop")
 
     return out[:, :ww], body_size
+
+
+def _huffman_literals(data, is_lit, lit_rank, n_lits, words, put, ri, idx):
+    """Build the Compressed_Literals_Block (4 Huffman streams) for every row
+    where it pays, emitting all fields into ``words`` (bit 0 = block-body
+    byte 0; the literals section starts at byte 3). Returns (use_huf (R,),
+    section length (R,) for Huffman rows, words)."""
+    r, cap = data.shape
+    d32 = data.astype(jnp.int32)
+
+    # ---- per-row literal histogram + per-literal packed codes -------------
+    # one value-sort groups literals; segment heads + forward fill assign
+    # codes without per-byte table gathers; a position sort restores order
+    vkey = jnp.where(is_lit, d32, 300)
+    svals, spos = jax.lax.sort(
+        (vkey, jnp.broadcast_to(idx[None, :], (r, cap))),
+        dimension=1, num_keys=1, is_stable=False)
+    boundary = jnp.concatenate(
+        [jnp.ones((r, 1), bool),
+         (svals[:, 1:] != svals[:, :-1])], axis=1) & (svals < 256)
+    # run length of each segment = next boundary - own position
+    nxt_b = jnp.roll(
+        jax.lax.cummin(
+            jnp.where(boundary | (svals >= 256), idx[None, :], cap)[:, ::-1],
+            axis=1)[:, ::-1], -1, axis=1).at[:, -1].set(cap)
+    lit_end = jnp.sum(is_lit.astype(jnp.int32), axis=1)[:, None]
+    seg_len = jnp.where(boundary,
+                        jnp.minimum(nxt_b, lit_end) - idx[None, :], 0)
+    hist = jnp.zeros((r, 257), jnp.int32)
+    hist = hist.at[ri, jnp.where(boundary, svals, 256)].add(
+        seg_len, mode="drop")
+    hist = hist[:, :256]
+    n_present = jnp.sum((hist > 0).astype(jnp.int32), axis=1)
+
+    lengths = _pm_lengths(hist)  # (R, 256), Kraft-exact, <= 11
+    max_bits = jnp.max(lengths, axis=1)
+    weights = jnp.where(lengths > 0, max_bits[:, None] + 1 - lengths, 0)
+    pc_table = _canonical_codes(weights, max_bits)  # (R, 256) code<<4|len
+
+    # scatter each symbol's packed code to its first sorted lane, tag with
+    # the symbol, forward-fill, then restore stream order by position
+    cumh = jnp.cumsum(hist, axis=1) - hist
+    sym_iota = jnp.arange(256, dtype=jnp.int32)[None, :]
+    marks = jnp.zeros((r, cap + 256), jnp.int32)
+    marks = marks.at[ri, jnp.where(hist > 0, cumh, cap + sym_iota)].add(
+        ((sym_iota + 1) << 16) | pc_table, mode="drop")
+    filled = jax.lax.cummax(marks[:, :cap], axis=1) & 0xFFFF  # packed codes
+    _, pc_lit = jax.lax.sort(
+        (spos, filled), dimension=1, num_keys=1, is_stable=False)
+    lit_len_bits = jnp.where(is_lit, pc_lit & 15, 0)
+    lit_code = pc_lit >> 4
+
+    # ---- weight tree: FSE-compressed or direct 4-bit ----------------------
+    lp = jnp.max(jnp.where(lengths > 0, sym_iota, -1), axis=1)  # last present
+    m = jnp.maximum(lp, 0)  # number of explicit weights
+    expl_mask = sym_iota < m[:, None]
+    hw = jnp.sum(
+        jax.nn.one_hot(weights, 13, dtype=jnp.int32)
+        * expl_mask[:, :, None], axis=1)  # weight-0 entries land in lane 0
+    norm, cumexcl, fse_ok = _weight_fse_params(hw)
+    table = _weight_state_table(norm, cumexcl)
+    wl = 128
+    evens = weights[:, 0:2 * wl:2]
+    odds = weights[:, 1:2 * wl:2]
+    k1 = (m + 1) // 2
+    k2 = m // 2
+    s1, v1, w1 = _weight_chain(evens, k1, norm, cumexcl, table)
+    s2, v2, w2 = _weight_chain(odds, k2, norm, cumexcl, table)
+    P1 = jnp.cumsum(w1, axis=1)
+    P2 = jnp.cumsum(w2, axis=1)
+    uu = P1[:, -1] + P2[:, -1]
+    ws_bits = uu + 13  # updates + two 6-bit init states + marker
+    ws_bytes = (ws_bits + 7) >> 3
+
+    use_fse = fse_ok & (m >= 2)
+    direct_ok = (m >= 1) & (m <= 128)
+
+    nc_bits, nc_pos, nc_val, nc_wid = _ncount_fields(norm)
+    nc_bytes = (nc_bits + 7) >> 3
+    hb = nc_bytes + ws_bytes
+    use_fse = use_fse & (hb < 128)
+    tree_len = jnp.where(use_fse, 1 + hb, 1 + (m + 1) // 2)
+    tree_ok = use_fse | direct_ok
+
+    # ---- stream geometry --------------------------------------------------
+    s13 = (n_lits + 3) // 4
+    cs = jnp.cumsum(lit_len_bits, axis=1)  # inclusive, stream order
+    # bit totals per stream boundary: cs at ranks s13-1, 2*s13-1, 3*s13-1
+    cs_by_rank = jnp.zeros((r, cap + 1), jnp.int32)
+    cs_by_rank = cs_by_rank.at[ri, jnp.where(is_lit, lit_rank, cap)].add(
+        jnp.where(is_lit, cs, 0), mode="drop")
+    bmarks = jnp.clip(
+        jnp.stack([s13 - 1, 2 * s13 - 1, 3 * s13 - 1], axis=1), 0, cap - 1)
+    b123 = jnp.take_along_axis(cs_by_rank[:, :cap], bmarks, axis=1)
+    b_tot = jnp.sum(lit_len_bits, axis=1)
+    b0 = jnp.zeros((r,), jnp.int32)
+    bs = [b0, b123[:, 0], b123[:, 1], b123[:, 2], b_tot]  # stream bit prefix
+    sbits = [bs[q + 1] - bs[q] for q in range(4)]
+    sbytes = [(sb + 1 + 7) >> 3 for sb in sbits]  # + marker bit
+    jump_ok = (sbytes[0] < 65536) & (sbytes[1] < 65536) & (sbytes[2] < 65536)
+    streams_total = sbytes[0] + sbytes[1] + sbytes[2] + sbytes[3]
+    huf_comp = tree_len + 6 + streams_total
+    lit_sec_len = 5 + huf_comp
+
+    use_huf = (
+        (n_present >= 2) & (n_lits >= 64) & tree_ok & jump_ok
+        & (max_bits >= 1) & (lit_sec_len < 3 + n_lits)
+        & (n_lits < (1 << 18)) & (huf_comp < (1 << 18))
+    )
+
+    # ---- emit fields ------------------------------------------------------
+    S0 = 24  # literals section starts at block-body byte 3
+    # one batched put: 5-byte header (type 2, size_format 3, 18+18 sizes),
+    # tree header byte, jump table, four stream markers, FSE init states
+    hv_lo = (2 | (3 << 2) | (n_lits << 4) | ((huf_comp & 0x3FF) << 22))
+    hv_hi = huf_comp >> 10
+    tb = jnp.where(use_fse, hb, 127 + m)
+    jb = S0 + 40 + tree_len * 8
+    fse_row = use_huf & use_fse
+    wsb1 = (S0 + 48) + nc_bytes * 8  # weight bitstream bit base
+    sb0 = 3 + 5 + tree_len + 6  # block-body byte of stream 0
+    soff = [sb0, sb0 + sbytes[0], sb0 + sbytes[0] + sbytes[1],
+            sb0 + sbytes[0] + sbytes[1] + sbytes[2]]
+    hdr_pos = jnp.stack(
+        [jnp.full((r,), S0, jnp.int32), jnp.full((r,), S0 + 32, jnp.int32),
+         jnp.full((r,), S0 + 40, jnp.int32),
+         jb, jb + 16, jb + 32,
+         soff[0] * 8 + sbits[0], soff[1] * 8 + sbits[1],
+         soff[2] * 8 + sbits[2], soff[3] * 8 + sbits[3],
+         wsb1 + uu, wsb1 + uu + 6, wsb1 + uu + 12], axis=1)
+    ones = jnp.ones((r,), jnp.int32)
+    hdr_val = jnp.stack(
+        [hv_lo, hv_hi, tb, sbytes[0], sbytes[1], sbytes[2],
+         ones, ones, ones, ones, s2, s1, ones], axis=1)
+    hdr_wid = jnp.stack(
+        [32 * ones, 8 * ones, 8 * ones, 16 * ones, 16 * ones, 16 * ones,
+         ones, ones, ones, ones, 6 * ones, 6 * ones, ones], axis=1)
+    fse_col = jnp.broadcast_to(fse_row[:, None], (r, 3))
+    hdr_msk = jnp.concatenate(
+        [jnp.broadcast_to(use_huf[:, None], (r, 10)), fse_col], axis=1)
+    words = put(words, hdr_pos, hdr_val, hdr_wid, hdr_msk)
+
+    # FSE weight table description (one batched put) + update streams
+    words = put(words, nc_pos + (S0 + 48), nc_val, nc_wid,
+                jnp.broadcast_to(fse_row[:, None], nc_pos.shape))
+    lanes_w = jnp.arange(wl, dtype=jnp.int32)[None, :]
+    pos1 = uu[:, None] - P1 - jnp.concatenate(
+        [jnp.zeros((r, 1), jnp.int32), P2[:, :-1]], axis=1)
+    pos2 = uu[:, None] - P1 - P2
+    live1 = lanes_w < (k1 - 1)[:, None]
+    live2 = lanes_w < (k2 - 1)[:, None]
+    words = put(words, wsb1[:, None] + pos1, v1, w1, live1 & fse_row[:, None])
+    words = put(words, wsb1[:, None] + pos2, v2, w2, live2 & fse_row[:, None])
+
+    # direct weights: 4-bit nibbles from byte 6, high nibble first
+    drow = use_huf & ~use_fse
+    words = put(words, (S0 + 48) + lanes_w * 8 + 4, evens,
+                jnp.full((r, wl), 4, jnp.int32),
+                drow[:, None] & (2 * lanes_w < m[:, None]))
+    words = put(words, (S0 + 48) + lanes_w * 8, odds,
+                jnp.full((r, wl), 4, jnp.int32),
+                drow[:, None] & (2 * lanes_w + 1 < m[:, None]))
+
+    # literal code fields: stream q of literal rank rho = rho // s13
+    # (stream markers were emitted in the batched header put above)
+    q_lit = jnp.clip(
+        jnp.where(s13[:, None] > 0, lit_rank // jnp.maximum(s13[:, None], 1), 0),
+        0, 3)
+    # per-literal stream scalars via where-chains (no gathers)
+    def sel(vals):
+        x = vals[0][:, None] * jnp.ones_like(q_lit)
+        for q in range(1, 4):
+            x = jnp.where(q_lit == q, vals[q][:, None], x)
+        return x
+
+    sb_lit = sel(soff)
+    bnext = sel([bs[1], bs[2], bs[3], bs[4]])
+    pos_lit = sb_lit * 8 + (bnext - cs)
+    words = put(words, pos_lit, lit_code, lit_len_bits,
+                is_lit & use_huf[:, None])
+
+    return use_huf, lit_sec_len, words

@@ -171,9 +171,9 @@ def test_fused_stream_decodes_via_reference(oracle, tmp_path):
     assert out == want.tobytes()
 
 
-def test_device_stage2_requires_lz4():
+def test_device_stage2_requires_lz4_or_zstd():
     with pytest.raises(ValueError):
-        PointcloudEncoder(_xyzi_info(CompressionOption.ZSTD), device_stage2=True)
+        PointcloudEncoder(_xyzi_info(CompressionOption.NONE), device_stage2=True)
 
 
 def test_block_beyond_2mb():

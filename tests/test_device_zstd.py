@@ -18,7 +18,7 @@ def _device_zstd(arr: np.ndarray, max_seqs: int = 2048) -> bytes:
     import jax.numpy as jnp
 
     n = len(arr)
-    b = -(-max(n, 16) // 16) * 16
+    b = -(-max(n, 16) // 16384) * 16384  # bucketed: tests share compiles
     data = np.zeros((1, b), np.uint8)
     data[0, :n] = arr
     out, osz = zstd_compress_chunks(
@@ -96,6 +96,63 @@ def test_batched_rows_independent():
         assert dctx.decompress(frame, max_output_size=len(want) + 16) == want
 
 
+def test_huffman_literal_rows():
+    """Rows whose literals benefit from Huffman coding emit
+    Compressed_Literals_Blocks (both weight-table forms) that libzstd and
+    the mini-decoder accept; low-entropy data must compress near its
+    entropy, which raw literals cannot reach."""
+    rng = np.random.default_rng(7)
+    low = rng.integers(0, 8, 20000, dtype=np.uint8)  # direct weights
+    w = np.exp(-np.arange(256) / 20.0)
+    skew = rng.choice(256, 20000, p=w / w.sum()).astype(np.uint8)  # FSE wts
+    for arr in (low, skew):
+        frame = _device_zstd(arr, max_seqs=512)
+        want = arr.tobytes()
+        assert dctx.decompress(frame, max_output_size=len(want) + 16) == want
+        assert ZF.decode_frame(frame) == want
+    assert len(_device_zstd(low, max_seqs=512)) < 0.45 * len(low)
+
+
+def test_fused_pipeline_roundtrip():
+    """device_stage2=True with ZSTD: stage-1 + zstd frames in one device
+    program; the stream decodes with the framework decoder (host libzstd
+    stage 2) bit-identically to the host-path stream's decode."""
+    from cloudini_tpu import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+        FieldType,
+        PointField,
+        PointcloudDecoder,
+        PointcloudEncoder,
+    )
+
+    n = 32768 + 177  # two chunks, ragged tail
+    rng = np.random.default_rng(3)
+    pts = np.cumsum(rng.normal(0, 0.05, (n, 4)), axis=0).astype(np.float32)
+    rows = np.ascontiguousarray(pts).view(np.uint8).reshape(n, 16)
+    info = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, 0.001),
+            PointField("y", 4, FieldType.FLOAT32, 0.001),
+            PointField("z", 8, FieldType.FLOAT32, 0.001),
+            PointField("intensity", 12, FieldType.FLOAT32, 0.01),
+        ),
+        width=n, height=1, point_step=16,
+        encoding_opt=EncodingOptions.LOSSY,
+        compression_opt=CompressionOption.ZSTD,
+    )
+    enc = PointcloudEncoder(info, device_stage2=True)
+    assert enc.backend == "device" and enc._device_stage2
+    stream = enc.encode(rows, write_header=False)
+    decoded = PointcloudDecoder(backend="host").decode(info, stream)
+    host_stream = PointcloudEncoder(info, backend="host").encode(
+        rows, write_header=False)
+    want = PointcloudDecoder(backend="host").decode(info, host_stream)
+    assert np.array_equal(decoded, want)
+    assert len(stream) < n * 16
+
+
 def test_chain_merge_beats_device_lz4_on_mixed_fixture():
     """On the real dds mixed stage-1 stream the zstd sequence tier must
     out-compress the device-LZ4 kernel (measured r2: 0.48 vs 0.54)."""
@@ -142,3 +199,7 @@ def test_chain_merge_beats_device_lz4_on_mixed_fixture():
     frame = bytes(np.asarray(zout)[0, : int(zsz[0])])
     assert dctx.decompress(frame, max_output_size=n + 16) == blob
     assert int(zsz[0]) < int(lsz[0])
+    # with Huffman literals the device frame sits within 12% of zstd-1
+    z1 = zstandard.ZstdCompressor(level=1, write_content_size=False,
+                                  write_checksum=False).compress(blob)
+    assert int(zsz[0]) < 1.12 * len(z1)
