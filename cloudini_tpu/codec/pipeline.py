@@ -179,6 +179,7 @@ class PointcloudEncoder:
             self._viz = _detect_triple(list(info.fields))  # (base, res) or None
         self._device_enc = None
         self._device_stage2 = False
+        self._viz_sub = None
         if backend not in ("auto", "host", "device"):
             raise ValueError(f"unknown backend {backend!r}")
         if device_stage2 and info.compression_opt not in (
@@ -414,12 +415,15 @@ class PointcloudEncoder:
         else:
             _, rows = apply_viz_lossy_preprocessing(list(self.info.fields), points)
         header = encode_header(self.info.with_(width=rows.shape[0], height=1))
-        sub = PointcloudEncoder(
-            self.info.with_(width=rows.shape[0], height=1),
-            backend="host" if self._device_enc is None else "auto",
-            chunk_points=self.chunk_points,
-        )
-        payload = sub.encode(rows, write_header=False)
+        if self._viz_sub is None:
+            # the sub-encoder's plan is width-independent (width only feeds
+            # the header, written above) — build it once per encoder
+            self._viz_sub = PointcloudEncoder(
+                self.info.with_(width=rows.shape[0], height=1),
+                backend="host" if self._device_enc is None else "auto",
+                chunk_points=self.chunk_points,
+            )
+        payload = self._viz_sub.encode(rows, write_header=False)
         return (header + payload) if write_header else payload
 
     def _frame(self, payload: bytes) -> bytes:
