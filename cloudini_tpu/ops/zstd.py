@@ -44,7 +44,6 @@ from .orbit import mark_orbit
 BLOCK_CAP = ZF.BLOCK_CAP  # 126 KiB: LL/ML/#seq stay in predefined-code range
 _MINMATCH = 4  # sorted-gram tier keys 4-byte grams; zstd allows 3
 _MAX_SEQS = 8192
-_MAX_FIELD_BITS = 66  # per sequence: 17 update + 16+16+17 extra bits
 
 # ---- predefined-table constants (single source of truth: ref/zstd_frame) ---
 

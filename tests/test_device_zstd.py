@@ -113,6 +113,47 @@ def test_huffman_literal_rows():
     assert len(_device_zstd(low, max_seqs=512)) < 0.45 * len(low)
 
 
+def test_fuzz_batch_mixed_content():
+    """One batch, one compile: rows mixing entropy levels, periodic
+    structure, runs, ragged sizes — every frame must decode through both
+    libzstd and the mini-decoder."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    b = 16384
+    rows = np.zeros((8, b), np.uint8)
+    sizes = np.zeros(8, np.int32)
+    gens = [
+        lambda n: rng.integers(0, 256, n, dtype=np.uint8),
+        lambda n: rng.integers(0, 4, n, dtype=np.uint8),
+        lambda n: np.tile(rng.integers(0, 256, 37, dtype=np.uint8),
+                          n // 37 + 1)[:n],
+        lambda n: np.zeros(n, np.uint8),
+        lambda n: np.concatenate([
+            rng.integers(0, 256, n // 2, dtype=np.uint8),
+            np.tile(rng.integers(0, 8, 16, dtype=np.uint8), n)[: n - n // 2],
+        ]),
+        lambda n: rng.choice(
+            256, n, p=(lambda w: w / w.sum())(np.exp(-np.arange(256) / 11.0))
+        ).astype(np.uint8),
+        lambda n: np.frombuffer((b"the quick brown fox " * (n // 20 + 1))[:n],
+                                np.uint8),
+        lambda n: rng.integers(250, 256, n, dtype=np.uint8),
+    ]
+    for i, g in enumerate(gens):
+        n = int(rng.integers(0, b + 1)) if i else b
+        rows[i, :n] = g(n)
+        sizes[i] = n
+    out, osz = zstd_compress_chunks(
+        jnp.asarray(rows), jnp.asarray(sizes), compress_bound(b))
+    out, osz = np.asarray(out), np.asarray(osz)
+    for i in range(8):
+        want = rows[i, : sizes[i]].tobytes()
+        frame = out[i, : osz[i]].tobytes()
+        assert dctx.decompress(frame, max_output_size=len(want) + 16) == want, i
+        assert ZF.decode_frame(frame) == want, i
+
+
 def test_fused_pipeline_roundtrip():
     """device_stage2=True with ZSTD: stage-1 + zstd frames in one device
     program; the stream decodes with the framework decoder (host libzstd
