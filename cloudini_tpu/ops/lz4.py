@@ -150,19 +150,15 @@ def _sorted_gram_matches(data: jnp.ndarray, sizes: jnp.ndarray):
     return (r >> 16).astype(jnp.int32), (r & np.uint32(0xFFFF)).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(2, 3))
-def lz4_compress_chunks(data: jnp.ndarray, sizes: jnp.ndarray, max_out: int,
-                        deep: bool = True):
-    """data (C, B) uint8, sizes (C,) int32 -> (out (C, max_out) uint8,
-    out_sizes (C,) int32). Each row is an independent LZ4 block.
-    ``deep`` adds the sorted-gram arbitrary-distance match finder."""
+def two_tier_matches(data: jnp.ndarray, sizes: jnp.ndarray, deep: bool = True):
+    """Both match-finder tiers (fixed stride-period distances + sorted-gram
+    arbitrary-distance), shared by the LZ4 and ZSTD kernels. Returns
+    (best_len, best_off) per position (no end-of-block rules applied)."""
     c, b = data.shape
     idx = jnp.arange(b, dtype=jnp.int32)
-    batch = jnp.arange(c, dtype=jnp.int32)[:, None]
     size_col = sizes[:, None]
     d32 = data.astype(jnp.int32)
 
-    # ---- fixed-distance match lengths ------------------------------------
     best_len = jnp.zeros((c, b), jnp.int32)
     best_off = jnp.zeros((c, b), jnp.int32)
     for d in DISTANCES:
@@ -182,6 +178,21 @@ def lz4_compress_chunks(data: jnp.ndarray, sizes: jnp.ndarray, max_out: int,
         better = g_len > best_len
         best_len = jnp.where(better, g_len, best_len)
         best_off = jnp.where(better, g_off, best_off)
+    return best_len, best_off
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def lz4_compress_chunks(data: jnp.ndarray, sizes: jnp.ndarray, max_out: int,
+                        deep: bool = True):
+    """data (C, B) uint8, sizes (C,) int32 -> (out (C, max_out) uint8,
+    out_sizes (C,) int32). Each row is an independent LZ4 block.
+    ``deep`` adds the sorted-gram arbitrary-distance match finder."""
+    c, b = data.shape
+    idx = jnp.arange(b, dtype=jnp.int32)
+    batch = jnp.arange(c, dtype=jnp.int32)[:, None]
+    size_col = sizes[:, None]
+
+    best_len, best_off = two_tier_matches(data, sizes, deep)
 
     # LZ4 block rules: match starts >= MFLIMIT before end; last 5 B literal
     best_len = jnp.minimum(best_len, size_col - _LASTLITERALS - idx)

@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ref import zstd_frame as ZF
-from .lz4 import _run_lengths, _sorted_gram_matches, DISTANCES
+from .lz4 import _run_lengths, two_tier_matches
 from .orbit import mark_orbit
 
 BLOCK_CAP = ZF.BLOCK_CAP  # 126 KiB: LL/ML/#seq stay in predefined-code range
@@ -300,33 +300,14 @@ def _canonical_codes(weights: jnp.ndarray, max_bits: jnp.ndarray):
 
 
 def _match_parse(data: jnp.ndarray, sizes: jnp.ndarray):
-    """LZ4-kernel match finding + greedy parse, zstd flavor: no LZ4 end-of-
-    block rules, matches may run to the row end. Returns (is_match, mlen,
-    off)."""
+    """Shared two-tier match finding + greedy parse, zstd flavor: no LZ4
+    end-of-block rules, matches may run to the row end. Returns (is_match,
+    mlen, off)."""
     c, b = data.shape
     idx = jnp.arange(b, dtype=jnp.int32)
     size_col = sizes[:, None]
-    d32 = data.astype(jnp.int32)
 
-    best_len = jnp.zeros((c, b), jnp.int32)
-    best_off = jnp.zeros((c, b), jnp.int32)
-    for d in DISTANCES:
-        if d >= b:
-            continue
-        eq = jnp.concatenate(
-            [jnp.zeros((c, d), bool), d32[:, d:] == d32[:, :-d]], axis=-1
-        ) & (idx < size_col)
-        rl = _run_lengths(eq)
-        better = rl > best_len
-        best_len = jnp.where(better, rl, best_len)
-        best_off = jnp.where(better, d, best_off)
-        best_len, best_off = jax.lax.optimization_barrier((best_len, best_off))
-
-    if b > 16:
-        g_len, g_off = _sorted_gram_matches(data, sizes)
-        better = g_len > best_len
-        best_len = jnp.where(better, g_len, best_len)
-        best_off = jnp.where(better, g_off, best_off)
+    best_len, best_off = two_tier_matches(data, sizes)
 
     best_len = jnp.minimum(best_len, size_col - idx)
     valid = (best_len >= _MINMATCH) & (idx < size_col)
