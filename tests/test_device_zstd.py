@@ -194,6 +194,46 @@ def test_fused_pipeline_roundtrip():
     assert len(stream) < n * 16
 
 
+def test_encode_many_device_zstd():
+    """The batched streaming path (encode_many) with fused device ZSTD:
+    every stream decodes through the framework decoder."""
+    from cloudini_tpu import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+        FieldType,
+        PointField,
+        PointcloudDecoder,
+        PointcloudEncoder,
+    )
+
+    rng = np.random.default_rng(9)
+    info = EncodingInfo(
+        fields=(
+            PointField("x", 0, FieldType.FLOAT32, 0.001),
+            PointField("y", 4, FieldType.FLOAT32, 0.001),
+            PointField("z", 8, FieldType.FLOAT32, 0.001),
+            PointField("intensity", 12, FieldType.FLOAT32, 0.01),
+        ),
+        width=0, height=1, point_step=16,
+        encoding_opt=EncodingOptions.LOSSY,
+        compression_opt=CompressionOption.ZSTD,
+    )
+    enc = PointcloudEncoder(info, device_stage2=True)
+    clouds, infos = [], []
+    for n in (1500, 700, 2100):
+        pts = np.cumsum(rng.normal(0, 0.05, (n, 4)), 0).astype(np.float32)
+        clouds.append(np.ascontiguousarray(pts).view(np.uint8).reshape(n, 16))
+        infos.append(info.with_(width=n))
+    streams = enc.encode_many(clouds, infos=infos)
+    dec = PointcloudDecoder(backend="host")
+    for cloud, inf, stream in zip(clouds, infos, streams):
+        got = dec.decode_full(stream)[1]
+        want_stream = PointcloudEncoder(inf, backend="host").encode(cloud)
+        want = dec.decode_full(want_stream)[1]
+        assert np.array_equal(got, want)
+
+
 def test_chain_merge_beats_device_lz4_on_mixed_fixture():
     """On the real dds mixed stage-1 stream the zstd sequence tier must
     out-compress the device-LZ4 kernel (measured r2: 0.48 vs 0.54)."""
