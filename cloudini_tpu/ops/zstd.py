@@ -224,11 +224,24 @@ def _weight_chain(syms, k, norm, cumexcl, table):
 
 def _ncount_fields(norm: jnp.ndarray):
     """FSE table description fields (RFC 8878 4.1.1) for the 13-symbol
-    weight alphabet: a 13-step unrolled loop over (R,) states. Returns
-    (bit length (R,), positions (R, K), values (R, K), widths (R, K)) —
-    one batched field set for a single put call."""
+    weight alphabet, fully vectorized (the writer state is closed-form:
+    remaining-before-v = 65 - cumexcl[v] since zeros leave it unchanged,
+    threshold = pow2ceil(remaining) clamped to 64, and a zero run's non-head
+    members are exactly the absorbed symbols). Returns (bit length (R,),
+    positions (R, 79), values (R, 79), widths (R, 79)) for one put call."""
     r = norm.shape[0]
-    # zrun[v]: consecutive zeros after v (within the 13 lanes)
+    v_iota = jnp.arange(13, dtype=jnp.int32)[None, :]
+    cumexcl = jnp.cumsum(norm, axis=1) - norm
+    rem = 65 - cumexcl  # remaining before symbol v
+    # threshold before v: halves while remaining < threshold, i.e. the
+    # largest power of two <= remaining (clamped to the table size)
+    thr = 1 << jnp.minimum(31 - jax.lax.clz(jnp.maximum(rem, 1)), 6)
+    nb = 32 - jax.lax.clz(thr)  # log2(thr) + 1
+    prev_zero = jnp.concatenate(
+        [jnp.zeros((r, 1), bool), norm[:, :-1] == 0], axis=1)
+    absorbed = (norm == 0) & prev_zero
+    active = (rem > 1) & ~absorbed
+    # zrun[v]: consecutive zeros after v
     run = jnp.zeros((r,), jnp.int32)
     cols = []
     for v in range(12, -1, -1):
@@ -236,44 +249,35 @@ def _ncount_fields(norm: jnp.ndarray):
         run = jnp.where(norm[:, v] == 0, run + 1, 0)
     zrun = jnp.stack(cols[::-1], axis=1)
 
-    f_pos = [jnp.zeros((r,), jnp.int32)]
+    mx = (2 * thr - 1) - rem
+    value = norm + 1
+    short = value < mx
+    v_wid = jnp.where(active, jnp.where(short, nb - 1, nb), 0)
+    v_val = jnp.where(active,
+                      jnp.where(short, value,
+                                jnp.where(value < thr, value, value + mx)), 0)
+    iszero = active & (norm == 0)
+    # rep fields per zero head: groups of <= 3 zeros, 2 bits each
+    rep_val = []
+    rep_wid = []
+    for gi in range(5):
+        exists = iszero & (gi <= zrun // 3)
+        rep_val.append(jnp.where(exists, jnp.clip(zrun - 3 * gi, 0, 3), 0))
+        rep_wid.append(jnp.where(exists, 2, 0))
+
+    # field order: [log, (val_v, reps_v x5) for v in 0..12]
     f_val = [jnp.full((r,), _W_LOG - 5, jnp.int32)]
     f_wid = [jnp.full((r,), 4, jnp.int32)]
-    pos = jnp.full((r,), 4, jnp.int32)
-    rem = jnp.full((r,), 65, jnp.int32)
-    thr = jnp.full((r,), 64, jnp.int32)
-    nb = jnp.full((r,), 7, jnp.int32)
-    absorbed = jnp.zeros((r,), jnp.int32)
     for v in range(13):
-        cnt = norm[:, v]
-        active = (rem > 1) & (v >= absorbed)
-        mx = (2 * thr - 1) - rem
-        value = cnt + 1
-        short = value < mx
-        width = jnp.where(active, jnp.where(short, nb - 1, nb), 0)
-        wval = jnp.where(short, value,
-                         jnp.where(value < thr, value, value + mx))
-        f_pos.append(pos)
-        f_val.append(jnp.where(active, wval, 0))
-        f_wid.append(width)
-        pos = pos + width
-        iszero = active & (cnt == 0)
-        zr = zrun[:, v]
+        f_val.append(v_val[:, v])
+        f_wid.append(v_wid[:, v])
         for gi in range(5):
-            exists = iszero & (gi <= zr // 3)
-            w2 = jnp.where(exists, 2, 0)
-            f_pos.append(pos)
-            f_val.append(jnp.where(exists, jnp.clip(zr - 3 * gi, 0, 3), 0))
-            f_wid.append(w2)
-            pos = pos + w2
-        absorbed = jnp.where(iszero, v + 1 + zr, absorbed)
-        rem = rem - jnp.where(active, cnt, 0)
-        for _ in range(6):
-            shrink = (rem > 1) & (rem < thr)
-            thr = jnp.where(shrink, thr >> 1, thr)
-            nb = jnp.where(shrink, nb - 1, nb)
-    return (pos, jnp.stack(f_pos, axis=1), jnp.stack(f_val, axis=1),
-            jnp.stack(f_wid, axis=1))
+            f_val.append(rep_val[gi][:, v])
+            f_wid.append(rep_wid[gi][:, v])
+    vals = jnp.stack(f_val, axis=1)
+    wids = jnp.stack(f_wid, axis=1)
+    pos = jnp.cumsum(wids, axis=1) - wids
+    return pos[:, -1] + wids[:, -1], pos, vals, wids
 
 
 def _canonical_codes(weights: jnp.ndarray, max_bits: jnp.ndarray):
@@ -574,20 +578,22 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
          live_row & (n_seq >= 128)], axis=1)
     words = put(words, hdr_pos, hdr_val, hdr_wid, hdr_msk)
 
-    # ---- sequence FSE bitstream -------------------------------------------
+    # ---- sequence FSE bitstream (one batched put over all field lanes) ----
     sqb = (sq0 + seq_hdr)[:, None] * 8  # bit base of the sequence stream
-    words = put(words, sqb + p_ofu, u_ofv, u_ofw, live & live_row[:, None])
-    words = put(words, sqb + p_mlu, u_mlv, u_mlw, live & live_row[:, None])
-    words = put(words, sqb + p_llu, u_llv, u_llw, live & live_row[:, None])
-    words = put(words, sqb + p_llx, r_llx, r_llxw, live & live_row[:, None])
-    words = put(words, sqb + p_mlx, r_mlx, r_mlxw, live & live_row[:, None])
-    words = put(words, sqb + p_ofx, r_ofx, r_ofxw, live & live_row[:, None])
-    fs = (f_ml.astype(jnp.uint32)
-          | (f_of.astype(jnp.uint32) << 6)
-          | (f_ll.astype(jnp.uint32) << 11)
-          | (jnp.uint32(1) << 17))
-    words = put(words, sqb + total[:, None], fs[:, None],
-                jnp.full((r, 1), 18, jnp.int32), live_row[:, None])
+    fs = (f_ml.astype(jnp.int32)
+          | (f_of << 6) | (f_ll << 11) | (1 << 17))
+    seq_pos = jnp.concatenate(
+        [sqb + p for p in (p_ofu, p_mlu, p_llu, p_llx, p_mlx, p_ofx)]
+        + [sqb + total[:, None]], axis=1)
+    seq_val = jnp.concatenate(
+        [u_ofv, u_mlv, u_llv, r_llx, r_mlx, r_ofx, fs[:, None]], axis=1)
+    seq_wid = jnp.concatenate(
+        [u_ofw, u_mlw, u_llw, r_llxw, r_mlxw, r_ofxw,
+         jnp.full((r, 1), 18, jnp.int32)], axis=1)
+    seq_msk = jnp.concatenate(
+        [jnp.tile(live & live_row[:, None], (1, 6)), live_row[:, None]],
+        axis=1)
+    words = put(words, seq_pos, seq_val, seq_wid, seq_msk)
     words = words[:, :nw]
 
     # ---- emit: words bytes + literal copies (disjoint, add-combined) ------
@@ -762,23 +768,27 @@ def _huffman_literals(data, is_lit, lit_rank, n_lits, words, put, ri, idx):
     # FSE weight table description (one batched put) + update streams
     words = put(words, nc_pos + (S0 + 48), nc_val, nc_wid,
                 jnp.broadcast_to(fse_row[:, None], nc_pos.shape))
+    # weight-FSE update streams + direct 4-bit nibbles (one batched put:
+    # the two forms are mutually exclusive per row via their masks)
     lanes_w = jnp.arange(wl, dtype=jnp.int32)[None, :]
     pos1 = uu[:, None] - P1 - jnp.concatenate(
         [jnp.zeros((r, 1), jnp.int32), P2[:, :-1]], axis=1)
     pos2 = uu[:, None] - P1 - P2
     live1 = lanes_w < (k1 - 1)[:, None]
     live2 = lanes_w < (k2 - 1)[:, None]
-    words = put(words, wsb1[:, None] + pos1, v1, w1, live1 & fse_row[:, None])
-    words = put(words, wsb1[:, None] + pos2, v2, w2, live2 & fse_row[:, None])
-
-    # direct weights: 4-bit nibbles from byte 6, high nibble first
     drow = use_huf & ~use_fse
-    words = put(words, (S0 + 48) + lanes_w * 8 + 4, evens,
-                jnp.full((r, wl), 4, jnp.int32),
-                drow[:, None] & (2 * lanes_w < m[:, None]))
-    words = put(words, (S0 + 48) + lanes_w * 8, odds,
-                jnp.full((r, wl), 4, jnp.int32),
-                drow[:, None] & (2 * lanes_w + 1 < m[:, None]))
+    four = jnp.full((r, wl), 4, jnp.int32)
+    wt_pos = jnp.concatenate(
+        [wsb1[:, None] + pos1, wsb1[:, None] + pos2,
+         jnp.broadcast_to((S0 + 48) + lanes_w * 8 + 4, (r, wl)),
+         jnp.broadcast_to((S0 + 48) + lanes_w * 8, (r, wl))], axis=1)
+    wt_val = jnp.concatenate([v1, v2, evens, odds], axis=1)
+    wt_wid = jnp.concatenate([w1, w2, four, four], axis=1)
+    wt_msk = jnp.concatenate(
+        [live1 & fse_row[:, None], live2 & fse_row[:, None],
+         drow[:, None] & (2 * lanes_w < m[:, None]),
+         drow[:, None] & (2 * lanes_w + 1 < m[:, None])], axis=1)
+    words = put(words, wt_pos, wt_val, wt_wid, wt_msk)
 
     # literal code fields: stream q of literal rank rho = rho // s13
     # (stream markers were emitted in the batched header put above)
