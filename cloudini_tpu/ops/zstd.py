@@ -303,18 +303,47 @@ def _canonical_codes(weights: jnp.ndarray, max_bits: jnp.ndarray):
     return jnp.where(weights > 0, (code << 4) | length, 0)
 
 
+def _row_entropy_q6(data: jnp.ndarray, sizes: jnp.ndarray):
+    """Per-row byte entropy in 1/64-bit fixed point, floored at 1 bit
+    (Huffman cannot code below 1 bit/literal). One value sort + run
+    lengths — the same histogram construction as the Huffman stage."""
+    r, cap = data.shape
+    idx = jnp.arange(cap, dtype=jnp.int32)
+    vkey = jnp.where(idx[None, :] < sizes[:, None], data.astype(jnp.int32), 300)
+    sv = jax.lax.sort(vkey, dimension=1)
+    boundary = jnp.concatenate(
+        [jnp.ones((r, 1), bool), sv[:, 1:] != sv[:, :-1]], axis=1) & (sv < 256)
+    nxt_b = jnp.roll(
+        jax.lax.cummin(
+            jnp.where(boundary | (sv >= 256), idx[None, :], cap)[:, ::-1],
+            axis=1)[:, ::-1], -1, axis=1).at[:, -1].set(cap)
+    seg_len = jnp.where(
+        boundary, jnp.minimum(nxt_b, sizes[:, None]) - idx[None, :], 0)
+    tot = jnp.maximum(sizes, 1).astype(jnp.float32)[:, None]
+    p = seg_len.astype(jnp.float32) / tot
+    h = -jnp.sum(jnp.where(seg_len > 0, p * jnp.log2(jnp.maximum(p, 1e-9)), 0.0),
+                 axis=1)
+    return jnp.maximum((h * 64).astype(jnp.int32), 64)
+
+
 def _match_parse(data: jnp.ndarray, sizes: jnp.ndarray):
     """Shared two-tier match finding + greedy parse, zstd flavor: no LZ4
-    end-of-block rules, matches may run to the row end. Returns (is_match,
-    mlen, off)."""
+    end-of-block rules, matches may run to the row end, and a match must
+    beat entropy-coded literals (ml*H >= ~10 bits of sequence cost + the
+    offset's extra bits — mirrors ref/zstd_frame.greedy_matches' gate, so
+    low-entropy streams keep their literals for the Huffman stage).
+    Returns (is_match, mlen, off)."""
     c, b = data.shape
     idx = jnp.arange(b, dtype=jnp.int32)
     size_col = sizes[:, None]
 
     best_len, best_off = two_tier_matches(data, sizes)
+    h_q6 = _row_entropy_q6(data, sizes)[:, None]
 
     best_len = jnp.minimum(best_len, size_col - idx)
-    valid = (best_len >= _MINMATCH) & (idx < size_col)
+    off_bits = 32 - jax.lax.clz(jnp.maximum(best_off, 1))
+    pays = best_len * h_q6 >= (10 + off_bits) * 64
+    valid = (best_len >= _MINMATCH) & (idx < size_col) & pays
     mlen = jnp.where(valid, best_len, 0)
 
     nxt = jnp.minimum(idx + jnp.where(valid, mlen, 1), b)
