@@ -41,10 +41,12 @@ class ShardedChunkCodec:
     """
 
     def __init__(self, plan: CodecPlan, point_step: int, mesh: Mesh,
-                 chunk_points: int = 32 * 1024, axis: str = "data"):
+                 chunk_points: int = 32 * 1024, axis: str = "data",
+                 stage2: str = "none"):
         self.mesh = mesh
         self.axis = axis
-        self.encoder = DeviceStage1Encoder(plan, point_step, chunk_points)
+        self.encoder = DeviceStage1Encoder(plan, point_step, chunk_points,
+                                           stage2=stage2)
         self.chunk_points = chunk_points
         self.point_step = point_step
         self._dec: Optional[DeviceStage1Decoder] = None

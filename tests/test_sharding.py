@@ -110,3 +110,31 @@ def test_sharded_decode_mixed_plan_uses_general_path():
     x0 = rows[:, :4].copy().view(np.float32).ravel()
     x1 = got[:, :4].copy().view(np.float32).ravel()
     assert np.abs(x1 - x0).max() <= 0.001 * 0.50001
+
+
+def test_sharded_encode_with_fused_zstd():
+    """The fused stage-1 + device-ZSTD program shards over the chunk axis:
+    every per-shard frame decodes through libzstd to the reference stage-1
+    bytes."""
+    import zstandard
+
+    from cloudini_tpu.parallel.mesh import ShardedChunkCodec, make_mesh, shard_rows
+
+    n = 7 * CHUNK + 123  # 8 chunks on the 8-device mesh
+    rng = np.random.default_rng(4)
+    data = (np.cumsum(rng.normal(0, 0.05, (n, 3)), axis=0)).astype(np.float32)
+    rows = np.ascontiguousarray(data).view(np.uint8).reshape(n, 12)
+    plan = build_plan(_info(n))
+
+    mesh = make_mesh()
+    codec = ShardedChunkCodec(plan, 12, mesh, chunk_points=CHUNK, stage2="zstd")
+    d_rows, n_valid = shard_rows(rows, CHUNK, mesh)
+    payloads, sizes = codec.encode(d_rows, n_valid)
+    payloads, sizes = np.asarray(payloads), np.asarray(sizes)
+    nv = np.asarray(n_valid)
+    dctx = zstandard.ZstdDecompressor()
+    for i in range((n + CHUNK - 1) // CHUNK):
+        want = np_stage1.encode_chunk(plan, rows[i * CHUNK: i * CHUNK + nv[i]])
+        got = dctx.decompress(payloads[i, : sizes[i]].tobytes(),
+                              max_output_size=len(want) + 16)
+        assert got == want.tobytes()
