@@ -3,7 +3,7 @@
 the real TPU, using jax.profiler + the memoization-proof dependency chain from
 bench.py. Parses the dumped trace and prints the top ops by device time.
 
-Usage: python scripts/profile_encode.py [encode|decode] [n_chunks] [iters]
+Usage: python scripts/profile_encode.py [encode|decode|fsm|zstd|lz4] [n_chunks] [iters]
 """
 
 import glob
@@ -97,13 +97,20 @@ def main():
         o, _c = jax.block_until_ready(dec.decode_chunks(pt, s, nv))
         which = "decode"
         enc = None
+    elif which in ("zstd", "lz4"):
+        # fused stage-1 + device stage-2: profile the ENCODE chain only
+        enc = DeviceStage1Encoder(plan, step, chunk_points=CH, stage2=which)
+        p, s = jax.block_until_ready(enc.encode_chunks(rows, nv))
+        o = p
+        which = "encode"
+        dec = None
     else:
         enc = DeviceStage1Encoder(plan, step, chunk_points=CH)
         p, s = jax.block_until_ready(enc.encode_chunks(rows, nv))
         s_h = np.asarray(s)
         b_act = int(-(-(int(s_h.max()) + 1) // 1024) * 1024)
         dec = DeviceStage1Decoder(plan, step, chunk_points=CH, max_bytes=b_act)
-    if enc is not None:
+    if enc is not None and dec is not None:
         pt = jax.block_until_ready(jax.jit(lambda p: p[:, :b_act])(p))
         o, _c = jax.block_until_ready(dec.decode_chunks(pt, s, nv))
 
