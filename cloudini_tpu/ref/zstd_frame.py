@@ -80,12 +80,6 @@ def ml_code(v: np.ndarray) -> np.ndarray:
     return np.searchsorted(ML_BASE, v, side="right").astype(np.int32) - 1
 
 
-def of_code(offset_value: np.ndarray) -> np.ndarray:
-    """Offset code = floor(log2(Offset_Value)); extra bits count = code."""
-    v = np.asarray(offset_value, np.int64)
-    return np.floor(np.log2(v)).astype(np.int32)
-
-
 # ---- FSE tables ------------------------------------------------------------
 
 
