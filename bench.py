@@ -291,10 +291,10 @@ def main():
         ("dds_mixed_fsm_decode", 110, lambda: _cfg_dds_fsm(jax)),
         ("padded_xyzi_fused_device_lz4", 160,
          lambda: _cfg_fused_lz4(jax, plan, chunks, n_valid)),
-        ("padded_xyzi_fused_device_zstd", 200,
-         lambda: _cfg_fused_zstd(jax, chunks, n_valid)),
         ("mixed_schema_concurrent_batch", 120,
          lambda: _cfg_mixed_schema(jax, chunks, n_valid)),
+        ("padded_xyzi_fused_device_zstd", 200,
+         lambda: _cfg_fused_zstd(jax, chunks, n_valid)),
     ):
         if time.monotonic() + cost_s > deadline:
             print(f"# config {name}: skipped (bench deadline)", file=sys.stderr)
