@@ -193,6 +193,20 @@ def test_fused_pipeline_roundtrip():
     assert np.array_equal(decoded, want)
     assert len(stream) < n * 16
 
+    # strongest cross-validation: the reference C++ (real libzstd) decodes
+    # the device-produced stream to the same rows
+    import pathlib
+
+    from tests.conftest import ORACLE_BIN
+    from tests.oracle_utils import Oracle
+
+    if pathlib.Path(ORACLE_BIN).exists():
+        full = enc.encode(rows, write_header=True)
+        ref_rows = np.frombuffer(
+            Oracle(str(ORACLE_BIN)).decode(full), np.uint8
+        ).reshape(-1, 16)
+        assert np.array_equal(ref_rows, want)
+
 
 def test_encode_many_device_zstd():
     """The batched streaming path (encode_many) with fused device ZSTD:
