@@ -334,6 +334,8 @@ def _scan_unrolled(fn, init, xs, u: int):
     a short plain scan. Returns (final_carry, stacked_carries) like lax.scan
     with ``ys = carry-before-step``."""
     n = xs[0].shape[0]
+    if n == 0:
+        return init, jnp.zeros((0,) + jnp.shape(init), jnp.asarray(init).dtype)
     n0 = (n // u) * u
 
     def body_u(carry, x_u):
@@ -485,7 +487,14 @@ def _run_tier(layout: FsmLayout, hl: int, _unused, payloads, sizes, start, block
     _, states = jax.lax.scan(p3_step, entries_true,
                              feats_t.reshape(k // U, U, c, nb))
     # (k//U, U, c, nb) -> (c, nb, k//U, U) -> byte index blk*k + s*U + j
-    states = states.transpose(2, 3, 0, 1).reshape(c, nb * k)[:, :b]
+    states = states.transpose(2, 3, 0, 1).reshape(c, nb * k)
+    # state entering the virtual byte B: with pad bytes present, s_final has
+    # been advanced by zero-feature pad transitions — the state entering
+    # padded index b is the true post-buffer state (states[:, i] = state
+    # BEFORE byte i)
+    if pad:
+        s_final = states[:, b]
+    states = states[:, :b]
 
     if hl > 1:
         p_bytes = states // hl

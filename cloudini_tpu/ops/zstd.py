@@ -733,6 +733,8 @@ def _huffman_literals(data, is_lit, lit_rank, n_lits, words, put, ri, idx):
     nc_bytes = (nc_bits + 7) >> 3
     hb = nc_bytes + ws_bytes
     use_fse = use_fse & (hb < 128)
+    # like the host writer, pick the SMALLER representable form
+    use_fse = use_fse & (~direct_ok | (hb < (m + 1) // 2))
     tree_len = jnp.where(use_fse, 1 + hb, 1 + (m + 1) // 2)
     tree_ok = use_fse | direct_ok
 

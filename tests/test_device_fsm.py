@@ -222,3 +222,42 @@ def test_dds_fixture_reference_bytes(dds_message_bin, oracle):
     dev = PointcloudDecoder(backend="device")
     got = dev.decode(dinfo, golden[hlen:])
     assert got.tobytes() == ref_rows
+
+
+def test_p_final_exact_on_unaligned_full_buffer():
+    """Regression (review finding, scan-unroll round-up): with a buffer
+    width that is not a multiple of the unroll factor and sizes == B, the
+    zero-feature pad transitions must not advance p_final past the true
+    end-of-buffer state."""
+    import jax.numpy as jnp
+
+    from cloudini_tpu.core.plan import build_plan
+    from cloudini_tpu.ops.fsm import FsmLayout, run_fsm
+
+    fields = (
+        PointField("x", 0, FieldType.FLOAT32, 0.001),
+        PointField("y", 4, FieldType.FLOAT32, 0.001),
+        PointField("z", 8, FieldType.FLOAT32, 0.001),
+    )
+    info = _info(fields, CHUNK, 12)
+    rng = np.random.default_rng(0)
+    pts = np.cumsum(rng.normal(0, 0.05, (CHUNK, 3)), 0).astype(np.float32)
+    rows = np.ascontiguousarray(pts).view(np.uint8).reshape(CHUNK, 12)
+    data = PointcloudEncoder(info, backend="host", chunk_points=CHUNK).encode(
+        rows, write_header=False)
+    payload = np.frombuffer(data, np.uint8)[4:]  # strip the u32 chunk frame
+    b = len(payload)
+    if b % 8 == 0:
+        payload = payload[: b - 3]  # force an unaligned width
+        b = len(payload)
+    assert b % 8 != 0
+    plan = build_plan(info, for_decode=True)
+    layout = FsmLayout(plan)
+    exact = run_fsm(layout, jnp.asarray(payload[None, :]),
+                    jnp.asarray([b], np.int32))
+    padded = np.zeros((1, b + 8), np.uint8)
+    padded[0, :b] = payload
+    ref = run_fsm(layout, jnp.asarray(padded), jnp.asarray([b], np.int32))
+    # truth: the state ENTERING byte b of the padded run (bytes 0..b-1 real)
+    assert int(exact[2][0]) == int(np.asarray(ref[0])[0, b])
+    assert np.array_equal(np.asarray(exact[0])[0, :b], np.asarray(ref[0])[0, :b])
