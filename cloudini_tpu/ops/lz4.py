@@ -85,19 +85,22 @@ def _fill_regions(starts, counts, total_out: int, batch):
 _GRAM_BYTES = 16  # sort-matcher window: matches found at lengths 4..16
 
 
-def _sorted_gram_matches(data: jnp.ndarray, sizes: jnp.ndarray):
+def _sorted_gram_matches(data: jnp.ndarray, sizes: jnp.ndarray,
+                         n_words: int = 4):
     """Nearest-previous-occurrence match finder via ONE lexicographic sort —
     the TPU stand-in for liblz4's hash chains (LZ4_compress_default,
-    reference codec_common.cpp:233). Every position keys on its 16-byte gram
-    (4 u32 words) with the position as the tiebreaker; after sorting, a
-    position's best candidate is its left neighbor: equal leading words give
-    the match length (4..16, from the XOR of the first differing word) and
-    the position difference gives the offset. Long matches are capped at 16 —
-    the fixed-distance tier already catches long periodic runs — and the
+    reference codec_common.cpp:233). Every position keys on its
+    4*n_words-byte gram with the position as the tiebreaker; after sorting,
+    a position's best candidate is its left neighbor: equal leading words
+    give the match length (from the XOR of the first differing word) and
+    the position difference gives the offset. Long matches are capped at
+    the gram width — the fixed-distance tier already catches long periodic
+    runs, and same-offset chains re-merge in the zstd kernel — and the
     arbitrary-distance shortish matches this finds are exactly what the
     fixed-distance matcher missed (measured +99.5% vs liblz4 on the mixed
     DDS stream, LZ4_RATIO.json)."""
     c, b = data.shape
+    gram_bytes = 4 * n_words
     idx = jnp.arange(b, dtype=jnp.int32)
     d32 = data.astype(jnp.uint32)
 
@@ -111,33 +114,29 @@ def _sorted_gram_matches(data: jnp.ndarray, sizes: jnp.ndarray):
             # byte-REVERSED within the word so u32 ordering == lexicographic
             w = w | (col << np.uint32(8 * (3 - k)))
         return w
-    w0, w1, w2, w3 = word(0), word(4), word(8), word(12)
+    ws = [word(4 * j) for j in range(n_words)]
     # positions whose gram would cross the stream end can't anchor a match
     # anyway (MFLIMIT); flag them in the position's bit 31 so a spurious
     # content match against one is rejected (their trailing gram bytes are
     # garbage). They are always the SUFFIX of the position range, so the
     # final sort-by-position still restores exact stream order.
-    invalid = idx[None, :] + _GRAM_BYTES > sizes[:, None]
+    invalid = idx[None, :] + gram_bytes > sizes[:, None]
     pos = jnp.broadcast_to(idx[None, :], (c, b)).astype(jnp.uint32)
     pos = pos | (invalid.astype(jnp.uint32) << np.uint32(31))
-    s0, s1, s2, s3, spos = jax.lax.sort((w0, w1, w2, w3, pos), dimension=1,
-                                         num_keys=5, is_stable=False)
-    p0 = jnp.roll(s0, 1, axis=-1)
-    p1 = jnp.roll(s1, 1, axis=-1)
-    p2 = jnp.roll(s2, 1, axis=-1)
-    p3 = jnp.roll(s3, 1, axis=-1)
+    sorted_ops = jax.lax.sort(tuple(ws) + (pos,), dimension=1,
+                              num_keys=n_words + 1, is_stable=False)
+    ss, spos = sorted_ops[:-1], sorted_ops[-1]
     ppos = jnp.roll(spos, 1, axis=-1).at[:, 0].set(np.uint32(1 << 30))
     # match length from the first differing byte (byte-reversed words: the
     # leading-zero BYTES of the xor are the equal prefix)
-    x0, x1, x2, x3 = s0 ^ p0, s1 ^ p1, s2 ^ p2, s3 ^ p3
     from ..ops import u64 as _u
 
     def eqb(x):
         return jnp.minimum(_u.clz32(x) >> 3, 4)
-    mlen = eqb(x0)
-    mlen = mlen + jnp.where(mlen == 4, eqb(x1), 0)
-    mlen = mlen + jnp.where(mlen == 8, eqb(x2), 0)
-    mlen = mlen + jnp.where(mlen == 12, eqb(x3), 0)
+    mlen = eqb(ss[0] ^ jnp.roll(ss[0], 1, axis=-1))
+    for j in range(1, n_words):
+        mlen = mlen + jnp.where(
+            mlen == 4 * j, eqb(ss[j] ^ jnp.roll(ss[j], 1, axis=-1)), 0)
     both_valid = ((spos | ppos) >> np.uint32(31)) == 0
     dist = (spos & np.uint32(0x7FFFFFFF)).astype(jnp.int32) - (
         ppos & np.uint32(0x7FFFFFFF)
@@ -150,7 +149,8 @@ def _sorted_gram_matches(data: jnp.ndarray, sizes: jnp.ndarray):
     return (r >> 16).astype(jnp.int32), (r & np.uint32(0xFFFF)).astype(jnp.int32)
 
 
-def two_tier_matches(data: jnp.ndarray, sizes: jnp.ndarray, deep: bool = True):
+def two_tier_matches(data: jnp.ndarray, sizes: jnp.ndarray, deep: bool = True,
+                     gram_words: int = 4):
     """Both match-finder tiers (fixed stride-period distances + sorted-gram
     arbitrary-distance), shared by the LZ4 and ZSTD kernels. Returns
     (best_len, best_off) per position (no end-of-block rules applied)."""
@@ -173,8 +173,8 @@ def two_tier_matches(data: jnp.ndarray, sizes: jnp.ndarray, deep: bool = True):
         best_off = jnp.where(better, d, best_off)
         best_len, best_off = jax.lax.optimization_barrier((best_len, best_off))
 
-    if deep and b > _GRAM_BYTES:
-        g_len, g_off = _sorted_gram_matches(data, sizes)
+    if deep and b > 4 * gram_words:
+        g_len, g_off = _sorted_gram_matches(data, sizes, gram_words)
         better = g_len > best_len
         best_len = jnp.where(better, g_len, best_len)
         best_off = jnp.where(better, g_off, best_off)
