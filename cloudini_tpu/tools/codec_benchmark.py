@@ -174,7 +174,8 @@ def main(argv=None) -> int:
     p.add_argument("--zstd", action="store_true", help="enable stage-2 ZSTD")
     p.add_argument("--lz4", action="store_true", help="enable stage-2 LZ4")
     p.add_argument("--device-stage2", action="store_true",
-                   help="fuse the device LZ4 compressor into the encode program")
+                   help="fuse the device stage-2 compressor (LZ4, or full "
+                        "ZSTD frames with --zstd) into the encode program")
     p.add_argument("--mode", choices=["V4", "V5", "V4viz", "V5viz", "all"], default="all")
     p.add_argument("-r", "--resolution", type=float, default=0.001)
     p.add_argument("--hash", action="store_true", help="print decoded-output fingerprints")
@@ -196,7 +197,7 @@ def main(argv=None) -> int:
     if args.zstd:
         comp = CompressionOption.ZSTD
     elif args.lz4 or args.device_stage2:
-        comp = CompressionOption.LZ4
+        comp = CompressionOption.LZ4  # bare --device-stage2 implies LZ4
     modes = ["V4", "V5", "V4viz", "V5viz"] if args.mode == "all" else [args.mode]
 
     import contextlib
