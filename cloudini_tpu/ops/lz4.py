@@ -28,7 +28,6 @@ byte-parity with the reference encoder matters.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
