@@ -2,9 +2,12 @@
 
 Host-side ingestion equivalent of the reference's PCL shell
 (``cloudini_lib/src/pcl_conversion.cpp``): a PCD file maps to
-``(EncodingInfo schema, (n, point_step) uint8 rows)``. Supports ascii and
-binary DATA (binary_compressed deliberately omitted — the reference relies on
-PCL which we don't ship).
+``(EncodingInfo schema, (n, point_step) uint8 rows)``. Supports all three
+DATA modes: ascii, binary, and binary_compressed (PCL's layout: a u32
+compressed-size + u32 uncompressed-size header, LZF-compressed field-major
+(SOA) data — the LZF codec here is implemented from the public liblzf
+format: literal runs of <= 32 bytes and back-references of 3..264 bytes at
+distances <= 8192).
 """
 
 from __future__ import annotations
@@ -42,6 +45,88 @@ _NP_FMT = {
     FieldType.UINT32: np.uint32,
     FieldType.UINT64: np.uint64,
 }
+
+
+def _lzf_decompress(src: bytes, expected: int) -> bytes:
+    """liblzf stream decoder: ctrl < 32 -> literal run of ctrl+1 bytes;
+    else back-reference of (ctrl >> 5) + 2 bytes (+ an extension byte when
+    the 3-bit length field saturates) at distance ((ctrl & 31) << 8) +
+    next + 1."""
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n:
+        ctrl = src[i]
+        i += 1
+        if ctrl < 32:
+            run = ctrl + 1
+            if i + run > n:
+                raise ValueError("truncated LZF literal run")
+            out += src[i: i + run]
+            i += run
+        else:
+            length = ctrl >> 5
+            if length == 7:
+                if i >= n:
+                    raise ValueError("truncated LZF length extension")
+                length += src[i]
+                i += 1
+            if i >= n:
+                raise ValueError("truncated LZF back-reference")
+            ref = len(out) - ((ctrl & 0x1F) << 8) - src[i] - 1
+            i += 1
+            if ref < 0:
+                raise ValueError("LZF back-reference before stream start")
+            for _ in range(length + 2):
+                out.append(out[ref])
+                ref += 1
+    if len(out) != expected:
+        raise ValueError(
+            f"LZF output size {len(out)} != header size {expected}")
+    return bytes(out)
+
+
+def _lzf_compress(src: bytes) -> bytes:
+    """Greedy hash-3 LZF encoder (same format family as liblzf; any
+    conforming decoder — including PCL's — accepts the stream)."""
+    n = len(src)
+    out = bytearray()
+    table = {}
+    lit_start = 0
+    i = 0
+
+    def flush_literals(end):
+        j = lit_start
+        while j < end:
+            run = min(32, end - j)
+            out.append(run - 1)
+            out.extend(src[j: j + run])
+            j += run
+
+    while i + 2 < n:
+        key = src[i] | (src[i + 1] << 8) | (src[i + 2] << 16)
+        cand = table.get(key, -1)
+        table[key] = i
+        dist = i - cand - 1
+        if cand >= 0 and 0 <= dist < 8192 and src[cand: cand + 3] == src[i: i + 3]:
+            ml = 3
+            max_ml = min(264, n - i)
+            while ml < max_ml and src[cand + ml] == src[i + ml]:
+                ml += 1
+            flush_literals(i)
+            length = ml - 2
+            if length < 7:
+                out.append((length << 5) | (dist >> 8))
+            else:
+                out.append((7 << 5) | (dist >> 8))
+                out.append(length - 7)
+            out.append(dist & 0xFF)
+            i += ml
+            lit_start = i
+        else:
+            i += 1
+    flush_literals(n)
+    return bytes(out)
 
 
 def read_pcd(path: str) -> Tuple[EncodingInfo, np.ndarray]:
@@ -88,6 +173,19 @@ def read_pcd(path: str) -> Tuple[EncodingInfo, np.ndarray]:
     if mode == "binary":
         body = np.frombuffer(data, dtype=np.uint8, count=n_points * point_step, offset=pos)
         rows = body.reshape(n_points, point_step).copy()
+    elif mode == "binary_compressed":
+        comp_size = int.from_bytes(data[pos: pos + 4], "little")
+        raw_size = int.from_bytes(data[pos + 4: pos + 8], "little")
+        soa = _lzf_decompress(data[pos + 8: pos + 8 + comp_size], raw_size)
+        # PCL stores field-major (SOA): all values of field 0, then field 1…
+        rows = np.zeros((n_points, point_step), dtype=np.uint8)
+        off = 0
+        arr = np.frombuffer(soa, np.uint8)
+        for f in fields:
+            span = n_points * f.size
+            rows[:, f.offset: f.offset + f.size] = arr[off: off + span].reshape(
+                n_points, f.size)
+            off += span
     elif mode == "ascii":
         text = data[pos:].decode("ascii")
         cols = np.loadtxt(_io.StringIO(text), ndmin=2)
@@ -103,7 +201,10 @@ def read_pcd(path: str) -> Tuple[EncodingInfo, np.ndarray]:
     return info, rows
 
 
-def write_pcd(path: str, info: EncodingInfo, rows: np.ndarray, binary: bool = True) -> None:
+def write_pcd(path: str, info: EncodingInfo, rows: np.ndarray, binary: bool = True,
+              compressed: bool = False) -> None:
+    """``compressed=True`` (with binary) writes DATA binary_compressed:
+    field-major (SOA) reorganization + LZF, the PCL wire layout."""
     names = [f.name for f in info.fields]
     sizes = [f.size for f in info.fields]
     types = [_PCD_TYPE_INV[f.type][0] for f in info.fields]
@@ -121,7 +222,16 @@ def write_pcd(path: str, info: EncodingInfo, rows: np.ndarray, binary: bool = Tr
         f"POINTS {n}\n"
     )
     with open(path, "wb") as f:
-        if binary:
+        if binary and compressed:
+            f.write((header + "DATA binary_compressed\n").encode("ascii"))
+            soa = bytearray()
+            for fld in info.fields:
+                soa += rows[:, fld.offset: fld.offset + fld.size].tobytes()
+            comp = _lzf_compress(bytes(soa))
+            f.write(len(comp).to_bytes(4, "little"))
+            f.write(len(soa).to_bytes(4, "little"))
+            f.write(comp)
+        elif binary:
             f.write((header + "DATA binary\n").encode("ascii"))
             # pack fields contiguously in schema order
             packed_step = sum(sizes)
