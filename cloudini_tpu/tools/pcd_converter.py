@@ -37,11 +37,12 @@ def encode_file(path: pathlib.Path, out: pathlib.Path, resolution: float,
           f"(ratio {rows.nbytes/len(stream):.2f})")
 
 
-def decode_file(path: pathlib.Path, out: pathlib.Path, backend: str) -> None:
+def decode_file(path: pathlib.Path, out: pathlib.Path, backend: str,
+                pcd_compressed: bool = False) -> None:
     stream = path.read_bytes()
     info, hlen = decode_header(stream)
     rows = PointcloudDecoder(backend=backend).decode(info, stream[hlen:])
-    write_pcd(str(out), info, rows)
+    write_pcd(str(out), info, rows, compressed=pcd_compressed)
     print(f"{path} -> {out}: {len(stream)} -> {rows.nbytes} bytes")
 
 
@@ -54,6 +55,8 @@ def main(argv=None) -> int:
     p.add_argument("--encoding", choices=["LOSSY", "LOSSLESS", "NONE"], default="LOSSY")
     p.add_argument("--compression", choices=["ZSTD", "LZ4", "NONE"], default="ZSTD")
     p.add_argument("--backend", choices=["auto", "host", "device"], default="auto")
+    p.add_argument("--pcd-compressed", action="store_true",
+                   help="write decoded PCDs as DATA binary_compressed (PCL SOA+LZF)")
     args = p.parse_args(argv)
 
     src = pathlib.Path(args.filename)
@@ -71,7 +74,7 @@ def main(argv=None) -> int:
         else:
             out = out_arg
         if args.decode:
-            decode_file(f, out, args.backend)
+            decode_file(f, out, args.backend, args.pcd_compressed)
         else:
             encode_file(f, out, args.resolution, args.encoding, args.compression, args.backend)
     return 0
