@@ -94,13 +94,15 @@ class McapConverter:
             writer.write_metadata(md.name, md.metadata)
         return old_to_new_channel
 
-    def _encoder_for(self, info: EncodingInfo, backend: str = "auto") -> PointcloudEncoder:
+    def _encoder_for(self, info: EncodingInfo, backend: str = "auto",
+                     device_stage2: bool = False) -> PointcloudEncoder:
         # keyed by the width-independent schema so per-message point counts
         # share one encoder (and its compiled programs)
-        key = (info.with_(width=0, height=1), backend)
+        key = (info.with_(width=0, height=1), backend, device_stage2)
         enc = self._encoder_cache.get(key)
         if enc is None:
-            enc = PointcloudEncoder(key[0], backend=backend)
+            enc = PointcloudEncoder(key[0], backend=backend,
+                                    device_stage2=device_stage2)
             self._encoder_cache[key] = enc
         return enc
 
@@ -113,6 +115,7 @@ class McapConverter:
         on_error: str = "raise",
         backend: str = "auto",
         batch_window: int = 0,
+        device_stage2: bool = False,
     ) -> ConverterStats:
         """``batch_window`` > 0 buffers up to that many point-cloud messages
         and encodes each same-schema group with ONE device dispatch
@@ -128,6 +131,11 @@ class McapConverter:
             CompressionOption.LZ4: "lz4",
             CompressionOption.NONE: "",
         }[mcap_writer_compression]
+        if device_stage2:
+            # the stream carries device stage-2; skip MCAP-chunk compression
+            # instead of the stream's (the same no-double-compression rule,
+            # with the device doing the work)
+            comp_name = ""
         writer = McapWriter(file_out, profile=self.reader.profile, compression=comp_name)
         chan_map = self._duplicate(writer, encoding=True)
 
@@ -144,9 +152,11 @@ class McapConverter:
                 pc.width, pc.height = new_rows.shape[0], 1
                 pc.row_step = pc.point_step * pc.width
             info = to_encoding_info(pc)
-            if mcap_writer_compression == CompressionOption.ZSTD:
+            if mcap_writer_compression == CompressionOption.ZSTD and not device_stage2:
                 # no need to do ZSTD compression twice (mcap_converter.cpp:201-203)
                 info = info.with_(compression_opt=CompressionOption.NONE)
+            elif device_stage2:
+                info = info.with_(compression_opt=mcap_writer_compression)
             return pc, info
 
         def flush():
@@ -162,7 +172,7 @@ class McapConverter:
             payloads: dict = {}
             for key, idxs in groups.items():
                 try:
-                    enc = self._encoder_for(key, backend)
+                    enc = self._encoder_for(key, backend, device_stage2)
                     clouds = []
                     infos = []
                     for i in idxs:
@@ -223,7 +233,7 @@ class McapConverter:
             t0 = time.perf_counter()
             try:
                 pc, info = prepare(msg)
-                enc = self._encoder_for(info, backend)
+                enc = self._encoder_for(info, backend, device_stage2)
                 n_pts = len(pc.data) // info.point_step if info.point_step else 0
                 stream = (
                     enc.encode_with_info(pc.data[: n_pts * info.point_step], info)

@@ -64,6 +64,9 @@ def main(argv=None) -> int:
     p.add_argument("-m", "--method", default="zstd", choices=["zstd", "lz4", "none"],
                    help="MCAP writer chunk compression")
     p.add_argument("-y", "--yes", action="store_true", help="Auto-confirm overwrite of files")
+    p.add_argument("--device-stage2", action="store_true",
+                   help="fuse stage-2 (LZ4/ZSTD per --method) into the device "
+                        "encode program instead of host lib compression")
     p.add_argument("--skip-errors", action="store_true", help="Pass through messages that fail to convert")
     p.add_argument("--backend", default="auto", choices=["auto", "host", "device"],
                    help="codec backend for encoding")
@@ -108,6 +111,7 @@ def main(argv=None) -> int:
             mcap_writer_compression=comp, viz_lossy=args.viz,
             on_error="skip" if args.skip_errors else "raise",
             backend=args.backend, batch_window=args.batch,
+            device_stage2=args.device_stage2,
         )
     else:
         stats = conv.decode_point_clouds(str(out_path), mcap_writer_compression=comp)

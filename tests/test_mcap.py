@@ -177,3 +177,37 @@ def test_converter_batched_encode_matches_streamed(tmp_path):
         a = open(out_stream, "rb").read()
         b = open(out_batch, "rb").read()
         assert a == b, f"batched (window={window}, {backend}) bag differs from streamed bag"
+
+
+def test_converter_device_stage2_zstd(tmp_path):
+    """device_stage2=True with the default ZSTD method: the converted bag's
+    decoded clouds must match the host-path bag's decode (streams differ in
+    bytes — device frames are an independent valid encoding)."""
+    from cloudini_tpu.tools.mcap_converter import McapConverter
+
+    src = str(tmp_path / "src.mcap")
+    w = McapWriter(src, profile="ros2", compression="zstd")
+    sid = w.add_schema(defs.POINTCLOUD_SCHEMA_NAME, "ros2msg",
+                       defs.POINTCLOUD_SCHEMA_DATA.encode())
+    cid = w.add_channel("/points", "cdr", sid)
+    msgs = [_make_cloud_msg(3000 + 7 * i, i) for i in range(3)]
+    for i, m in enumerate(msgs):
+        w.write_message(cid, log_time=10 + i, data=m, sequence=i)
+    w.close()
+
+    conv = McapConverter()
+    conv.open(src)
+    conv.encode_point_clouds(str(tmp_path / "dev.mcap"),
+                             default_resolution=0.001, device_stage2=True)
+    conv.open(src)
+    conv.encode_point_clouds(str(tmp_path / "host.mcap"),
+                             default_resolution=0.001)
+
+    outs = []
+    for name in ("dev", "host"):
+        c2 = McapConverter()
+        c2.open(str(tmp_path / f"{name}.mcap"))
+        c2.decode_point_clouds(str(tmp_path / f"{name}_dec.mcap"))
+        r = McapReader(str(tmp_path / f"{name}_dec.mcap"))
+        outs.append([m.data for _ch, _s, m in r.messages()])
+    assert outs[0] == outs[1]
