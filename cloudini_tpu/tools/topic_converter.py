@@ -52,6 +52,7 @@ class PointcloudConverterService:
         profile: Optional[str] = None,
         compression: CompressionOption = CompressionOption.ZSTD,
         backend: str = "auto",
+        device_stage2: bool = False,
         log=lambda msg: print(msg, file=sys.stderr),
     ):
         if mode not in ("compress", "decompress"):
@@ -61,6 +62,7 @@ class PointcloudConverterService:
         self._profile = parse_profile_string(profile) if profile else None
         self.compression = compression
         self.backend = backend
+        self.device_stage2 = device_stage2
         self._log = log
         self._lock = threading.Lock()
         self._decoder = PointcloudDecoder(backend=backend)
@@ -158,7 +160,8 @@ class PointcloudConverterService:
         for key, idxs in groups.items():
             enc = self._batch_encoders.get(key)
             if enc is None:
-                enc = self._batch_encoders[key] = PointcloudEncoder(key, backend=self.backend)
+                enc = self._batch_encoders[key] = PointcloudEncoder(
+                    key, backend=self.backend, device_stage2=self.device_stage2)
             clouds, infos = [], []
             for i in idxs:
                 pc, info = parsed[i]
@@ -279,6 +282,9 @@ def main(argv=None) -> int:
                     help="buffer up to N messages and encode the window in one "
                          "device dispatch per schema (replies are batched; "
                          "trades per-message latency for TPU throughput)")
+    ap.add_argument("--device-stage2", action="store_true",
+                    help="fuse stage-2 (LZ4/ZSTD) into the device encode "
+                         "program for batched windows")
     ap.add_argument("--batch-timeout-ms", type=int, default=50, metavar="MS",
                     help="flush a partial batch after this idle time "
                          "(TCP mode only)")
@@ -290,6 +296,7 @@ def main(argv=None) -> int:
         profile=args.profile,
         compression=CompressionOption.LZ4 if args.lz4 else CompressionOption.ZSTD,
         backend=args.backend,
+        device_stage2=args.device_stage2,
     )
     if args.listen:
         host, port = args.listen.rsplit(":", 1)
