@@ -722,7 +722,7 @@ def decode_sequences_section(raw: bytes):
     Predefined_Mode is supported."""
     b0 = raw[0]
     if b0 == 0:
-        return [], 1
+        return []
     if b0 < 128:
         n, pos = b0, 1
     elif b0 < 255:
@@ -753,7 +753,7 @@ def decode_sequences_section(raw: bytes):
             p_ml = int(base_ml[p_ml]) + r.read(int(nb_ml[p_ml]))
             p_of = int(base_of[p_of]) + r.read(int(nb_of[p_of]))
     assert r.n == 0, f"{r.n} unconsumed bits"
-    return out, None
+    return out
 
 
 def decode_frame(frame: bytes) -> bytes:
@@ -803,7 +803,7 @@ def decode_frame(frame: bytes) -> bytes:
                     spos = lpos + 1
             else:
                 lits, spos = _decode_compressed_literals(blk)
-            seqs, _ = decode_sequences_section(blk[spos:])
+            seqs = decode_sequences_section(blk[spos:])
             lpos2 = 0
             for (ll, ml, ofv) in seqs:
                 out += lits[lpos2: lpos2 + ll]
