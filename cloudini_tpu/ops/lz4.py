@@ -20,9 +20,10 @@ decoder) entirely on device:
     prefix sums + region-fill masks + one scatter per component
 
 Measured vs liblz4 (scripts/lz4_ratio.py, artifact LZ4_RATIO.json): -1.6% on
-lidar XYZI, +15% on the mixed DDS stream (was +99.5% before the sorted-gram
-tier); the host liblz4 path (codec/stage2.py) remains the default where
-byte-parity with the reference encoder matters.
+lidar XYZI, +0.9% on the mixed DDS stream (was +99.5% before the sorted-gram
+tier, +15% before same-offset chain merging); the host liblz4 path
+(codec/stage2.py) remains the default where byte-parity with the reference
+encoder matters.
 """
 
 from __future__ import annotations
@@ -148,6 +149,42 @@ def _sorted_gram_matches(data: jnp.ndarray, sizes: jnp.ndarray,
     return (r >> 16).astype(jnp.int32), (r & np.uint32(0xFFFF)).astype(jnp.int32)
 
 
+def merge_same_offset_chains(is_match: jnp.ndarray, mlen: jnp.ndarray,
+                             off: jnp.ndarray):
+    """Fold zero-literal same-offset chains into their head sequence.
+
+    The sorted-gram tier truncates matches at the gram width, so one long
+    arbitrary-offset match parses as a chain of zero-literal links with the
+    same offset; each link costs a full sequence (3 B in LZ4: token +
+    offset) where liblz4 pays ~1 B per 255 matched. Shared by the LZ4 and
+    ZSTD kernels. Returns (head, merged_ml): head marks surviving sequence
+    starts, merged_ml their folded match lengths (0 elsewhere)."""
+    c, b = is_match.shape
+    idx = jnp.arange(b, dtype=jnp.int32)
+    ri = jnp.arange(c, dtype=jnp.int32)[:, None]
+    pm_all = jax.lax.cummax(jnp.where(is_match, idx, -1), axis=1)
+    pm_aprev = jnp.roll(pm_all, 1, axis=1).at[:, 0].set(-1)
+    pm_aprev = jnp.where(is_match, pm_aprev, pm_all)
+    ga = jnp.maximum(pm_aprev, 0)
+    prev_end_all = jnp.where(pm_aprev >= 0, ga + mlen[ri, ga], 0)
+    chained = is_match & (idx == prev_end_all) & (off == off[ri, ga]) & (
+        pm_aprev >= 0)
+    head = is_match & ~chained
+    # chain extent: up to the next head or the end of contiguous coverage
+    bump = jnp.zeros((c, 2 * b), jnp.int32)
+    bump = bump.at[ri, jnp.where(is_match, idx, b + idx)].add(1, mode="drop")
+    bump = bump.at[ri, jnp.where(is_match, idx + mlen, b + idx)].add(
+        -1, mode="drop")
+    cov = jnp.cumsum(bump[:, :b], axis=1) > 0
+    covrun = _run_lengths(cov)
+    nh = jnp.roll(
+        jax.lax.cummin(jnp.where(head, idx, b)[:, ::-1], axis=1)[:, ::-1],
+        -1, axis=1,
+    ).at[:, -1].set(b)  # next head strictly after i
+    merged_ml = jnp.where(head, jnp.minimum(nh, idx + covrun) - idx, 0)
+    return head, merged_ml
+
+
 def two_tier_matches(data: jnp.ndarray, sizes: jnp.ndarray, deep: bool = True,
                      gram_words: int = 4):
     """Both match-finder tiers (fixed stride-period distances + sorted-gram
@@ -202,6 +239,8 @@ def lz4_compress_chunks(data: jnp.ndarray, sizes: jnp.ndarray, max_out: int,
     nxt = jnp.minimum(idx + jnp.where(valid, mlen, 1), b)
     orbit = mark_orbit(nxt, jnp.zeros((c,), jnp.int32), b)
     is_match = orbit & valid
+    # fold zero-literal same-offset link chains (gram-width truncation)
+    is_match, mlen = merge_same_offset_chains(is_match, mlen, best_off)
 
     # ---- per-sequence geometry (computed in place at match positions) -----
     pm = jax.lax.cummax(jnp.where(is_match, idx, -1), axis=1)  # last match <= i

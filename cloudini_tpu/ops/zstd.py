@@ -38,7 +38,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ref import zstd_frame as ZF
-from .lz4 import _run_lengths, two_tier_matches
+from .lz4 import merge_same_offset_chains, two_tier_matches
 from .orbit import mark_orbit
 
 BLOCK_CAP = ZF.BLOCK_CAP  # 126 KiB: LL/ML/#seq stay in predefined-code range
@@ -413,29 +413,9 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
     is_match, mlen, off = _match_parse(data, sizes)
 
     # ---- merge same-offset chains (stream domain, BEFORE the cap) ---------
-    # the sorted-gram tier truncates matches at 16 B, so one long match
-    # parses as a chain of zero-literal same-offset links; fold each chain
-    # into its head so the cap counts real sequences, not links
-    pm_all = jax.lax.cummax(jnp.where(is_match, idx, -1), axis=1)
-    pm_aprev = jnp.roll(pm_all, 1, axis=1).at[:, 0].set(-1)
-    pm_aprev = jnp.where(is_match, pm_aprev, pm_all)
-    ga = jnp.maximum(pm_aprev, 0)
-    prev_end_all = jnp.where(pm_aprev >= 0, ga + mlen[ri, ga], 0)
-    chained = is_match & (idx == prev_end_all) & (off == off[ri, ga]) & (
-        pm_aprev >= 0)
-    head = is_match & ~chained
-    # chain extent: up to the next head or the end of contiguous coverage
-    bump_a = jnp.zeros((r, 2 * cap), jnp.int32)
-    bump_a = bump_a.at[ri, jnp.where(is_match, idx, cap + idx)].add(1, mode="drop")
-    bump_a = bump_a.at[ri, jnp.where(is_match, idx + mlen, cap + idx)].add(
-        -1, mode="drop")
-    cov_all = jnp.cumsum(bump_a[:, :cap], axis=1) > 0
-    covrun = _run_lengths(cov_all)
-    nh = jnp.roll(
-        jax.lax.cummin(jnp.where(head, idx, cap)[:, ::-1], axis=1)[:, ::-1],
-        -1, axis=1,
-    ).at[:, -1].set(cap)  # next head strictly after i
-    merged_ml = jnp.where(head, jnp.minimum(nh, idx + covrun) - idx, 0)
+    # fold zero-literal same-offset link chains into their head so the cap
+    # counts real sequences, not gram-width-truncated links
+    head, merged_ml = merge_same_offset_chains(is_match, mlen, off)
 
     # keep a prefix of s merged sequences; the rest decay to literals
     head_rank = jnp.cumsum(head.astype(jnp.int32), axis=1) - 1
