@@ -303,52 +303,130 @@ def _canonical_codes(weights: jnp.ndarray, max_bits: jnp.ndarray):
     return jnp.where(weights > 0, (code << 4) | length, 0)
 
 
-def _row_entropy_q6(data: jnp.ndarray, sizes: jnp.ndarray):
-    """Per-row byte entropy in 1/64-bit fixed point, floored at 1 bit
-    (Huffman cannot code below 1 bit/literal). One value sort + run
-    lengths — the same histogram construction as the Huffman stage."""
+def _per_byte_cost_q6(data: jnp.ndarray, sizes: jnp.ndarray,
+                      exclude: jnp.ndarray | None = None):
+    """Per-POSITION entropy-coded literal cost -log2(p(byte)) in 1/64-bit
+    fixed point, floored at 1 bit (Huffman cannot code below 1 bit/literal),
+    0 past the row end. A row-average gate systematically overestimates what
+    a match saves: matched bytes are exactly the frequent ones whose Huffman
+    codes are SHORT (measured on lidar.pcd: every sequence the average gate
+    accepted was net-negative — pure Huffman literals beat the parse by 25 KB).
+
+    ``exclude`` marks positions covered by already-accepted matches: they are
+    dropped from the histogram (the literal stream the Huffman stage will
+    actually see) but still receive a cost — the post-removal price their
+    value would pay if the covering match were rejected.
+
+    Sort-based (doctrine: sorts + scans over gathers): sort (value, pos)
+    pairs; a slot's segment is [latest boundary <=, first boundary >), and
+    the INCLUDED count inside the segment comes from the monotone prefix sum
+    of the included flag propagated from the segment edges by min/max scans."""
     r, cap = data.shape
     idx = jnp.arange(cap, dtype=jnp.int32)
-    vkey = jnp.where(idx[None, :] < sizes[:, None], data.astype(jnp.int32), 300)
-    sv = jax.lax.sort(vkey, dimension=1)
+    in_row = idx[None, :] < sizes[:, None]
+    vkey = jnp.where(in_row, data.astype(jnp.int32), 300)
+    pos = jnp.broadcast_to(idx[None, :], (r, cap)).astype(jnp.int32)
+    if exclude is None:
+        inc = in_row
+    else:
+        inc = in_row & ~exclude
+    sv, spos, sinc = jax.lax.sort(
+        (vkey, pos, inc.astype(jnp.int32)), dimension=1, num_keys=2,
+        is_stable=False)
     boundary = jnp.concatenate(
-        [jnp.ones((r, 1), bool), sv[:, 1:] != sv[:, :-1]], axis=1) & (sv < 256)
-    nxt_b = jnp.roll(
-        jax.lax.cummin(
-            jnp.where(boundary | (sv >= 256), idx[None, :], cap)[:, ::-1],
-            axis=1)[:, ::-1], -1, axis=1).at[:, -1].set(cap)
-    seg_len = jnp.where(
-        boundary, jnp.minimum(nxt_b, sizes[:, None]) - idx[None, :], 0)
-    tot = jnp.maximum(sizes, 1).astype(jnp.float32)[:, None]
-    p = seg_len.astype(jnp.float32) / tot
-    h = -jnp.sum(jnp.where(seg_len > 0, p * jnp.log2(jnp.maximum(p, 1e-9)), 0.0),
-                 axis=1)
-    return jnp.maximum((h * 64).astype(jnp.int32), 64)
+        [jnp.ones((r, 1), bool), sv[:, 1:] != sv[:, :-1]], axis=1)
+    inc_csum = jnp.cumsum(sinc, axis=1)  # monotone nondecreasing
+    # segment-end prefix total: nearest FUTURE segment-last slot's inc_csum.
+    # inc_csum is monotone, so "nearest future marked" == reverse cummin.
+    seg_last = jnp.concatenate([boundary[:, 1:], jnp.ones((r, 1), bool)],
+                               axis=1)
+    big = jnp.int32(1 << 30)
+    end_tot = jax.lax.cummin(
+        jnp.where(seg_last, inc_csum, big)[:, ::-1], axis=1)[:, ::-1]
+    # segment-start prefix (exclusive): latest boundary's inc_csum - own inc;
+    # monotone again, so forward cummax propagates it across the segment.
+    start_excl = jax.lax.cummax(
+        jnp.where(boundary, inc_csum - sinc, -1), axis=1)
+    cnt = end_tot - start_excl
+    n_inc = jnp.maximum(jnp.sum(inc.astype(jnp.int32), axis=1), 1)
+    p_q6 = (jnp.log2(n_inc.astype(jnp.float32))[:, None]
+            - jnp.log2(jnp.maximum(cnt, 1).astype(jnp.float32))) * 64.0
+    cost_sorted = jnp.maximum(p_q6.astype(jnp.int32), 64)
+    cost_sorted = jnp.where(sv < 256, cost_sorted, 0)
+    _, cost = jax.lax.sort((spos, cost_sorted), dimension=1, num_keys=1,
+                           is_stable=False)
+    return cost
+
+
+_GATE_ROUNDS = 2
 
 
 def _match_parse(data: jnp.ndarray, sizes: jnp.ndarray):
     """Shared two-tier match finding + greedy parse, zstd flavor: no LZ4
     end-of-block rules, matches may run to the row end, and a match must
-    beat entropy-coded literals (ml*H >= ~10 bits of sequence cost + the
-    offset's extra bits — mirrors ref/zstd_frame.greedy_matches' gate, so
-    low-entropy streams keep their literals for the Huffman stage).
-    Returns (is_match, mlen, off)."""
+    beat entropy-coded literals. The gate sums the PER-BYTE literal costs
+    (-log2 p) over the exact match extent (static shifts of the cost prefix
+    sum for the gram tier's len<=16; extrapolated from the first 16 bytes
+    for longer periodic runs) and accepts only matches whose removal from
+    the literal stream saves more than the sequence costs to emit.
+
+    The gate iterates (_GATE_ROUNDS): removing matched bytes from the
+    literal stream re-prices the survivors — matched bytes are frequent, so
+    their removal LENGTHENS the Huffman codes of what remains, and a match
+    that paid under the full histogram can be net-negative under the
+    post-removal one (measured: first-round marginal prices leave 22 KB on
+    the table on lidar.pcd vs zstd-1's all-literal blocks). Round k re-gates
+    every candidate against the histogram of bytes round k-1 left literal;
+    rejections only cheapen remaining literals, so the iteration is
+    monotone. Returns (is_match, mlen, off)."""
     c, b = data.shape
     idx = jnp.arange(b, dtype=jnp.int32)
+    ri = jnp.arange(c, dtype=jnp.int32)[:, None]
     size_col = sizes[:, None]
 
     best_len, best_off = two_tier_matches(data, sizes)
-    h_q6 = _row_entropy_q6(data, sizes)[:, None]
-
     best_len = jnp.minimum(best_len, size_col - idx)
     off_bits = 32 - jax.lax.clz(jnp.maximum(best_off, 1))
-    pays = best_len * h_q6 >= (10 + off_bits) * 64
-    valid = (best_len >= _MINMATCH) & (idx < size_col) & pays
-    mlen = jnp.where(valid, best_len, 0)
 
-    nxt = jnp.minimum(idx + jnp.where(valid, mlen, 1), b)
-    orbit = mark_orbit(nxt, jnp.zeros((c,), jnp.int32), b)
-    return orbit & valid, mlen, best_off
+    exclude = None
+    for _ in range(_GATE_ROUNDS):
+        cost = _per_byte_cost_q6(data, sizes, exclude)
+        csum0 = jnp.concatenate(
+            [jnp.zeros((c, 1), jnp.int32), jnp.cumsum(cost, axis=1)], axis=1)
+
+        def win(l):  # cost of the l bytes starting at i (0 past the end)
+            return jnp.concatenate(
+                [csum0[:, l:], jnp.broadcast_to(csum0[:, -1:], (c, l))],
+                axis=1)[:, :b] - csum0[:, :b]
+
+        w16 = win(16)
+        save = w16  # default: extrapolate below for l > 16
+        for l in range(_MINMATCH, 16):
+            save = jnp.where(best_len == l, win(l), save)
+        # periodic long runs: the extent is self-similar, scale the first-16
+        # cost. Clamp the factor: at the 1-bit/lit cost floor any match
+        # >= 26 B clears the max gate threshold, so 64 loses nothing and
+        # keeps the product well inside i32 (w16 <= 16*64*18 q6).
+        save = jnp.where(best_len > 16,
+                         (w16 * jnp.minimum(best_len, 64)) // 16, save)
+
+        pays = save >= (10 + off_bits) * 64
+        valid = (best_len >= _MINMATCH) & (idx < size_col) & pays
+        mlen = jnp.where(valid, best_len, 0)
+
+        nxt = jnp.minimum(idx + jnp.where(valid, mlen, 1), b)
+        orbit = mark_orbit(nxt, jnp.zeros((c,), jnp.int32), b)
+        is_match = orbit & valid
+
+        # coverage mask of the accepted parse -> next round's exclusions
+        bump = jnp.zeros((c, 2 * b), jnp.int32)
+        bump = bump.at[ri, jnp.where(is_match, idx, b + idx)].add(
+            1, mode="drop")
+        bump = bump.at[ri, jnp.where(is_match, idx + mlen, b + idx)].add(
+            -1, mode="drop")
+        exclude = jnp.cumsum(bump[:, :b], axis=1) > 0
+
+    return is_match, mlen, best_off
 
 
 @partial(jax.jit, static_argnums=(2, 3))
