@@ -519,11 +519,31 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
     sj = jnp.arange(s, dtype=jnp.int32)
     live = sj[None, :] < n_seq[:, None]
 
+    # ---- repeat-offset codes (RFC 8878 3.1.1.5), closed-form ---------------
+    # Policy: emit Offset_Value 1 (rep0) / 2 (rep1) only when lit_len > 0
+    # (the ll==0 index shift never applies), else off+3. Under this policy
+    # the decoder's rep0 BEFORE sequence j is always off_{j-1} (every branch
+    # ends with rep0 == off), and rep1 changes only on non-rep0 emits — so
+    # rep1 before j is the offset preceding the latest non-rep0 lane < j:
+    # a shift + cummax + one aligned gather, no scan. Stage-1 token streams
+    # are stride-periodic, so most kept sequences hit rep0 and their offset
+    # field drops from ~2*log2(off) bits to the OF symbol-0 state bits.
+    prev_off = jnp.roll(c_of, 1, axis=1).at[:, 0].set(1)  # initial rep0 = 1
+    hit0 = live & (c_ll > 0) & (c_of == prev_off)
+    k_after = jax.lax.cummax(jnp.where(~hit0, sj[None, :], -1), axis=1)
+    k_before = jnp.roll(k_after, 1, axis=1).at[:, 0].set(-1)
+    rep1 = jnp.where(
+        k_before < 0, 4,  # spec initial rep1
+        jnp.where(k_before == 0, 1,  # off_{-1} = initial rep0
+                  jnp.take_along_axis(
+                      c_of, jnp.maximum(k_before - 1, 0), axis=1)))
+    hit1 = live & ~hit0 & (c_ll > 0) & (c_of == rep1)
+
     # ---- codes + extra-bit fields (parallel) ------------------------------
     llc = _ll_code(c_ll)
     mlf = c_ml - 3
     mlc = _ml_code(jnp.maximum(mlf, 0))
-    ofv = c_of + 3
+    ofv = jnp.where(hit0, 1, jnp.where(hit1, 2, c_of + 3))
     ofc = jnp.where(live, _ilog2(jnp.maximum(ofv, 1)), 0)
     llx = c_ll - jnp.take(jnp.asarray(_LL_BASES), llc)
     llxw = jnp.where(live, jnp.take(jnp.asarray(_LL_XBITS), llc), 0)
