@@ -232,6 +232,123 @@ def encode_sequences(seqs: Sequence[Tuple[int, int, int]]) -> bytes:
     return head + w.close()
 
 
+def fse_normalize(hist: np.ndarray, table_log: int):
+    """Symbol counts -> normalized distribution summing to 2^table_log with
+    every present symbol >= 1 (largest-remainder on the dominant symbol), or
+    None when unrepresentable (< 2 present symbols, or the dominant symbol
+    cannot absorb the rounding deficit)."""
+    size = 1 << table_log
+    total = int(hist.sum())
+    present = hist > 0
+    if int(present.sum()) < 2 or total == 0:
+        return None
+    norm = (hist.astype(np.int64) * size) // total
+    norm[present & (norm == 0)] = 1
+    big = int(np.argmax(norm))
+    norm[big] += size - int(norm.sum())
+    if norm[big] < 1:
+        return None
+    return norm.astype(np.int32)
+
+
+# dynamic accuracy logs (spec maxima: LL 9, OF 8, ML 9 — RFC 8878 3.1.1.3.2.1.1)
+DYN_LL_LOG, DYN_OF_LOG, DYN_ML_LOG = 9, 8, 9
+
+
+def _field_tables(codes: np.ndarray, nsym: int, dyn_log: int,
+                  default: np.ndarray, def_log: int):
+    """Pick the cheapest wire mode for one field: Predefined_Mode (0), RLE (1)
+    when a single code is present, or FSE_Compressed (2) with a per-block
+    normalized table. Returns (mode, desc bytes, enc table 5-tuple, log)."""
+    hist = np.bincount(codes, minlength=nsym)
+    present = np.flatnonzero(hist)
+    if len(present) == 1:
+        return 1, bytes([int(present[0])]), None, 0
+    pre_tab = fse_encode_table(default, def_log)
+    norm = fse_normalize(hist, dyn_log)
+    if norm is None:
+        return 0, b"", pre_tab, def_log
+    desc = _ncount_write([int(v) for v in norm[: int(present[-1]) + 1]],
+                         dyn_log)
+    # estimated state bits: log - floor(log2(norm)) per occurrence
+    eff_def = np.where(default[:nsym] != 0, np.abs(default[:nsym]), 1)
+    est_pre = int(np.sum(hist * (def_log - np.floor(np.log2(eff_def)))))
+    est_dyn = 8 * len(desc) + int(
+        np.sum(hist[present] * (dyn_log - np.floor(np.log2(norm[present])))))
+    if est_dyn >= est_pre:
+        return 0, b"", pre_tab, def_log
+    return 2, desc, fse_encode_table(norm, dyn_log), dyn_log
+
+
+def encode_sequences_dynamic(seqs: Sequence[Tuple[int, int, int]]) -> bytes:
+    """Sequences_Section with per-field mode selection (Predefined / RLE /
+    per-block dynamic FSE_Compressed) — the wire oracle for the device
+    kernel's dynamic sequence tier. Same input as ``encode_sequences``:
+    (literals_length, match_length, offset) with offset >= 1."""
+    n = len(seqs)
+    if n == 0:
+        return b"\x00"
+    assert n <= 32511
+    head = bytes([n]) if n < 128 else bytes([128 + (n >> 8), n & 0xFF])
+
+    ll = np.array([s[0] for s in seqs], np.int64)
+    mlv = np.array([s[1] for s in seqs], np.int64)
+    ofv = np.array([s[2] for s in seqs], np.int64) + 3
+    llc = ll_code(ll)
+    mlc = ml_code(mlv)
+    ofc = np.floor(np.log2(ofv)).astype(np.int32)
+    ll_extra = (ll - LL_BASE[llc]).astype(np.int64)
+    ml_extra = (mlv - ML_BASE[mlc]).astype(np.int64)
+    of_extra = (ofv - (np.int64(1) << ofc.astype(np.int64))).astype(np.int64)
+    llb = LL_BITS[llc]
+    mlb = ML_BITS[mlc]
+
+    m_ll, d_ll, t_ll, lg_ll = _field_tables(llc, 36, DYN_LL_LOG, LL_DEFAULT, LL_LOG)
+    m_of, d_of, t_of, lg_of = _field_tables(ofc, 29, DYN_OF_LOG, OF_DEFAULT, OF_LOG)
+    m_ml, d_ml, t_ml, lg_ml = _field_tables(mlc, 53, DYN_ML_LOG, ML_DEFAULT, ML_LOG)
+    head += bytes([(m_ll << 6) | (m_of << 4) | (m_ml << 2)])
+    head += d_ll + d_of + d_ml  # description order: LL, OF, ML
+
+    def chain(tab):
+        if tab is None:  # RLE: single state, 0 bits everywhere
+            z = np.zeros(1, np.int32)
+            return (np.zeros((64, 1), np.int32), None, z, z, z)
+        enc, _, nb, base, first = tab
+        return (enc, None, nb, base, first)
+
+    enc_ll, _, nb_ll, base_ll, first_ll = chain(t_ll)
+    enc_ml, _, nb_ml, base_ml, first_ml = chain(t_ml)
+    enc_of, _, nb_of, base_of, first_of = chain(t_of)
+
+    w = _BitWriter()
+    p_ll = int(first_ll[llc[n - 1] if t_ll is not None else 0])
+    p_ml = int(first_ml[mlc[n - 1] if t_ml is not None else 0])
+    p_of = int(first_of[ofc[n - 1] if t_of is not None else 0])
+    w.add(int(ll_extra[n - 1]), int(llb[n - 1]))
+    w.add(int(ml_extra[n - 1]), int(mlb[n - 1]))
+    w.add(int(of_extra[n - 1]), int(ofc[n - 1]))
+    for i in range(n - 2, -1, -1):
+        if t_of is not None:
+            u = int(enc_of[ofc[i], p_of])
+            w.add(p_of - int(base_of[u]), int(nb_of[u]))
+            p_of = u
+        if t_ml is not None:
+            u = int(enc_ml[mlc[i], p_ml])
+            w.add(p_ml - int(base_ml[u]), int(nb_ml[u]))
+            p_ml = u
+        if t_ll is not None:
+            u = int(enc_ll[llc[i], p_ll])
+            w.add(p_ll - int(base_ll[u]), int(nb_ll[u]))
+            p_ll = u
+        w.add(int(ll_extra[i]), int(llb[i]))
+        w.add(int(ml_extra[i]), int(mlb[i]))
+        w.add(int(of_extra[i]), int(ofc[i]))
+    w.add(p_ml, lg_ml)
+    w.add(p_of, lg_of)
+    w.add(p_ll, lg_ll)
+    return head + w.close()
+
+
 # ---- block / frame assembly ------------------------------------------------
 
 
@@ -262,7 +379,10 @@ def encode_block(data: bytes, seqs: Sequence[Tuple[int, int, int]],
     huf = encode_huffman_literals(bytes(lits))
     if huf is not None:
         lit_section = huf
-    content = lit_section + encode_sequences(seqs)
+    seq_sec = encode_sequences(seqs)
+    dyn_sec = encode_sequences_dynamic(seqs)
+    content = lit_section + (dyn_sec if len(dyn_sec) < len(seq_sec)
+                             else seq_sec)
     if len(content) < n:
         hdr = (len(content) << 3) | (2 << 1) | int(last)
         return hdr.to_bytes(3, "little") + content
@@ -718,8 +838,9 @@ def _decode_compressed_literals(blk: bytes):
 
 
 def decode_sequences_section(raw: bytes):
-    """Sequences_Section bytes -> list of (ll, ml, offset_value). Only
-    Predefined_Mode is supported."""
+    """Sequences_Section bytes -> list of (ll, ml, offset_value).
+    Predefined_Mode, RLE_Mode, and FSE_Compressed_Mode are supported
+    (Repeat_Mode is not — it needs cross-block table state)."""
     b0 = raw[0]
     if b0 == 0:
         return []
@@ -731,14 +852,33 @@ def decode_sequences_section(raw: bytes):
         n, pos = raw[1] + (raw[2] << 8) + 0x7F00, 3
     modes = raw[pos]
     pos += 1
-    assert modes == 0, f"non-predefined modes {modes:#x} unsupported"
-    _, sym_ll, nb_ll, base_ll, _ = LL_TABLE
-    _, sym_ml, nb_ml, base_ml, _ = ML_TABLE
-    _, sym_of, nb_of, base_of, _ = OF_TABLE
+
+    def field(shift, table, def_log, nsym):
+        nonlocal pos
+        mode = (modes >> shift) & 3
+        if mode == 0:
+            _, sym, nb, base, _ = table
+            return sym, nb, base, def_log
+        if mode == 1:  # RLE: one symbol byte, accuracy log 0
+            s = raw[pos]
+            pos += 1
+            z = np.zeros(1, np.int32)
+            return np.array([s], np.int32), z, z, 0
+        assert mode == 2, "Repeat_Mode unsupported"
+        norm, log, used = _ncount_read(raw[pos:])
+        pos += used
+        norm = np.asarray(norm + [0] * (nsym - len(norm)), np.int32)
+        sym, nb, base = fse_decode_table(norm, log)
+        return sym, nb, base, log
+
+    # description order on the wire: LL, OF, ML
+    sym_ll, nb_ll, base_ll, log_ll = field(6, LL_TABLE, LL_LOG, 36)
+    sym_of, nb_of, base_of, log_of = field(4, OF_TABLE, OF_LOG, 29)
+    sym_ml, nb_ml, base_ml, log_ml = field(2, ML_TABLE, ML_LOG, 53)
     r = _BitReader(raw[pos:])
-    p_ll = r.read(LL_LOG)
-    p_of = r.read(OF_LOG)
-    p_ml = r.read(ML_LOG)
+    p_ll = r.read(log_ll)
+    p_of = r.read(log_of)
+    p_ml = r.read(log_ml)
     out = []
     for i in range(n):
         ofc = int(sym_of[p_of])

@@ -207,3 +207,64 @@ def test_fixture_ratio_beats_lz4_on_mixed():
     z1 = zstandard.ZstdCompressor(level=1, write_content_size=False,
                                   write_checksum=False).compress(blob)
     assert len(mine) < 1.05 * len(z1)
+
+
+# ---- dynamic (per-block) FSE sequence tables --------------------------------
+
+
+def test_dynamic_sequences_section_roundtrip():
+    """Per-field mode selection: all-RLE, mixed FSE, and tiny-n fallback all
+    decode through the extended mini-decoder parser."""
+    rle = [(5, 10, 26)] * 200
+    sec = Z.encode_sequences_dynamic(rle)
+    assert Z.decode_sequences_section(sec) == [(5, 10, 29)] * 200
+    assert len(sec) < len(Z.encode_sequences(rle)) // 3
+
+    rng = np.random.default_rng(7)
+    seqs = [(int(rng.integers(0, 300)), int(rng.integers(3, 80)),
+             int(rng.integers(1, 5000))) for _ in range(3000)]
+    sec = Z.encode_sequences_dynamic(seqs)
+    assert Z.decode_sequences_section(sec) == [(l, m, o + 3)
+                                               for (l, m, o) in seqs]
+    assert len(sec) < len(Z.encode_sequences(seqs))
+
+    tiny = [(3, 4, 9), (0, 5, 2)]
+    sec = Z.encode_sequences_dynamic(tiny)
+    assert Z.decode_sequences_section(sec) == [(3, 4, 12), (0, 5, 5)]
+
+
+def test_dynamic_sequences_libzstd_conformance():
+    """Frames whose blocks carry dynamic/RLE sequence tables must decode
+    bit-exactly through the real libzstd."""
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        n = int(rng.integers(500, 70000))
+        period = int(rng.integers(4, 48))
+        base = rng.integers(0, 256, period, dtype=np.uint8)
+        data = np.tile(base, n // period + 1)[:n].copy()
+        noise = rng.random(n) < rng.random() * 0.3
+        data[noise] = rng.integers(0, 256, int(noise.sum()), dtype=np.uint8)
+        blob = data.tobytes()
+        frame = Z.encode_frame([(blob, Z.greedy_matches(blob))])
+        assert dctx.decompress(frame, max_output_size=n + 64) == blob
+        assert Z.decode_frame(frame) == blob
+
+
+def test_fse_normalize_properties():
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        nsym = int(rng.integers(2, 53))
+        hist = rng.integers(0, 1000, nsym)
+        hist[rng.integers(0, nsym)] += int(rng.integers(0, 100000))
+        log = int(rng.integers(5, 10))
+        norm = Z.fse_normalize(hist, log)
+        if (hist > 0).sum() < 2:
+            assert norm is None
+            continue
+        if norm is None:
+            continue  # dominant symbol could not absorb the deficit
+        assert int(norm.sum()) == 1 << log
+        assert np.all(norm[hist > 0] >= 1)
+        assert np.all(norm[hist == 0] == 0)
+        # the normalized table must build a valid FSE pair
+        enc, spread, nb, base, first = Z.fse_encode_table(norm, log)
