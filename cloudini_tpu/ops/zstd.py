@@ -14,12 +14,16 @@ reference decoder) entirely on device:
     ZSTD caps compressed blocks at 128 KiB); each block keeps at most
     ``max_seqs`` matches (a PREFIX of the parse, so the kept sequences'
     literal runs are unchanged; dropped tails decay to literals)
-  * sequence coding uses the spec's PREDEFINED FSE distributions
-    (ref/zstd_frame.py is the wire oracle): the three interleaved states
-    (LL/ML/OF) advance in one short lax.scan over the (reversed) sequence
-    axis — every other field width/value is computed in parallel, and the
-    backward bitstream is assembled as cumsum bit positions + scatter-add
-    of bit-disjoint u32 word contributions
+  * sequence coding picks the cheapest wire mode PER FIELD PER BLOCK —
+    Predefined_Mode, RLE_Mode, or FSE_Compressed_Mode with a per-block
+    normalized table at the spec-max accuracy logs (9/8/9) — all three
+    represented uniformly as per-row (norm, cumexcl, rank-table, log)
+    closed-form encode tables (RLE is FSE at accuracy log 0), so ONE short
+    lax.scan over the (reversed) sequence axis advances the three
+    interleaved states for every row; every other field width/value is
+    computed in parallel, and the backward bitstream is assembled as cumsum
+    bit positions + scatter-add of bit-disjoint u32 word contributions
+    (ref/zstd_frame.py is the wire oracle)
   * literals are RAW in this tier (the Huffman literal stage is built on the
     same machinery separately); per block the kernel falls back to a
     Raw_Block when sequences do not pay
@@ -47,16 +51,35 @@ _MAX_SEQS = 8192
 
 # ---- predefined-table constants (single source of truth: ref/zstd_frame) ---
 
-_LL_ENC, _, _LL_NB, _LL_BASE_T, _LL_FIRST = ZF.LL_TABLE
-_ML_ENC, _, _ML_NB, _ML_BASE_T, _ML_FIRST = ZF.ML_TABLE
-_OF_ENC, _, _OF_NB, _OF_BASE_T, _OF_FIRST = ZF.OF_TABLE
-
 _LL_CODE64 = ZF.ll_code(np.arange(64)).astype(np.int32)  # ll < 64
 _ML_CODE128 = ZF.ml_code(np.arange(128) + 3).astype(np.int32)  # mlf < 128
 _LL_BASES = ZF.LL_BASE.astype(np.int32)
 _LL_XBITS = ZF.LL_BITS.astype(np.int32)
 _ML_BASES = ZF.ML_BASE.astype(np.int32)
 _ML_XBITS = ZF.ML_BITS.astype(np.int32)
+
+# per-field sequence-coding metadata: (nsym, predefined log, dynamic log)
+_SEQ_STATE = 512  # static state-table width (>= 2^max dynamic log)
+
+
+def _pre_params(default: np.ndarray, log: int, nsym: int):
+    """Predefined table in the closed-form representation the device scan
+    uses for every mode: effective counts (|-1| -> 1), exclusive cumsum, and
+    the (symbol, rank) -> position table (rank order == decode-state order)."""
+    norm_eff = np.where(default < 0, 1, default).astype(np.int32)
+    ce = (np.cumsum(norm_eff) - norm_eff).astype(np.int32)
+    spread, _nb, _base = ZF.fse_decode_table(default, log)
+    size = 1 << log
+    T = np.lexsort((np.arange(size), spread)).astype(np.int32)
+    T = np.pad(T, (0, _SEQ_STATE - size))
+    # estimated state bits per occurrence: log - floor(log2(count))
+    cost = (log - np.floor(np.log2(norm_eff))).astype(np.int32)
+    return norm_eff, ce, T, cost
+
+
+_PRE_LL = _pre_params(ZF.LL_DEFAULT, ZF.LL_LOG, 36)
+_PRE_OF = _pre_params(ZF.OF_DEFAULT, ZF.OF_LOG, 29)
+_PRE_ML = _pre_params(ZF.ML_DEFAULT, ZF.ML_LOG, 53)
 
 
 def compress_bound(n: int) -> int:
@@ -129,7 +152,6 @@ def _pm_lengths(hist: jnp.ndarray, max_bits: int = 11):
 
 # ---- Huffman literal machinery ---------------------------------------------
 
-_W_STEP = 43  # FSE spread step for table_log 6: 32 + 8 + 3
 _W_LOG = 6
 
 
@@ -157,16 +179,7 @@ def _weight_state_table(norm, cumexcl):
     rank-th smallest spread position of symbol s. The decode table's state
     counter x advances in POSITION order (fse_decode_table), so the encoder
     must map (s, x - norm[s]) to the symbol's position of that rank."""
-    r = norm.shape[0]
-    k = jnp.arange(64, dtype=jnp.int32)[None, :]
-    cumnorm = jnp.cumsum(norm, axis=1)  # (R, 13)
-    sym_k = jnp.sum((cumnorm[:, None, :] <= k[:, :, None]).astype(jnp.int32),
-                    axis=2)
-    pos_k = (k * _W_STEP) & 63
-    pos_k = jnp.broadcast_to(pos_k, (r, 64))
-    key = sym_k * 64 + pos_k  # sort by (symbol, position)
-    skey = jax.lax.sort(key, dimension=1)
-    return skey & 63
+    return _state_table(norm, _W_LOG, 64)
 
 
 def _weight_transition(sym, p, norm, cumexcl, table):
@@ -222,32 +235,31 @@ def _weight_chain(syms, k, norm, cumexcl, table):
     return final, jnp.where(upd_live, val, 0), jnp.where(upd_live, nb, 0)
 
 
-def _ncount_fields(norm: jnp.ndarray):
-    """FSE table description fields (RFC 8878 4.1.1) for the 13-symbol
-    weight alphabet, fully vectorized (the writer state is closed-form:
-    remaining-before-v = 65 - cumexcl[v] since zeros leave it unchanged,
-    threshold = pow2ceil(remaining) clamped to 64, and a zero run's non-head
-    members are exactly the absorbed symbols). Returns (bit length (R,),
-    positions (R, 79), values (R, 79), widths (R, 79)) for one put call."""
-    r = norm.shape[0]
-    v_iota = jnp.arange(13, dtype=jnp.int32)[None, :]
+def _ncount_fields(norm: jnp.ndarray, log: int = _W_LOG):
+    """FSE table description fields (RFC 8878 4.1.1) for an ``nsym``-symbol
+    alphabet at accuracy ``log``, fully vectorized (the writer state is
+    closed-form: remaining-before-v = 2^log + 1 - cumexcl[v] since zeros
+    leave it unchanged, threshold = the largest power of two <= remaining
+    clamped to the table size, and a zero run's non-head members are exactly
+    the absorbed symbols). Returns (bit length (R,), positions, values,
+    widths) for one put call."""
+    r, nsym = norm.shape
     cumexcl = jnp.cumsum(norm, axis=1) - norm
-    rem = 65 - cumexcl  # remaining before symbol v
-    # threshold before v: halves while remaining < threshold, i.e. the
-    # largest power of two <= remaining (clamped to the table size)
-    thr = 1 << jnp.minimum(31 - jax.lax.clz(jnp.maximum(rem, 1)), 6)
+    rem = (1 << log) + 1 - cumexcl  # remaining before symbol v
+    thr = 1 << jnp.minimum(31 - jax.lax.clz(jnp.maximum(rem, 1)), log)
     nb = 32 - jax.lax.clz(thr)  # log2(thr) + 1
     prev_zero = jnp.concatenate(
         [jnp.zeros((r, 1), bool), norm[:, :-1] == 0], axis=1)
     absorbed = (norm == 0) & prev_zero
     active = (rem > 1) & ~absorbed
-    # zrun[v]: consecutive zeros after v
-    run = jnp.zeros((r,), jnp.int32)
-    cols = []
-    for v in range(12, -1, -1):
-        cols.append(run)
-        run = jnp.where(norm[:, v] == 0, run + 1, 0)
-    zrun = jnp.stack(cols[::-1], axis=1)
+    # zrun[v]: consecutive zeros after v = next-nonzero index - v - 1
+    # (vectorized: suffix-min of nonzero indices, shifted left one lane)
+    v_iota = jnp.arange(nsym, dtype=jnp.int32)[None, :]
+    nz_idx = jnp.where(norm != 0, v_iota, nsym)
+    nxt_nz = jax.lax.cummin(nz_idx[:, ::-1], axis=1)[:, ::-1]
+    nxt_nz = jnp.concatenate(
+        [nxt_nz[:, 1:], jnp.full((r, 1), nsym, jnp.int32)], axis=1)
+    zrun = nxt_nz - v_iota - 1
 
     mx = (2 * thr - 1) - rem
     value = norm + 1
@@ -257,27 +269,108 @@ def _ncount_fields(norm: jnp.ndarray):
                       jnp.where(short, value,
                                 jnp.where(value < thr, value, value + mx)), 0)
     iszero = active & (norm == 0)
-    # rep fields per zero head: groups of <= 3 zeros, 2 bits each
-    rep_val = []
-    rep_wid = []
-    for gi in range(5):
-        exists = iszero & (gi <= zrun // 3)
-        rep_val.append(jnp.where(exists, jnp.clip(zrun - 3 * gi, 0, 3), 0))
-        rep_wid.append(jnp.where(exists, 2, 0))
-
-    # field order: [log, (val_v, reps_v x5) for v in 0..12]
-    f_val = [jnp.full((r,), _W_LOG - 5, jnp.int32)]
-    f_wid = [jnp.full((r,), 4, jnp.int32)]
-    for v in range(13):
-        f_val.append(v_val[:, v])
-        f_wid.append(v_wid[:, v])
-        for gi in range(5):
-            f_val.append(rep_val[gi][:, v])
-            f_wid.append(rep_wid[gi][:, v])
-    vals = jnp.stack(f_val, axis=1)
-    wids = jnp.stack(f_wid, axis=1)
+    # rep fields per zero head: groups of <= 3 zeros, 2 bits each; field
+    # order [log, (val_v, reps_v x ngroups) for v] via one (R, nsym, 1+G)
+    # interleave reshape — no per-lane stacking (compile-size critical)
+    ngroups = (nsym - 1) // 3 + 1
+    gi = jnp.arange(ngroups, dtype=jnp.int32)[None, None, :]
+    exists = iszero[:, :, None] & (gi <= (zrun // 3)[:, :, None])
+    rep_val = jnp.where(exists, jnp.clip(zrun[:, :, None] - 3 * gi, 0, 3), 0)
+    rep_wid = jnp.where(exists, 2, 0)
+    vals = jnp.concatenate(
+        [jnp.full((r, 1), log - 5, jnp.int32),
+         jnp.concatenate([v_val[:, :, None], rep_val],
+                         axis=2).reshape(r, nsym * (1 + ngroups))], axis=1)
+    wids = jnp.concatenate(
+        [jnp.full((r, 1), 4, jnp.int32),
+         jnp.concatenate([v_wid[:, :, None], rep_wid],
+                         axis=2).reshape(r, nsym * (1 + ngroups))], axis=1)
     pos = jnp.cumsum(wids, axis=1) - wids
     return pos[:, -1] + wids[:, -1], pos, vals, wids
+
+
+# ---- per-block dynamic FSE sequence tables ----------------------------------
+
+
+def _code_hist(codes: jnp.ndarray, live: jnp.ndarray, nsym: int):
+    """(R, S) small-alphabet codes + live mask -> (R, nsym) histogram.
+    Sort-based (doctrine: sorts + scans over scatters with collisions)."""
+    r, s = codes.shape
+    idx = jnp.arange(s, dtype=jnp.int32)
+    ri = jnp.arange(r, dtype=jnp.int32)[:, None]
+    key = jnp.where(live, codes, nsym)
+    sv = jax.lax.sort(key, dimension=1)
+    boundary = jnp.concatenate(
+        [jnp.ones((r, 1), bool), sv[:, 1:] != sv[:, :-1]], axis=1) & (sv < nsym)
+    nxt = jnp.roll(
+        jax.lax.cummin(
+            jnp.where(boundary | (sv >= nsym), idx[None, :], s)[:, ::-1],
+            axis=1)[:, ::-1], -1, axis=1).at[:, -1].set(s)
+    n_live = jnp.sum(live.astype(jnp.int32), axis=1)[:, None]
+    seg = jnp.where(boundary, jnp.minimum(nxt, n_live) - idx[None, :], 0)
+    hist = jnp.zeros((r, nsym + 1), jnp.int32)
+    hist = hist.at[ri, jnp.where(boundary, sv, nsym)].add(seg, mode="drop")
+    return hist[:, :nsym]
+
+
+def _fse_normalize(hist: jnp.ndarray, log: int):
+    """Counts -> normalized distribution summing to 2^log (present symbols
+    >= 1, largest-remainder on the dominant symbol) + validity flag. Mirrors
+    ref/zstd_frame.fse_normalize."""
+    size = 1 << log
+    total = jnp.maximum(jnp.sum(hist, axis=1, keepdims=True), 1)
+    norm = (hist * size) // total
+    norm = jnp.where((hist > 0) & (norm == 0), 1, norm)
+    big = jnp.argmax(norm, axis=1)
+    ri = jnp.arange(hist.shape[0], dtype=jnp.int32)
+    norm = norm.at[ri, big].add(size - jnp.sum(norm, axis=1))
+    ok = jnp.take_along_axis(norm, big[:, None], axis=1)[:, 0] >= 1
+    return norm, ok
+
+
+def _state_table(norm: jnp.ndarray, log: int, out_width: int):
+    """(R, nsym) norms -> (R, out_width) T with T[cumexcl[s] + rank] = the
+    rank-th smallest spread position of symbol s (decode-state order). The
+    spread is the spec step walk; sorting (symbol, position) keys recovers
+    position-rank order without materializing the walk."""
+    r = norm.shape[0]
+    size = 1 << log
+    step = (size >> 1) + (size >> 3) + 3
+    k = jnp.arange(size, dtype=jnp.int32)[None, :]
+    cumnorm = jnp.cumsum(norm, axis=1)
+    sym_k = jnp.sum((cumnorm[:, None, :] <= k[:, :, None]).astype(jnp.int32),
+                    axis=2)
+    key = sym_k * size + ((k * step) & (size - 1))
+    T = jax.lax.sort(key, dimension=1) & (size - 1)
+    if out_width > size:
+        T = jnp.concatenate(
+            [T, jnp.zeros((r, out_width - size), jnp.int32)], axis=1)
+    return T
+
+
+def _enc_table(norm: jnp.ndarray, ce: jnp.ndarray, T: jnp.ndarray,
+               log: jnp.ndarray, state_w: int):
+    """Dense per-row FSE encode table from the closed-form transition:
+    packed ``u | nb << 9 | val << 13`` for every (symbol, state). Entries at
+    state >= 2^log[row] are never read (states stay inside the row's table).
+    RLE rows (log 0) degenerate to the all-zero single-state table."""
+    r, nsym = norm.shape
+    ri = jnp.arange(r, dtype=jnp.int32)[:, None, None]
+    p = jnp.arange(state_w, dtype=jnp.int32)[None, None, :]
+    ns = jnp.maximum(norm[:, :, None], 1)
+    lg = log[:, None, None]
+    pp = p + (1 << lg)
+    l0 = 32 - jax.lax.clz(ns)  # bitlen(norm)
+    nb1 = lg + 1 - l0
+    x1 = pp >> jnp.clip(nb1, 0, 31)
+    ok1 = (x1 >= ns) & (x1 < 2 * ns)
+    nb = jnp.where(ok1, nb1, jnp.maximum(lg - l0, 0))
+    nb = jnp.clip(nb, 0, 15)
+    x = pp >> nb
+    val = jnp.clip(pp - (x << nb), 0, 511)
+    rank = jnp.clip(ce[:, :, None] + x - ns, 0, state_w - 1)
+    u = T[ri, rank]
+    return (u | (nb << 9) | (val << 13)).reshape(r, nsym * state_w)
 
 
 def _canonical_codes(weights: jnp.ndarray, max_bits: jnp.ndarray):
@@ -552,6 +645,46 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
     ofx = ofv - (1 << ofc)
     ofxw = jnp.where(live, ofc, 0)
 
+    # ---- per-field wire-mode selection + per-row encode tables ------------
+    # Predefined_Mode (0), RLE (1, accuracy log 0), or per-block dynamic
+    # FSE_Compressed (2) at the spec-max logs 9/8/9 — one closed-form
+    # (norm, cumexcl, rank-table, log) representation covers all three, so
+    # a single scan handles every row. Oracle: ref/zstd_frame.
+    def field_tables(codes, nsym, dyn_log, pre_log, pre):
+        norm_pre, ce_pre, T_pre, cost_pre = pre
+        hist = _code_hist(codes, live, nsym)
+        n_distinct = jnp.sum((hist > 0).astype(jnp.int32), axis=1)
+        rle_sym = jnp.argmax(hist, axis=1).astype(jnp.int32)
+        norm_dyn, dyn_ok = _fse_normalize(hist, dyn_log)
+        nc_bits, nc_pos, nc_val, nc_wid = _ncount_fields(norm_dyn, dyn_log)
+        nc_bytes = (nc_bits + 7) >> 3
+        cost_dyn = dyn_log - _ilog2(jnp.maximum(norm_dyn, 1))
+        est_dyn = 8 * nc_bytes + jnp.sum(hist * cost_dyn, axis=1)
+        est_pre = jnp.sum(hist * jnp.asarray(cost_pre)[None, :], axis=1)
+        mode = jnp.where(n_distinct == 1, 1,
+                         jnp.where(dyn_ok & (est_dyn < est_pre), 2, 0))
+        lg = jnp.where(mode == 1, 0, jnp.where(mode == 2, dyn_log, pre_log))
+        m2 = mode[:, None] == 2
+        m1 = mode[:, None] == 1
+        onehot = (jnp.arange(nsym, dtype=jnp.int32)[None, :]
+                  == rle_sym[:, None]).astype(jnp.int32)
+        norm_r = jnp.where(m2, norm_dyn,
+                           jnp.where(m1, onehot, jnp.asarray(norm_pre)[None, :]))
+        ce_r = jnp.cumsum(norm_r, axis=1) - norm_r
+        T_r = jnp.where(m2, _state_table(norm_dyn, dyn_log, _SEQ_STATE),
+                        jnp.where(m1, 0, jnp.asarray(T_pre)[None, :]))
+        E = _enc_table(norm_r, ce_r, T_r, lg, _SEQ_STATE)
+        desc = jnp.where(mode == 1, 1, jnp.where(mode == 2, nc_bytes, 0))
+        return (mode, lg, E, ce_r, T_r, (nc_pos, nc_val, nc_wid), desc,
+                rle_sym)
+
+    (mode_ll, lg_ll, E_ll, ce_llr, T_llr, nc_ll, d_ll, rle_ll
+     ) = field_tables(llc, 36, 9, ZF.LL_LOG, _PRE_LL)
+    (mode_of, lg_of, E_of, ce_ofr, T_ofr, nc_of, d_of, rle_of
+     ) = field_tables(ofc, 29, 8, ZF.OF_LOG, _PRE_OF)
+    (mode_ml, lg_ml, E_ml, ce_mlr, T_mlr, nc_ml, d_ml, rle_ml
+     ) = field_tables(mlc, 53, 9, ZF.ML_LOG, _PRE_ML)
+
     # ---- reversed order: j = 0 is the LAST live sequence ------------------
     rev = jnp.maximum(n_seq[:, None] - 1 - sj[None, :], 0)
     r_llc = jnp.take_along_axis(llc, rev, axis=1)
@@ -559,50 +692,50 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
     r_ofc = jnp.take_along_axis(ofc, rev, axis=1)
 
     # ---- FSE state chains: one scan over the reversed sequence axis -------
-    enc_ll = jnp.asarray(_LL_ENC.reshape(-1))
-    enc_ml = jnp.asarray(_ML_ENC.reshape(-1))
-    enc_of = jnp.asarray(_OF_ENC.reshape(-1))
-    nb_ll, base_ll = jnp.asarray(_LL_NB), jnp.asarray(_LL_BASE_T)
-    nb_ml, base_ml = jnp.asarray(_ML_NB), jnp.asarray(_ML_BASE_T)
-    nb_of, base_of = jnp.asarray(_OF_NB), jnp.asarray(_OF_BASE_T)
+    def first_state(ce_r, T_r, c0):
+        ce0 = jnp.take_along_axis(ce_r, c0[:, None], axis=1)
+        return jnp.take_along_axis(T_r, ce0, axis=1)[:, 0]
 
-    p0_ll = jnp.take(jnp.asarray(_LL_FIRST), r_llc[:, 0])
-    p0_ml = jnp.take(jnp.asarray(_ML_FIRST), r_mlc[:, 0])
-    p0_of = jnp.take(jnp.asarray(_OF_FIRST), r_ofc[:, 0])
+    p0_ll = first_state(ce_llr, T_llr, r_llc[:, 0])
+    p0_ml = first_state(ce_mlr, T_mlr, r_mlc[:, 0])
+    p0_of = first_state(ce_ofr, T_ofr, r_ofc[:, 0])
 
-    # states packed into one i32 lane (6+6+5 bits); the scan carries states
+    # states packed into one i32 lane (9+9+8 bits); the scan carries states
     # only — update fields are recomputed in parallel from the stacked
     # before-states afterwards (scan-step latency dominates, see ops/fsm.py)
     from .fsm import _scan_unrolled
 
-    packed0 = p0_ll | (p0_ml << 6) | (p0_of << 12)
+    packed0 = p0_ll | (p0_ml << 9) | (p0_of << 18)
     sym_pack = r_llc | (r_mlc << 6) | (r_ofc << 12)
 
     def fstep(carry, sym, lv):
-        pll, pml, pof = carry & 63, (carry >> 6) & 63, carry >> 12
+        pll, pml, pof = carry & 511, (carry >> 9) & 511, carry >> 18
         sll, sml, sof = sym & 63, (sym >> 6) & 63, sym >> 12
-        u_ll = jnp.take(enc_ll, sll * 64 + pll)
-        u_ml = jnp.take(enc_ml, sml * 64 + pml)
-        u_of = jnp.take(enc_of, sof * 32 + pof)
-        return jnp.where(lv, u_ll | (u_ml << 6) | (u_of << 12), carry)
+        u_ll = jnp.take_along_axis(
+            E_ll, (sll * _SEQ_STATE + pll)[:, None], axis=1)[:, 0] & 511
+        u_ml = jnp.take_along_axis(
+            E_ml, (sml * _SEQ_STATE + pml)[:, None], axis=1)[:, 0] & 511
+        u_of = jnp.take_along_axis(
+            E_of, (sof * _SEQ_STATE + pof)[:, None], axis=1)[:, 0] & 511
+        return jnp.where(lv, u_ll | (u_ml << 9) | (u_of << 18), carry)
 
     lv = jnp.arange(1, s, dtype=jnp.int32)[:, None] < n_seq[None, :]
     f_pack, before = _scan_unrolled(
         fstep, packed0, (sym_pack[:, 1:].T, lv), 8)
-    f_ll, f_ml, f_of = f_pack & 63, (f_pack >> 6) & 63, f_pack >> 12
+    f_ll, f_ml, f_of = f_pack & 511, (f_pack >> 9) & 511, f_pack >> 18
     # before[j-1] = states before step j -> prev states for update fields j
     prev = jnp.concatenate([packed0[:, None], before.T], axis=1)  # (R, S)
-    pll, pml, pof = prev & 63, (prev >> 6) & 63, prev >> 12
-    uu_ll = jnp.take(enc_ll, (r_llc * 64 + pll).reshape(-1)).reshape(r, s)
-    uu_ml = jnp.take(enc_ml, (r_mlc * 64 + pml).reshape(-1)).reshape(r, s)
-    uu_of = jnp.take(enc_of, (r_ofc * 32 + pof).reshape(-1)).reshape(r, s)
+    pll, pml, pof = prev & 511, (prev >> 9) & 511, prev >> 18
+    e_ll = jnp.take_along_axis(E_ll, r_llc * _SEQ_STATE + pll, axis=1)
+    e_ml = jnp.take_along_axis(E_ml, r_mlc * _SEQ_STATE + pml, axis=1)
+    e_of = jnp.take_along_axis(E_of, r_ofc * _SEQ_STATE + pof, axis=1)
     nz = sj[None, :] > 0  # no update field precedes sequence j=0
-    u_llv = pll - jnp.take(base_ll, uu_ll)
-    u_llw = jnp.where(live & nz, jnp.take(nb_ll, uu_ll), 0)
-    u_mlv = pml - jnp.take(base_ml, uu_ml)
-    u_mlw = jnp.where(live & nz, jnp.take(nb_ml, uu_ml), 0)
-    u_ofv = pof - jnp.take(base_of, uu_of)
-    u_ofw = jnp.where(live & nz, jnp.take(nb_of, uu_of), 0)
+    u_llv = e_ll >> 13
+    u_llw = jnp.where(live & nz, (e_ll >> 9) & 15, 0)
+    u_mlv = e_ml >> 13
+    u_mlw = jnp.where(live & nz, (e_ml >> 9) & 15, 0)
+    u_ofv = e_of >> 13
+    u_ofw = jnp.where(live & nz, (e_of >> 9) & 15, 0)
 
     # extra-bit fields in reversed order
     r_llx = jnp.take_along_axis(llx, rev, axis=1)
@@ -624,8 +757,9 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
     p_ofx = p_mlx + r_mlxw
     total = jnp.sum(t, axis=1)  # (R,)
 
-    # final states (6/5/6 bits) + marker
-    seq_bytes = jnp.where(n_seq > 0, (total + 17 + 1 + 7) >> 3, 0)
+    # final states (per-row table-log widths) + marker
+    lg_sum = lg_ml + lg_of + lg_ll
+    seq_bytes = jnp.where(n_seq > 0, (total + lg_sum + 1 + 7) >> 3, 0)
 
     # ---- literal geometry -------------------------------------------------
     match_total = jnp.sum(jnp.where(keep, mlen, 0), axis=1)
@@ -660,7 +794,9 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
 
     # ---- section geometry -------------------------------------------------
     lit_sec = jnp.where(use_huf, lit_sec_len, 3 + n_lits)
-    seq_hdr = jnp.where(n_seq == 0, 1, jnp.where(n_seq < 128, 2, 3))
+    cnt_b = jnp.where(n_seq < 128, 1, 2)
+    desc_tot = d_ll + d_of + d_ml
+    seq_hdr = jnp.where(n_seq == 0, 1, cnt_b + 1 + desc_tot)
     content = lit_sec + seq_hdr + seq_bytes
     use_raw = (content >= sizes) | (sizes == 0)
     body_size = 3 + jnp.where(use_raw, sizes, content)
@@ -670,25 +806,43 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
 
     # one batched put: block header (3 B: size<<3|type<<1|last=0, patched
     # upstream), raw-literals header (3 B, size_format 3, non-Huffman rows),
-    # sequence count byte(s) (mode byte is zero via the zero-init words)
+    # sequence count byte(s), compression-modes byte, RLE symbol bytes
     btype = jnp.where(use_raw, 0, 2)
     bh = (jnp.where(use_raw, sizes, content) << 3) | (btype << 1)
     lh = (0 | (3 << 2) | (n_lits << 4))
     h0 = jnp.where(n_seq < 128, n_seq, 128 + (n_seq >> 8))
+    modeb = (mode_ll << 6) | (mode_of << 4) | (mode_ml << 2)
+    db_ll = sq0 + cnt_b + 1  # table descriptions: LL, OF, ML
+    db_of = db_ll + d_ll
+    db_ml = db_of + d_of
     zero = jnp.zeros((r,), jnp.int32)
     ones = jnp.ones((r,), jnp.int32)
-    hdr_pos = jnp.stack([zero, 24 * ones, sq0 * 8, sq0 * 8 + 8], axis=1)
-    hdr_val = jnp.stack([bh, lh, h0, n_seq & 0xFF], axis=1)
-    hdr_wid = jnp.stack([24 * ones, 24 * ones, 8 * ones, 8 * ones], axis=1)
+    hdr_pos = jnp.stack([zero, 24 * ones, sq0 * 8, sq0 * 8 + 8,
+                         (sq0 + cnt_b) * 8, db_ll * 8, db_of * 8, db_ml * 8],
+                        axis=1)
+    hdr_val = jnp.stack([bh, lh, h0, n_seq & 0xFF,
+                         modeb, rle_ll, rle_of, rle_ml], axis=1)
+    hdr_wid = jnp.stack([24 * ones, 24 * ones, 8 * ones, 8 * ones,
+                         8 * ones, 8 * ones, 8 * ones, 8 * ones], axis=1)
     hdr_msk = jnp.stack(
         [jnp.ones((r,), bool), ~use_raw & ~use_huf, ~use_raw,
-         live_row & (n_seq >= 128)], axis=1)
+         live_row & (n_seq >= 128),
+         live_row, live_row & (mode_ll == 1), live_row & (mode_of == 1),
+         live_row & (mode_ml == 1)], axis=1)
     words = put(words, hdr_pos, hdr_val, hdr_wid, hdr_msk)
+
+    # dynamic FSE table descriptions (NCount), one put per field
+    for db, nc, md in ((db_ll, nc_ll, mode_ll), (db_of, nc_of, mode_of),
+                       (db_ml, nc_ml, mode_ml)):
+        nc_pos, nc_val, nc_wid = nc
+        words = put(words, nc_pos + db[:, None] * 8, nc_val, nc_wid,
+                    jnp.broadcast_to((live_row & (md == 2))[:, None],
+                                     nc_pos.shape))
 
     # ---- sequence FSE bitstream (one batched put over all field lanes) ----
     sqb = (sq0 + seq_hdr)[:, None] * 8  # bit base of the sequence stream
-    fs = (f_ml.astype(jnp.int32)
-          | (f_of << 6) | (f_ll << 11) | (1 << 17))
+    # decoder-initial states at per-row table-log widths, then the marker
+    fs = (f_ml | (f_of << lg_ml) | (f_ll << (lg_ml + lg_of)) | (1 << lg_sum))
     seq_pos = jnp.concatenate(
         [sqb + p for p in (p_ofu, p_mlu, p_llu, p_llx, p_mlx, p_ofx)]
         + [sqb + total[:, None]], axis=1)
@@ -696,7 +850,7 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
         [u_ofv, u_mlv, u_llv, r_llx, r_mlx, r_ofx, fs[:, None]], axis=1)
     seq_wid = jnp.concatenate(
         [u_ofw, u_mlw, u_llw, r_llxw, r_mlxw, r_ofxw,
-         jnp.full((r, 1), 18, jnp.int32)], axis=1)
+         (lg_sum + 1)[:, None]], axis=1)
     seq_msk = jnp.concatenate(
         [jnp.tile(live & live_row[:, None], (1, 6)), live_row[:, None]],
         axis=1)
