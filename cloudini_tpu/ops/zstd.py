@@ -157,21 +157,28 @@ _W_LOG = 6
 
 def _weight_fse_params(hw: jnp.ndarray):
     """Explicit-weight histograms (R, 13) -> (norm (R, 13) summing to 64 with
-    every present weight >= 1, cumexcl (R, 13), fse_ok (R,)). fse_ok is False
-    when a weight would own a 0-bit state (norm > 32 — the implicit stream
-    termination could then mis-fire) or fewer than 2 weights are present."""
+    every present weight in [1, 32], cumexcl (R, 13), fse_ok (R,)). Counts
+    are capped at 32 (a norm > size/2 would own 0-bit states, making the
+    weight stream's implicit-length termination ambiguous) and the sum is
+    repaired by a closed-form two-sided water-fill over the present
+    symbols — always feasible with >= 2 present weights, so near-uniform
+    255-symbol literal alphabets keep their Huffman stage instead of
+    falling back to raw."""
     size = 1 << _W_LOG
+    half = size // 2
     total = jnp.maximum(jnp.sum(hw, axis=1, keepdims=True), 1)
     norm = (hw * size) // total
-    norm = jnp.where((hw > 0) & (norm == 0), 1, norm)
-    big = jnp.argmax(norm, axis=1)
-    ri = jnp.arange(hw.shape[0], dtype=jnp.int32)
-    norm = norm.at[ri, big].add(size - jnp.sum(norm, axis=1))
+    norm = jnp.where(hw > 0, jnp.clip(norm, 1, half), 0)
+    delta = size - jnp.sum(norm, axis=1, keepdims=True)
+    head = jnp.where(hw > 0, half - norm, 0)  # add capacity per symbol
+    cum_h = jnp.cumsum(head, axis=1) - head
+    norm = norm + jnp.clip(delta - cum_h, 0, head)
+    red = jnp.where(hw > 0, norm - 1, 0)  # remove capacity per symbol
+    cum_r = jnp.cumsum(red, axis=1) - red
+    norm = norm - jnp.clip(-delta - cum_r, 0, red)
     cumexcl = jnp.cumsum(norm, axis=1) - norm
     n_present = jnp.sum((hw > 0).astype(jnp.int32), axis=1)
-    fse_ok = (n_present >= 2) & jnp.all(norm <= size // 2, axis=1) & jnp.all(
-        norm >= 0, axis=1)
-    return norm, cumexcl, fse_ok
+    return norm, cumexcl, n_present >= 2
 
 
 def _weight_state_table(norm, cumexcl):

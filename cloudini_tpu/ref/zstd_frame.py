@@ -443,8 +443,14 @@ def _weights_from_lengths(lengths: np.ndarray):
     return ws, max_bits
 
 
-def _fse_normalize(hist: np.ndarray, log: int) -> np.ndarray:
-    """Normalize a histogram to sum 2^log with every present symbol >= 1."""
+def _fse_normalize(hist: np.ndarray, log: int,
+                   cap_half: bool = False) -> np.ndarray:
+    """Normalize a histogram to sum 2^log with every present symbol >= 1.
+    ``cap_half`` additionally caps every count at 2^log / 2 (water-filling
+    the excess over the other present symbols) so no state is 0-bit — the
+    weight bitstream's implicit-length termination needs every transition
+    to consume at least one bit. Feasible whenever >= 2 symbols are
+    present."""
     size = 1 << log
     total = int(hist.sum())
     assert total > 0
@@ -453,6 +459,18 @@ def _fse_normalize(hist: np.ndarray, log: int) -> np.ndarray:
     # fix the sum by adjusting the most frequent symbol
     big = int(np.argmax(norm))
     norm[big] += size - int(norm.sum())
+    if cap_half:
+        half = size // 2
+        norm = np.minimum(norm, half)
+        delta = size - int(norm.sum())
+        for s in np.argsort(-hist):
+            if delta <= 0:
+                break
+            if hist[s] > 0:
+                give = min(delta, half - int(norm[s]))
+                norm[s] += give
+                delta -= give
+        assert delta <= 0, "cap_half water-fill needs >= 2 present symbols"
     assert norm[big] >= 1, "normalization collapsed the dominant symbol"
     return norm
 
@@ -471,7 +489,7 @@ def _huf_weights_fse_encode(ws: Sequence[int]):
         return None  # FSE needs a real distribution
     # weight-table accuracy log: wire field encodes log-5; spec max is 6
     log = 5 if m < 32 else 6
-    norm = _fse_normalize(hist, log)
+    norm = _fse_normalize(hist, log, cap_half=True)
     enc, spread, nb, base, first = fse_encode_table(norm, log)
     evens, odds = list(ws[0::2]), list(ws[1::2])
 
