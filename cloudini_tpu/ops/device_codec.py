@@ -43,10 +43,12 @@ def encoder_supports_plan(plan: CodecPlan) -> bool:
 
 
 def encoder_prefers_device(plan: CodecPlan) -> bool:
-    """Whether the ``auto`` backend should pick the device encoder. Gorilla's
-    parallel window-chain construction (binary lifting = log-rounds of
-    ~10ns/element gathers) is correct but measured ~10x slower than the host
-    codec on real hardware — those plans default to host/native."""
+    """Whether the ``auto`` backend should pick the device encoder. The r1
+    Gorilla window-chain (binary lifting = log-rounds of ~10ns/element
+    gathers) measured ~10x slower than the host codec on real hardware; r2
+    replaced it with one unrolled scan on (C,) lanes (ops/gorilla.py,
+    ~100x less data movement) but the flip to device waits on a TPU
+    measurement (PROFILE.md pending list) — honesty over theory."""
     return all(u.kind != UnitKind.GORILLA for u in plan.units)
 
 

@@ -11,17 +11,16 @@ Wire rules are the reference's FieldEncoderFloat_Gorilla
   * every value is byte-aligned (zero padding bits), LSB-first per byte
 
 The only sequential state is the window, a *conditional-reset chain*: the
-window is replaced exactly at points whose XOR does not fit it. That chain is
-computed in parallel in three passes over the chunk:
-
-  1. next-violation search: for every candidate point r (as a hypothetical
-     window (lead_r, trail_r)), find the first later candidate q whose
-     lead_q < lead_r or trail_q < trail_r — a binary descent over
-     log2(N) range-min sparse tables (all-nearest-smaller-values, vectorized)
-  2. orbit marking: the true reset set is the orbit of the first candidate
-     under that successor function — pointer doubling, log2(N) scatter steps
-  3. window gather: each point's window is the (lead, trail) of the last
-     reset at or before it (cummax + gather)
+window is replaced exactly at points whose XOR does not fit it. The chain is
+ONE unrolled lax.scan over the point axis carrying the packed window
+(lead << 8 | trail) per chunk lane — N/U steps of elementwise ops on (C,)
+lanes, the same step-latency-bound shape as the FSM decode scans (ops/fsm).
+The r1 construction (binary descent over log2(N) range-min sparse tables +
+orbit pointer-doubling) moved whole-array gathers for ~15 rounds and
+measured ~10x slower than the host codec (device_codec.py:46-50) — gathers
+cost ~10 ns/element here while scan steps on narrow lanes are ~0.5 us
+regardless of C (see PROFILE.md). Each point's effective window is then the
+(lead, trail) of the last reset at or before it (cummax + gather).
 
 Token bit assembly is then fully elementwise: payload = xor >> trail with a
 static header shift per token class (2 or 13 bits), packed into three u32
@@ -38,47 +37,34 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import u64
-from .orbit import mark_orbit
 
 _U32 = jnp.uint32
 
 
-def _range_min_tables(x: jnp.ndarray, levels: int):
-    """Sparse min tables: tables[k][..., i] = min(x[..., i : i + 2**k]),
-    positions past the end padded with the running minimum's identity (64)."""
-    tables = [x]
-    cur = x
-    for k in range(levels - 1):
-        w = 1 << k
-        shifted = jnp.concatenate(
-            [cur[..., w:], jnp.full(cur.shape[:-1] + (w,), 64, cur.dtype)], axis=-1
-        )
-        cur = jnp.minimum(cur, shifted)
-        tables.append(cur)
-    return tables
+def _window_resets(lead_c: jnp.ndarray, trail_c: jnp.ndarray) -> jnp.ndarray:
+    """Reset mask (C, N): one unrolled scan over the point axis carrying the
+    active window packed as (stored_lead << 8 | trail) per chunk lane. A
+    position resets iff its (lead, trail) escapes the window below it;
+    non-candidates carry lead/trail = 64 so they never escape (windows store
+    lead <= 31, trail <= 63), and the initial (64, 64) sentinel makes the
+    first candidate reset unconditionally. Reset flags are recomputed in
+    parallel from the stacked before-states (the scan carries state only —
+    step latency dominates, see ops/fsm.py)."""
+    from .fsm import _scan_unrolled
 
+    c, n = lead_c.shape
+    x = (lead_c << 8) | trail_c  # both <= 64
 
-def _next_violation(lead_c: jnp.ndarray, trail_c: jnp.ndarray, levels: int) -> jnp.ndarray:
-    """J[..., r] = first q > r with lead_c[q] < lead_c[r] (clamped to 31) or
-    trail_c[q] < trail_c[r]; N when none. Non-candidate positions carry
-    lead/trail = 64 so they never violate any threshold (<= 63)."""
-    n = lead_c.shape[-1]
-    ml = _range_min_tables(lead_c, levels)
-    mt = _range_min_tables(trail_c, levels)
-    tl = jnp.minimum(lead_c, 31)
-    tt = trail_c
-    idx = jnp.arange(n, dtype=jnp.int32)
-    pos = jnp.broadcast_to(idx + 1, lead_c.shape)
-    batch = jnp.arange(lead_c.shape[0], dtype=jnp.int32)[:, None]
-    for k in range(levels - 1, -1, -1):
-        w = 1 << k
-        p = jnp.minimum(pos, n - 1)
-        block_l = ml[k][batch, p]
-        block_t = mt[k][batch, p]
-        ok = (pos + w <= n) & (block_l >= tl) & (block_t >= tt)
-        pos = pos + jnp.where(ok, w, 0)
-        pos = jax.lax.optimization_barrier(pos)
-    return jnp.minimum(pos, n)
+    def step(carry, xi):
+        ld, tr = xi >> 8, xi & 0xFF
+        reset = (ld < (carry >> 8)) | (tr < (carry & 0xFF))
+        new = (jnp.minimum(ld, 31) << 8) | tr
+        return jnp.where(reset, new, carry)
+
+    init = jnp.full((c,), (64 << 8) | 64, jnp.int32)
+    _final, before = _scan_unrolled(step, init, (x.T,), 8)
+    w = before.T  # (C, N): window state before each position
+    return (lead_c < (w >> 8)) | (trail_c < (w & 0xFF))
 
 
 def gorilla_tokens(
@@ -99,7 +85,6 @@ def gorilla_tokens(
         lo, hi = bits.astype(_U32), None
         shape = lo.shape
     c, n = shape
-    levels = max(1, int(n - 1).bit_length())
     idx = jnp.arange(n, dtype=jnp.int32)
     first = idx == 0
 
@@ -120,9 +105,7 @@ def gorilla_tokens(
     lead_c = jnp.where(cand, lead, 64).astype(jnp.int32)
     trail_c = jnp.where(cand, trail, 64).astype(jnp.int32)
 
-    j = _next_violation(lead_c, trail_c, levels)
-    start = jnp.min(jnp.where(cand, idx, n), axis=-1)
-    resets = mark_orbit(j, start, n)
+    resets = _window_resets(lead_c, trail_c)
 
     # window in effect when encoding each token = last reset strictly before it
     # for reuse tokens (reset tokens replace it themselves)
