@@ -3,7 +3,7 @@
 the real TPU, using jax.profiler + the memoization-proof dependency chain from
 bench.py. Parses the dumped trace and prints the top ops by device time.
 
-Usage: python scripts/profile_encode.py [encode|decode|fsm|zstd|lz4] [n_chunks] [iters]
+Usage: python scripts/profile_encode.py [encode|decode|fsm|gorilla|zstd|lz4] [n_chunks] [iters]
 """
 
 import glob
@@ -44,9 +44,10 @@ def main():
     CH = 32 * 1024
     n = C * CH
     rng = np.random.default_rng(0)
-    if which == "fsm":
-        # the DDS mixed schema (FloatN + ring INT_DELTA + f64 Gorilla): the
-        # FSM decode path
+    if which in ("fsm", "gorilla"):
+        # the DDS mixed schema (FloatN + ring INT_DELTA + f64 Gorilla):
+        # "fsm" profiles the FSM decode path, "gorilla" the device ENCODE
+        # (scan-based window chain — the pending auto-flip measurement)
         step = 26
         fields = tuple(
             PointField(nm, 4 * i, FieldType.FLOAT32, 0.001) for i, nm in enumerate("xyzi")
@@ -97,9 +98,10 @@ def main():
         o, _c = jax.block_until_ready(dec.decode_chunks(pt, s, nv))
         which = "decode"
         enc = None
-    elif which in ("zstd", "lz4"):
-        # fused stage-1 + device stage-2: profile the ENCODE chain only
-        enc = DeviceStage1Encoder(plan, step, chunk_points=CH, stage2=which)
+    elif which in ("zstd", "lz4", "gorilla"):
+        # fused stage-1 (+ device stage-2 for zstd/lz4): ENCODE chain only
+        s2 = "none" if which == "gorilla" else which
+        enc = DeviceStage1Encoder(plan, step, chunk_points=CH, stage2=s2)
         p, s = jax.block_until_ready(enc.encode_chunks(rows, nv))
         o = p
         which = "encode"
