@@ -298,3 +298,97 @@ def test_chain_merge_beats_device_lz4_on_mixed_fixture():
     z1 = zstandard.ZstdCompressor(level=1, write_content_size=False,
                                   write_checksum=False).compress(blob)
     assert int(zsz[0]) < 1.12 * len(z1)
+
+
+# ---- dynamic sequence tables + weight-cap regressions ------------------------
+
+
+def _seq_modes(frame: bytes):
+    """Compression-modes bytes of every compressed block in a frame."""
+    modes = []
+    pos = 6
+    while pos < len(frame):
+        bh = int.from_bytes(frame[pos: pos + 3], "little")
+        pos += 3
+        last, btype, bsize = bh & 1, (bh >> 1) & 3, bh >> 3
+        if btype == 2:
+            blk = frame[pos: pos + bsize]
+            lb = blk[0]
+            lt, sf = lb & 3, (lb >> 2) & 3
+            if lt in (0, 1):
+                assert sf == 3
+                regen = (int.from_bytes(blk[:3], "little") >> 4) & 0xFFFFF
+                lsec = (3 + regen) if lt == 0 else 4
+            else:
+                v = int.from_bytes(blk[:5], "little") >> 4
+                lsec = 5 + (v >> 18)
+            sq = blk[lsec:]
+            b0 = sq[0]
+            if b0:
+                modes.append(sq[1 if b0 < 128 else 2])
+        pos += bsize if btype != 1 else 1
+        if last:
+            break
+    return modes
+
+
+def test_dynamic_sequence_modes_engage():
+    """Periodic data with noise must trip the dynamic tier: at least one
+    block carries a non-predefined mode byte, and the frame still decodes
+    through libzstd AND the mini-decoder."""
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, 26, dtype=np.uint8)
+    arr = np.tile(base, 3000).copy()
+    noise = rng.random(arr.shape[0]) < 0.15
+    arr[noise] = rng.integers(0, 256, int(noise.sum()), dtype=np.uint8)
+    frame = _device_zstd(arr)
+    want = arr.tobytes()
+    assert dctx.decompress(frame, max_output_size=len(want) + 16) == want
+    assert ZF.decode_frame(frame) == want
+    assert any(m != 0 for m in _seq_modes(frame)), _seq_modes(frame)
+
+
+def test_weight_cap_keeps_huffman_on_wide_alphabets():
+    """~255 distinct byte values with a skewed distribution: direct 4-bit
+    weights cannot represent >128 symbols and the uncapped weight-FSE table
+    used to be rejected (r1 gate), decaying the block to RAW literals.
+    With the cap+water-fill the Huffman stage must engage."""
+    rng = np.random.default_rng(9)
+    # geometric-ish skew over the full byte alphabet (~6.3 b/B), few matches
+    vals = np.minimum((rng.exponential(40, 60000)).astype(np.int64), 255)
+    arr = vals.astype(np.uint8)
+    arr = np.where(rng.random(60000) < 0.15, rng.integers(0, 256, 60000).astype(np.uint8), arr)
+    assert len(np.unique(arr)) > 200
+    frame = _device_zstd(arr)
+    want = arr.tobytes()
+    assert dctx.decompress(frame, max_output_size=len(want) + 16) == want
+    assert ZF.decode_frame(frame) == want
+    assert len(frame) < 0.9 * len(want)  # Huffman engaged, not raw
+
+
+def test_mode_mixture_batch():
+    """One batch whose rows exercise RLE-heavy, dynamic, and predefined-ish
+    sequence coding simultaneously (per-row tables must not leak)."""
+    import jax.numpy as jnp
+
+    from cloudini_tpu.ops.zstd import compress_bound, zstd_compress_chunks
+
+    rng = np.random.default_rng(13)
+    b = 32768
+    rows = np.zeros((3, b), np.uint8)
+    rows[0] = np.tile(rng.integers(0, 256, 16, dtype=np.uint8), b // 16)
+    per = np.tile(rng.integers(0, 256, 26, dtype=np.uint8), b // 26 + 1)[:b]
+    noise = rng.random(b) < 0.2
+    per[noise] = rng.integers(0, 256, int(noise.sum()), dtype=np.uint8)
+    rows[1] = per
+    rows[2] = rng.integers(0, 4, b, dtype=np.uint8)
+    sizes = np.array([b, b, b - 7], np.int32)
+    out, osz = zstd_compress_chunks(
+        jnp.asarray(rows), jnp.asarray(sizes), compress_bound(b))
+    out = np.asarray(out)
+    osz = np.asarray(osz)
+    for i in range(3):
+        frame = bytes(out[i, : osz[i]])
+        want = rows[i, : sizes[i]].tobytes()
+        assert dctx.decompress(frame, max_output_size=b + 16) == want, i
+        assert ZF.decode_frame(frame) == want, i
