@@ -64,17 +64,16 @@ _SEQ_STATE = 512  # static state-table width (>= 2^max dynamic log)
 
 def _pre_params(default: np.ndarray, log: int, nsym: int):
     """Predefined table in the closed-form representation the device scan
-    uses for every mode: effective counts (|-1| -> 1), exclusive cumsum, and
-    the (symbol, rank) -> position table (rank order == decode-state order)."""
+    uses for every mode: effective counts (|-1| -> 1) and the
+    (symbol, rank) -> position table (rank order == decode-state order)."""
     norm_eff = np.where(default < 0, 1, default).astype(np.int32)
-    ce = (np.cumsum(norm_eff) - norm_eff).astype(np.int32)
     spread, _nb, _base = ZF.fse_decode_table(default, log)
     size = 1 << log
     T = np.lexsort((np.arange(size), spread)).astype(np.int32)
     T = np.pad(T, (0, _SEQ_STATE - size))
     # estimated state bits per occurrence: log - floor(log2(count))
     cost = (log - np.floor(np.log2(norm_eff))).astype(np.int32)
-    return norm_eff, ce, T, cost
+    return norm_eff, T, cost
 
 
 _PRE_LL = _pre_params(ZF.LL_DEFAULT, ZF.LL_LOG, 36)
@@ -189,30 +188,13 @@ def _weight_state_table(norm, cumexcl):
     return _state_table(norm, _W_LOG, 64)
 
 
-def _weight_transition(sym, p, norm, cumexcl, table):
-    """FSE encode step for the weight table: symbol (R, L) + next position
-    p (R, L) -> (prev position u, update value, update width). x and its
-    bit width are closed-form from norm[sym]; the position comes from the
-    (s, rank) table."""
-    ns = jnp.take_along_axis(norm, sym, axis=1)
-    ce = jnp.take_along_axis(cumexcl, sym, axis=1)
-    pp = p + 64
-    l0 = 32 - jax.lax.clz(jnp.maximum(ns, 1))  # bitlen(norm)
-    nb1 = _W_LOG + 1 - l0
-    x1 = pp >> nb1
-    ok1 = (x1 >= ns) & (x1 < 2 * ns)
-    nb = jnp.where(ok1, nb1, jnp.maximum(_W_LOG - l0, 0))
-    x = jnp.where(ok1, x1, pp >> jnp.maximum(_W_LOG - l0, 0))
-    val = pp - (x << nb)
-    u = jnp.take_along_axis(table, jnp.clip(ce + x - ns, 0, 63), axis=1)
-    return u, val, nb
-
-
-def _weight_chain(syms, k, norm, cumexcl, table):
+def _weight_chain(syms, k, cumexcl, table, E):
     """One FSE chain over ``syms`` (R, L) with per-row live length k:
     returns (initial position sigma_0 (R,), update values (R, L), update
     widths (R, L)) where update i sits between symbols i and i+1 in decode
-    order (i < k-1)."""
+    order (i < k-1). ``E`` is the dense packed encode table from
+    ``_enc_table`` (the same closed-form transition the sequence tier
+    uses)."""
     from .fsm import _scan_unrolled
 
     r, L = syms.shape
@@ -223,10 +205,10 @@ def _weight_chain(syms, k, norm, cumexcl, table):
 
     def fstep(carry, sym, first, jj):
         at_last = jj == (k - 1)
-        u, _v, _nb = _weight_transition(
-            sym[:, None], carry[:, None], norm, cumexcl, table)
+        u = jnp.take_along_axis(
+            E, (sym * 64 + carry)[:, None], axis=1)[:, 0] & 511
         return jnp.where(at_last, first,
-                         jnp.where(jj < k - 1, u[:, 0], carry))
+                         jnp.where(jj < k - 1, u, carry))
 
     order = jnp.arange(L - 1, -1, -1, dtype=jnp.int32)
     final, _before = _scan_unrolled(
@@ -237,9 +219,10 @@ def _weight_chain(syms, k, norm, cumexcl, table):
     # (= after lanes > L-1-t); lane j is processed at t = L-1-j, so the
     # carry before that step is sigma_{j+1} — i.e. _before reversed.
     sig_next = _before[::-1].transpose(1, 0)  # (R, L), col j = sigma_{j+1}
-    u, val, nb = _weight_transition(syms, sig_next, norm, cumexcl, table)
+    e = jnp.take_along_axis(E, syms * 64 + sig_next, axis=1)
     upd_live = lane < (k - 1)[:, None]
-    return final, jnp.where(upd_live, val, 0), jnp.where(upd_live, nb, 0)
+    return (final, jnp.where(upd_live, e >> 13, 0),
+            jnp.where(upd_live, (e >> 9) & 15, 0))
 
 
 def _ncount_fields(norm: jnp.ndarray, log: int = _W_LOG):
@@ -505,7 +488,7 @@ def _match_parse(data: jnp.ndarray, sizes: jnp.ndarray):
             save = jnp.where(best_len == l, win(l), save)
         # periodic long runs: the extent is self-similar, scale the first-16
         # cost. Clamp the factor: at the 1-bit/lit cost floor any match
-        # >= 26 B clears the max gate threshold, so 64 loses nothing and
+        # >= 27 B clears the max gate threshold, so 64 loses nothing and
         # keeps the product well inside i32 (w16 <= 16*64*18 q6).
         save = jnp.where(best_len > 16,
                          (w16 * jnp.minimum(best_len, 64)) // 16, save)
@@ -628,15 +611,20 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
     # a shift + cummax + one aligned gather, no scan. Stage-1 token streams
     # are stride-periodic, so most kept sequences hit rep0 and their offset
     # field drops from ~2*log2(off) bits to the OF symbol-0 state bits.
-    prev_off = jnp.roll(c_of, 1, axis=1).at[:, 0].set(1)  # initial rep0 = 1
+    #
+    # CROSS-BLOCK HAZARD: rep history carries across the blocks of one frame
+    # — the decoder's state entering block k >= 2 is block k-1's history,
+    # not the spec initial [1, 4, 8] — and blocks are encoded independently
+    # here. Rep codes therefore only ever reference offsets ESTABLISHED
+    # WITHIN the block: lane 0 never hits (sentinel 0), and rep1 is invalid
+    # (0) until the latest non-rep0 lane has a real in-block predecessor.
+    prev_off = jnp.roll(c_of, 1, axis=1).at[:, 0].set(0)  # no inherited rep0
     hit0 = live & (c_ll > 0) & (c_of == prev_off)
     k_after = jax.lax.cummax(jnp.where(~hit0, sj[None, :], -1), axis=1)
     k_before = jnp.roll(k_after, 1, axis=1).at[:, 0].set(-1)
     rep1 = jnp.where(
-        k_before < 0, 4,  # spec initial rep1
-        jnp.where(k_before == 0, 1,  # off_{-1} = initial rep0
-                  jnp.take_along_axis(
-                      c_of, jnp.maximum(k_before - 1, 0), axis=1)))
+        k_before < 1, 0,  # would reference inherited history: never matches
+        jnp.take_along_axis(c_of, jnp.maximum(k_before - 1, 0), axis=1))
     hit1 = live & ~hit0 & (c_ll > 0) & (c_of == rep1)
 
     # ---- codes + extra-bit fields (parallel) ------------------------------
@@ -658,7 +646,7 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
     # (norm, cumexcl, rank-table, log) representation covers all three, so
     # a single scan handles every row. Oracle: ref/zstd_frame.
     def field_tables(codes, nsym, dyn_log, pre_log, pre):
-        norm_pre, ce_pre, T_pre, cost_pre = pre
+        norm_pre, T_pre, cost_pre = pre
         hist = _code_hist(codes, live, nsym)
         n_distinct = jnp.sum((hist > 0).astype(jnp.int32), axis=1)
         rle_sym = jnp.argmax(hist, axis=1).astype(jnp.int32)
@@ -952,13 +940,15 @@ def _huffman_literals(data, is_lit, lit_rank, n_lits, words, put, ri, idx):
         * expl_mask[:, :, None], axis=1)  # weight-0 entries land in lane 0
     norm, cumexcl, fse_ok = _weight_fse_params(hw)
     table = _weight_state_table(norm, cumexcl)
+    E_w = _enc_table(norm, cumexcl, table,
+                     jnp.full((norm.shape[0],), _W_LOG, jnp.int32), 64)
     wl = 128
     evens = weights[:, 0:2 * wl:2]
     odds = weights[:, 1:2 * wl:2]
     k1 = (m + 1) // 2
     k2 = m // 2
-    s1, v1, w1 = _weight_chain(evens, k1, norm, cumexcl, table)
-    s2, v2, w2 = _weight_chain(odds, k2, norm, cumexcl, table)
+    s1, v1, w1 = _weight_chain(evens, k1, cumexcl, table, E_w)
+    s2, v2, w2 = _weight_chain(odds, k2, cumexcl, table, E_w)
     P1 = jnp.cumsum(w1, axis=1)
     P2 = jnp.cumsum(w2, axis=1)
     uu = P1[:, -1] + P2[:, -1]

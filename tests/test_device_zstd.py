@@ -392,3 +392,25 @@ def test_mode_mixture_batch():
         want = rows[i, : sizes[i]].tobytes()
         assert dctx.decompress(frame, max_output_size=b + 16) == want, i
         assert ZF.decode_frame(frame) == want, i
+
+
+def test_rep_offsets_do_not_cross_blocks():
+    """Rep history carries across the blocks of one frame; the encoder's
+    per-block parse must never emit a rep code that references inherited
+    history. Block 1 ends on offset-8 matches; block 2 opens with a literal
+    then an offset-1 run — a per-block 'initial rep0 = 1' assumption emits
+    Offset_Value 1 there and the decoder copies from distance 8 instead
+    (silent corruption, caught by review r2)."""
+    rng = np.random.default_rng(17)
+    cap = 126 * 1024
+    head = np.tile(rng.integers(0, 256, 8, dtype=np.uint8), cap // 8 + 1)[:cap]
+    tail = np.concatenate([
+        np.frombuffer(b"Z", np.uint8),
+        np.full(4000, ord("a"), np.uint8),
+        rng.integers(0, 256, 300000 - cap - 4001, dtype=np.uint8),
+    ])
+    arr = np.concatenate([head, tail])
+    frame = _device_zstd(arr)
+    want = arr.tobytes()
+    assert dctx.decompress(frame, max_output_size=len(want) + 16) == want
+    assert ZF.decode_frame(frame) == want
