@@ -414,3 +414,50 @@ def test_rep_offsets_do_not_cross_blocks():
     want = arr.tobytes()
     assert dctx.decompress(frame, max_output_size=len(want) + 16) == want
     assert ZF.decode_frame(frame) == want
+
+
+def test_v5_adaptive_with_fused_device_zstd():
+    """V5 adaptive-int sections + fused device-ZSTD stage 2 in one program:
+    the stream decodes bit-identically through the reference C++ (real
+    libzstd + v5 section decoder) and the framework decoder; the adaptive
+    int field survives losslessly."""
+    import pathlib
+
+    from cloudini_tpu import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+        FieldType,
+        PointField,
+        PointcloudDecoder,
+        PointcloudEncoder,
+    )
+    from cloudini_tpu.core.header import decode_header
+    from tests.conftest import ORACLE_BIN
+    from tests.oracle_utils import Oracle
+
+    n = 32768 + 4099  # crosses the V5 probe boundary and a chunk boundary
+    rng = np.random.default_rng(5)
+    pts = np.cumsum(rng.normal(0, 0.05, (n, 3)), axis=0).astype(np.float32)
+    ring = (np.arange(n) % 32).astype(np.int32)
+    rows = np.zeros((n, 16), np.uint8)
+    rows[:, :12] = pts.view(np.uint8).reshape(n, 12)
+    rows[:, 12:16] = ring.reshape(-1, 1).view(np.uint8)
+    info = EncodingInfo(
+        fields=(PointField("x", 0, FieldType.FLOAT32, 0.001),
+                PointField("y", 4, FieldType.FLOAT32, 0.001),
+                PointField("z", 8, FieldType.FLOAT32, 0.001),
+                PointField("ring", 12, FieldType.INT32, 1.0)),
+        width=n, height=1, point_step=16,
+        encoding_opt=EncodingOptions.LOSSY,
+        compression_opt=CompressionOption.ZSTD, version=5)
+    enc = PointcloudEncoder(info, device_stage2=True)
+    assert enc.backend == "device" and enc._device_stage2
+    stream = enc.encode(rows.tobytes())
+    hi, hl = decode_header(stream)
+    mine = bytes(PointcloudDecoder().decode(hi, stream[hl:]))
+    out = np.frombuffer(mine, np.uint8).reshape(n, 16)
+    assert np.array_equal(
+        out[:, 12:16].copy().view(np.int32).ravel(), ring)
+    if pathlib.Path(ORACLE_BIN).exists():
+        assert Oracle(str(ORACLE_BIN)).decode(stream) == mine
