@@ -441,9 +441,9 @@ def _cfg_fused_lz4(jax, plan, chunks, n_valid):
 
 def _cfg_fused_zstd(jax, chunks, n_valid):
     """BASELINE config 5: the same ROS-padded XYZI workload with stage-2
-    ZSTD FUSED into the device program (ops/zstd.py: predefined-FSE
-    sequences + Huffman literals) — the reference's headline mode
-    (codec_common.cpp:242) with no host stage 2 at all."""
+    ZSTD FUSED into the device program (ops/zstd.py: per-block dynamic/RLE/
+    predefined FSE sequences + Huffman literals) — the reference's headline
+    mode (codec_common.cpp:242) with no host stage 2 at all."""
     from cloudini_tpu.core.plan import build_plan
     from cloudini_tpu.core.types import (
         CompressionOption,
