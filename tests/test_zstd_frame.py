@@ -268,3 +268,22 @@ def test_fse_normalize_properties():
         assert np.all(norm[hist == 0] == 0)
         # the normalized table must build a valid FSE pair
         enc, spread, nb, base, first = Z.fse_encode_table(norm, log)
+
+
+def test_decode_real_libzstd_dynamic_table_frames():
+    """Inverse-direction conformance: real libzstd level-1 frames at sizes
+    that force dynamic FSE sequence tables and Huffman literals must decode
+    through the mini-decoder (locks the NCount reader + table build against
+    libzstd's writer, not just our own)."""
+    rng = np.random.default_rng(0)
+    zc = zstandard.ZstdCompressor(level=1, write_content_size=False,
+                                  write_checksum=False)
+    for trial in range(8):
+        n = int(rng.integers(20000, 120000))
+        period = int(rng.integers(4, 60))
+        base = rng.integers(0, 256, period, dtype=np.uint8)
+        d = np.tile(base, n // period + 1)[:n].copy()
+        noise = rng.random(n) < rng.random() * 0.3
+        d[noise] = rng.integers(0, 256, int(noise.sum()), dtype=np.uint8)
+        frame = zc.compress(d.tobytes())
+        assert Z.decode_frame(frame) == d.tobytes(), trial
