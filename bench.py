@@ -281,7 +281,7 @@ def main():
     # deadline, and the cumulative JSON line re-printed after EVERY row so a
     # deadline kill mid-matrix keeps all completed rows.
     configs = {}
-    deadline = _START + 500
+    deadline = _START + float(os.environ.get("CLDN_BENCH_DEADLINE_S", "500"))
     print(f"# t={time.monotonic()-_START:.0f}s headline done", file=sys.stderr)
     for name, cost_s, fn in (
         ("bag_stream_ragged_batch", 45,
