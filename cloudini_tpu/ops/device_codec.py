@@ -43,12 +43,13 @@ def encoder_supports_plan(plan: CodecPlan) -> bool:
 
 
 def encoder_prefers_device(plan: CodecPlan) -> bool:
-    """Whether the ``auto`` backend should pick the device encoder. The r1
-    Gorilla window-chain (binary lifting = log-rounds of ~10ns/element
-    gathers) measured ~10x slower than the host codec on real hardware; r2
-    replaced it with one unrolled scan on (C,) lanes (ops/gorilla.py,
-    ~100x less data movement) but the flip to device waits on a TPU
-    measurement (PROFILE.md pending list) — honesty over theory."""
+    """Whether the ``auto`` backend should pick the device encoder. Gorilla
+    plans stay on the host: the r2 scan-based window chain (ops/gorilla.py)
+    is bit-exact but measured 18.4 s/iter WALL against 59 ms/iter of actual
+    device time on the real chip — the 4096-step lax.scan executes as
+    per-step host/tunnel dispatches on this runtime, so step COUNT, not
+    step width, is the cost (PROFILE.md "Pending TPU measurements" item 4,
+    DECISIONS.md Gorilla section)."""
     return all(u.kind != UnitKind.GORILLA for u in plan.units)
 
 
