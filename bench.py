@@ -281,7 +281,12 @@ def main():
     # deadline, and the cumulative JSON line re-printed after EVERY row so a
     # deadline kill mid-matrix keeps all completed rows.
     configs = {}
-    deadline = _START + float(os.environ.get("CLDN_BENCH_DEADLINE_S", "500"))
+    try:
+        deadline_s = float(os.environ.get("CLDN_BENCH_DEADLINE_S", "500"))
+    except ValueError:
+        print("# CLDN_BENCH_DEADLINE_S malformed; using 500", file=sys.stderr)
+        deadline_s = 500.0
+    deadline = _START + deadline_s
     print(f"# t={time.monotonic()-_START:.0f}s headline done", file=sys.stderr)
     for name, cost_s, fn in (
         ("bag_stream_ragged_batch", 45,
@@ -289,6 +294,7 @@ def main():
         ("xyz_1mm_zstd1_end_to_end", 90,
          lambda: _cfg_xyz_zstd(jax, enc, chunks, n_valid)),
         ("dds_mixed_fsm_decode", 110, lambda: _cfg_dds_fsm(jax)),
+        ("streaming_latency_per_msg", 60, lambda: _cfg_streaming_latency(jax)),
         ("padded_xyzi_fused_device_lz4", 160,
          lambda: _cfg_fused_lz4(jax, plan, chunks, n_valid)),
         ("mixed_schema_concurrent_batch", 120,
@@ -328,6 +334,11 @@ def _chain_encode(jax, enc_fn, d_rows, d_valid, iters=6, point_col=12):
         return r.at[:, :, point_col].set(v)
 
     p0 = jax.block_until_ready(enc_fn(d_rows, d_valid))
+    # SYNC the stream: on this runtime block_until_ready is a no-op until the
+    # process has pulled at least one device value (measured r3: un-synced
+    # "blocked" sort chains read 0.06 ms for work that takes 19.5 ms; one tiny
+    # D2H pull makes every later block honest — see PROFILE.md r3 notes)
+    np.asarray(p0[1][:1])
     best = float("inf")
     for trial in range(2):
         base = jnp.int32(1000 * trial)
@@ -380,14 +391,55 @@ def _cfg_xyz_zstd(jax, _enc, chunks, n_valid):
     for cb, b in zip(comp, blobs):
         stage2.decompress_chunk(CompressionOption.ZSTD, cb, len(b) + 1)
     t_uz = time.perf_counter() - t0
+
+    # ---- MEASURED overlap (VERDICT r2 item 5): one worker thread compresses
+    # the previous iteration's chunk payloads while the main thread dispatches
+    # and waits on the device encode of the next — the reference's
+    # compressionWorker design (cloudini.cpp:453-499). Device waits are
+    # GIL-releasing tunnel IO and libzstd releases the GIL, so overlap is
+    # real even on a 1-core host iff the main thread is device-bound.
+    import jax.numpy as jnp
+
+    from cloudini_tpu.codec.stage2 import Stage2Worker
+
+    iota = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
+
+    @jax.jit
+    def mix(r, p, k):
+        st = (p.astype(jnp.int32) * _MULT).sum() + k * np.int32(40503)
+        v = (((st + iota * _MULT) >> 7) & 0x7F).astype(jnp.uint8)
+        return r.at[:, :, 8].set(v)
+
+    worker = Stage2Worker()
+    rr = jax.block_until_ready(mix(d_rows, payloads, jnp.int32(7)))
+    iters = 6
+    t0 = time.perf_counter()
+    for i in range(iters):
+        p_i, s_i = enc.encode_chunks(rr, d_valid)  # async dispatch
+        rr = mix(rr, p_i, jnp.int32(8 + i))
+        for j, b in enumerate(blobs):
+            # vary one byte so each job is distinct work, then compress
+            worker.submit_frame(
+                CompressionOption.ZSTD, b[:64] + bytes([(i + j) & 0xFF]) + b[65:]
+            )
+        jax.block_until_ready((p_i, s_i, rr))
+        worker.results()
+    t_ov = (time.perf_counter() - t0) / iters
+    worker.close()
+    rr.delete()
+
     raw = rows12.nbytes
     return {
-        "value": round(raw / (t_dev + t_z) / 1e9, 4), "unit": "GB/s",
+        "value": round(raw / t_ov / 1e9, 4), "unit": "GB/s",
         "enc_dev_gbps": round(raw / t_dev / 1e9, 3),
         "zstd1_host_gbps": round(raw / t_z / 1e9, 3),
         "unzstd_host_gbps": round(raw / t_uz / 1e9, 3),
+        "serialized_gbps": round(raw / (t_dev + t_z) / 1e9, 4),
+        "overlap_efficiency": round((t_dev + t_z) / t_ov, 3),
         "ratio": round(raw / sum(len(c) for c in comp), 3),
-        "note": "device stage-1 + host zstd-1 serialized; pipeline overlaps them",
+        "note": "value = MEASURED worker-thread overlap of device stage-1 "
+                "with host zstd-1 (cloudini.cpp:453-499 design); "
+                "serialized_gbps = the two stages back to back",
     }
 
 
@@ -726,6 +778,74 @@ def _cfg_dds_fsm(jax):
         "value": round(rows.nbytes / best / 1e9, 4), "unit": "GB/s (decode)",
         "host_native_gbps": round(rows.nbytes / t_host / 1e9, 3),
         "vs_host_native": round(t_host / best, 3),
+    }
+
+
+def _cfg_streaming_latency(jax):
+    """Per-message latency through the streaming topic converter (VERDICT r2
+    item 8; reference capability: topic_converter.cpp:156-199 compresses each
+    arriving message immediately). Measures the real DDS fixture message:
+      * per-message convert() p50/p99 (under ``auto`` this routes to the host
+        native codec — the measured-right call for single messages), and
+      * the batch window path (convert_many, window=8) that puts the stream
+        on the TPU: per-message amortized ms and worst window wall.
+    """
+    from cloudini_tpu.tools.topic_converter import PointcloudConverterService
+
+    dds = pathlib.Path("/root/reference/cloudini_lib/samples/dds_message.bin")
+    if not dds.exists():
+        raise RuntimeError("dds_message.bin fixture missing")
+    base_msg = dds.read_bytes()
+
+    # distinct per-message payloads: rotate the point rows (valid DDS framing,
+    # fresh contents for every message so nothing is memoized)
+    from cloudini_tpu.io.ros_msgs import get_deserialized_point_cloud_message
+
+    pc = get_deserialized_point_cloud_message(base_msg)
+    data = np.frombuffer(pc.data, np.uint8).reshape(-1, pc.point_step)
+    off = base_msg.find(pc.data[:64])
+    assert off > 0, "could not locate payload inside the DDS message"
+
+    def msg_variant(i: int) -> bytes:
+        rot = np.roll(data, -37 * (i + 1), axis=0)
+        return base_msg[:off] + rot.tobytes() + base_msg[off + data.nbytes:]
+
+    msgs = [msg_variant(i) for i in range(24)]
+
+    svc = PointcloudConverterService(mode="compress", resolution=0.001)
+    svc.convert(msgs[0])  # warm (encoder build, host codec)
+    lat = []
+    for m in msgs:
+        t0 = time.perf_counter()
+        out = svc.convert(m)
+        lat.append((time.perf_counter() - t0) * 1e3)
+        assert out
+    lat.sort()
+    p50 = lat[len(lat) // 2]
+    p99 = lat[min(len(lat) - 1, int(len(lat) * 0.99))]
+
+    # batch window path (device): 3 windows of 8
+    svc_b = PointcloudConverterService(mode="compress", resolution=0.001,
+                                       backend="device")
+    svc_b.convert_many(msgs[:8])  # warm/compile
+    walls = []
+    for w in range(3):
+        window = [msg_variant(100 + 8 * w + j) for j in range(8)]
+        t0 = time.perf_counter()
+        outs = svc_b.convert_many(window)
+        walls.append((time.perf_counter() - t0) * 1e3)
+        assert all(outs)
+    msg_bytes = len(msgs[0])
+    return {
+        "value": round(p50, 3), "unit": "ms p50 per message (host path)",
+        "p99_ms": round(p99, 3),
+        "message_bytes": msg_bytes,
+        "host_path_gbps": round(msg_bytes / (p50 / 1e3) / 1e9, 3),
+        "batch8_ms_per_msg": round(min(walls) / 8, 3),
+        "batch8_window_ms_worst": round(max(walls), 3),
+        "note": "convert() routes single messages to the host codec under "
+                "auto; the batch window (encode_many) is the TPU streaming "
+                "path, amortizing one dispatch over 8 messages",
     }
 
 

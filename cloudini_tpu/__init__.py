@@ -12,8 +12,11 @@ import os as _os
 
 def _enable_compile_cache() -> None:
     """Persistent XLA compilation cache: per-schema codec programs compile in
-    12-60 s (remote compile), so streaming tools would pay that per process.
-    Measured: a 15.7 s compile replays from cache in 0.6 s. Opt out with
+    12-60 s (remote compile) — and the big fused stage-1+stage-2 programs in
+    minutes on a 1-core host — so streaming tools and the bench harness would
+    pay that per process. Measured: a 15.7 s compile replays from cache in
+    0.6 s. The default cache lives IN THE REPO (committed), so a fresh
+    checkout's first bench run replays every program warm. Opt out with
     CLOUDINI_TPU_NO_COMPILE_CACHE=1; an explicit jax cache dir wins."""
     if _os.environ.get("CLOUDINI_TPU_NO_COMPILE_CACHE"):
         return
@@ -24,7 +27,8 @@ def _enable_compile_cache() -> None:
             return
         cache = _os.environ.get(
             "CLOUDINI_TPU_COMPILE_CACHE",
-            _os.path.join(_os.path.expanduser("~"), ".cache", "cloudini_tpu", "jax"),
+            _os.path.join(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+                          ".jax_cache"),
         )
         _os.makedirs(cache, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache)

@@ -103,3 +103,41 @@ def write_stage1_chunk(compression: CompressionOption, stage1: bytes) -> bytes:
     if len(payload) > 0xFFFFFFFF:
         raise ValueError("Chunk too large")
     return struct.pack("<I", len(payload)) + payload
+
+
+class Stage2Worker:
+    """One background compression thread overlapping host stage-2 with device
+    dispatch — the TPU-native equivalent of the reference's compressionWorker
+    + double buffer (cloudini.cpp:453-499, 572-619). The main thread's device
+    waits are tunnel/IO waits that release the GIL, and liblz4/libzstd calls
+    release it during compression, so one worker genuinely overlaps even on a
+    single host core whenever the main thread is device-bound.
+
+    submit() enqueues (callable returning bytes) -> Future; results() joins in
+    submission order. Worker exceptions surface at results(), and the worker
+    pool survives them (Executor threads are respawned by the pool), matching
+    the reference's capture-and-respawn (cloudini.cpp:536-553)."""
+
+    def __init__(self):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="cldn-stage2")
+        self._pending = []
+
+    def submit_frame(self, compression: CompressionOption, stage1) -> None:
+        """stage1: bytes, or a zero-arg callable producing bytes (lets the
+        worker also absorb the D2H pull of a device payload)."""
+        def job():
+            data = stage1() if callable(stage1) else stage1
+            return write_stage1_chunk(compression, data)
+
+        self._pending.append(self._pool.submit(job))
+
+    def results(self):
+        """Framed chunks in submission order; clears the queue."""
+        out = [f.result() for f in self._pending]
+        self._pending.clear()
+        return out
+
+    def close(self):
+        self._pool.shutdown(wait=False)

@@ -169,11 +169,11 @@ def gorilla_tokens(
         limbs.append(v)
 
     max_bytes = (13 + type_bits + 7) // 8
-    bytes_mat = jnp.stack(
-        [
-            ((limbs[k // 4] >> np.uint32(8 * (k % 4))) & np.uint32(0xFF)).astype(jnp.uint8)
-            for k in range(max_bytes)
-        ],
-        axis=-1,
-    )
-    return bytes_mat, lengths
+    # per-lane LIST of (C, N) byte planes — never a stacked (C, N, L) tensor:
+    # a tiny trailing dim tiles to (8, 128) and the stack/unstack pair costs
+    # more layout copies than the downstream interleave sort (SKILL.md r2)
+    byte_lanes = [
+        ((limbs[k // 4] >> np.uint32(8 * (k % 4))) & np.uint32(0xFF)).astype(jnp.uint8)
+        for k in range(max_bytes)
+    ]
+    return byte_lanes, lengths

@@ -42,11 +42,13 @@ class ShardedChunkCodec:
 
     def __init__(self, plan: CodecPlan, point_step: int, mesh: Mesh,
                  chunk_points: int = 32 * 1024, axis: str = "data",
-                 stage2: str = "none"):
+                 stage2: str = "none", adaptive_modes: Optional[dict] = None):
         self.mesh = mesh
         self.axis = axis
+        self.adaptive_modes = dict(adaptive_modes) if adaptive_modes else None
         self.encoder = DeviceStage1Encoder(plan, point_step, chunk_points,
-                                           stage2=stage2)
+                                           stage2=stage2,
+                                           adaptive_modes=adaptive_modes)
         self.chunk_points = chunk_points
         self.point_step = point_step
         self._dec: Optional[DeviceStage1Decoder] = None
@@ -61,12 +63,16 @@ class ShardedChunkCodec:
 
     def _decoder(self, max_bytes: int) -> DeviceStage1Decoder:
         if self._dec is None or self._dec.max_bytes != max_bytes:
-            dec = DeviceStage1Decoder(self.plan, self.point_step, self.chunk_points, max_bytes)
+            dec = DeviceStage1Decoder(self.plan, self.point_step, self.chunk_points, max_bytes,
+                                      with_sections=self.adaptive_modes is not None)
             shard = NamedSharding(self.mesh, P(self.axis))
             # re-jit with shardings, honoring the decoder's own path dispatch
             # (mixed fixed/varint and Gorilla plans use the FSM decoder;
-            # all-fixed plans the arithmetic walk; pure-varint the scan+sort)
-            if dec.fsm:
+            # all-fixed plans the arithmetic walk; pure-varint the scan+sort;
+            # V5 plans decode their adaptive sections in the same program)
+            if dec.with_sections:
+                body = dec._decode_with_sections
+            elif dec.fsm:
                 body = dec._fsm_dec.decode
             elif dec.general:
                 body = dec._decode_general

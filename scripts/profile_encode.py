@@ -135,17 +135,24 @@ def main():
         return p.at[:, -1].set(v)
 
     tdir = "/tmp/cldn_trace"
+    import contextlib
+    import os
     import shutil
 
     shutil.rmtree(tdir, ignore_errors=True)
+    no_trace = bool(os.environ.get("CLDN_NO_TRACE"))
     t0 = time.perf_counter()
-    with jax.profiler.trace(tdir):
+    with contextlib.nullcontext() if no_trace else jax.profiler.trace(tdir):
         if which == "encode":
+            t_m = time.perf_counter()
             rr = jax.block_until_ready(mix_r(rows, p, jnp.int32(0)))
+            print(f"  mix_r first call (compile): {time.perf_counter()-t_m:.2f} s", flush=True)
             for i in range(n_it):
+                t_i = time.perf_counter()
                 p_i, s_i = enc.encode_chunks(rr, nv)
                 rr = mix_r(rr, p_i, jnp.int32(i + 1))
-            jax.block_until_ready((p_i, s_i, rr))
+                jax.block_until_ready((p_i, s_i, rr))
+                print(f"  iter {i}: {time.perf_counter()-t_i:.3f} s", flush=True)
         else:
             pp = jax.block_until_ready(mix_p(pt, o, jnp.int32(0)))
             for i in range(n_it):
@@ -155,6 +162,8 @@ def main():
     wall = time.perf_counter() - t0
     print(f"{which} chain: {wall/n_it*1e3:.2f} ms/iter ({rows_h.nbytes/(wall/n_it)/1e9:.3f} GB/s)")
 
+    if no_trace:
+        return
     # ---- parse trace: aggregate device-track event durations by op name
     files = glob.glob(f"{tdir}/**/*.trace.json.gz", recursive=True)
     assert files, f"no trace files under {tdir}"

@@ -19,13 +19,9 @@ device work per step is negligible; wall/step >> device/step means
 per-step dispatch. Run on the real chip: python scripts/scan_dispatch_probe.py
 """
 
-import pathlib
-import sys
 import time
 
 import numpy as np
-
-sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
@@ -72,9 +68,10 @@ def main():
             f = jax.jit(fn, static_argnums=1)
             y = jax.block_until_ready(f(x0, n))  # compile + warm
             iters = 3
+            x1 = jax.block_until_ready(x0 * np.float32(1.0 + 1e-7))
             t0 = time.perf_counter()
             for _ in range(iters):
-                y = jax.block_until_ready(f(x0 * np.float32(1.0 + 1e-7), n))
+                y = jax.block_until_ready(f(x1, n))
             dt = (time.perf_counter() - t0) / iters
             print(f"{name:8s} n={n:5d}: {dt*1e3:9.2f} ms/iter  "
                   f"({dt/n*1e6:8.1f} us/step)", flush=True)

@@ -41,7 +41,8 @@ def _device_tokens(bits: np.ndarray, type_bits: int, n_valid=None):
         mat, lengths = gorilla_tokens(
             jnp.asarray(bits.astype(np.uint32)[None, :]), 32, jnp.asarray(valid[None, :])
         )
-    mat, lengths = np.asarray(mat)[0], np.asarray(lengths)[0]
+    mat = np.stack([np.asarray(l) for l in mat], axis=-1)[0]
+    lengths = np.asarray(lengths)[0]
     payload = b"".join(mat[i, : lengths[i]].tobytes() for i in range(n))
     return payload, lengths
 
@@ -139,7 +140,8 @@ class TestTokenParity:
         hi = jnp.asarray((arr >> 32).astype(np.uint32))
         valid = jnp.ones((c, n), bool)
         mat, lengths = gorilla_tokens((lo, hi), 64, valid)
-        mat, lengths = np.asarray(mat), np.asarray(lengths)
+        mat = np.stack([np.asarray(l) for l in mat], axis=-1)
+        lengths = np.asarray(lengths)
         for i in range(c):
             want_payload, want_lengths = ref_gorilla.encode_column(arr[i], 64)
             got = b"".join(mat[i, k, : lengths[i, k]].tobytes() for k in range(n))
