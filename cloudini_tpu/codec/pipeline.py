@@ -195,9 +195,10 @@ class PointcloudEncoder:
             try:
                 from ..ops.device_codec import cached_encoder, encoder_prefers_device
 
-                # auto only picks the device when it actually wins there
-                # (Gorilla plans measure ~10x faster on the NATIVE host codec;
-                # without the native runtime the device still beats numpy)
+                # auto only picks the device when it actually wins there —
+                # since r3 that is every plan (the Gorilla device chain beats
+                # the native host codec after the fill-forward + tier fixes;
+                # see encoder_prefers_device)
                 from .. import native
 
                 if (

@@ -43,14 +43,15 @@ def encoder_supports_plan(plan: CodecPlan) -> bool:
 
 
 def encoder_prefers_device(plan: CodecPlan) -> bool:
-    """Whether the ``auto`` backend should pick the device encoder. Gorilla
-    plans stay on the host: the r2 scan-based window chain (ops/gorilla.py)
-    is bit-exact but measured 18.4 s/iter WALL against 59 ms/iter of actual
-    device time on the real chip — the 4096-step lax.scan executes as
-    per-step host/tunnel dispatches on this runtime, so step COUNT, not
-    step width, is the cost (PROFILE.md "Pending TPU measurements" item 4,
-    DECISIONS.md Gorilla section)."""
-    return all(u.kind != UnitKind.GORILLA for u in plan.units)
+    """Whether the ``auto`` backend should pick the device encoder — yes for
+    every plan since r3. The r2 rejection of Gorilla plans rested on an
+    18.4 s/iter wall that turned out to be a measurement artifact (an
+    un-warmed first call inside the timed region — PROFILE.md r3 section);
+    measured clean, the device mixed-DDS encode runs 1.03 GB/s after the r3
+    window fill-forward (no gathers) and the point-0 out-of-band tier system
+    (scripts/mixed_plan_bisect.py) vs the 0.67-0.9 GB/s host-native bar.
+    Small clouds still route to the host via AUTO_DEVICE_MIN_CHUNKS."""
+    return True
 
 
 def decoder_prefers_device(plan: CodecPlan) -> bool:
@@ -246,7 +247,8 @@ def _fast_cumsum_i32(x: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def _interleave_scatter(token_streams, n_points: int, max_bytes: int):
+def _interleave_scatter(token_streams, n_points: int, max_bytes: int,
+                        stream_kinds=None):
     """Columnar token lanes -> interleaved per-point layout.
 
     Data movement is ONE stable sort by destination byte position: valid
@@ -260,9 +262,23 @@ def _interleave_scatter(token_streams, n_points: int, max_bytes: int):
     lists, never (C, N, L) tensors (tiny trailing dims tile to (8, 128) and
     cost ~7 ms/iter of layout copies; see _zigzag32_tokens). The only
     materialized buffers are the concatenated sort input and the sort output.
+
+    POINT 0 RIDES OUT OF BAND (r3): each chunk's first tokens are the longest
+    of their streams (predictors start at 0, so the first varint carries the
+    whole first value; Gorilla's first token is the raw 8-byte value), and the
+    tier check is a batch-global max — so point 0 used to force EVERY chunk of
+    real mixed clouds to the full-width sort (41 slots/point on the dds plan).
+    Point 0's bytes now occupy sum(full_s) dedicated per-CHUNK slots built
+    outside the tier ladder, and the cap check sees points >= 1 only
+    (measured on dds_message.bin: gorilla tokens past point 0 are <= 6 B,
+    varint lanes <= 3 B — see PROFILE.md r3).
+
+    ``stream_kinds``: per-stream ("floatn", lane) / ("varint",) / ("gorilla",)
+    / ("fixed",) tags driving the plan-aware tier ladder; None falls back to
+    uniform ladders.
     """
     # normalize: each stream is (lanes list [(C, N) u32/u8], lengths (C, N));
-    # ndarray byte matrices (e.g. Gorilla's (C, N, L)) are unstacked here
+    # ndarray byte matrices are unstacked here
     streams = []
     for mat, ln in token_streams:
         if isinstance(mat, (list, tuple)):
@@ -277,22 +293,44 @@ def _interleave_scatter(token_streams, n_points: int, max_bytes: int):
     point_off = _fast_cumsum_i32(point_sizes) - point_sizes  # exclusive
     total = point_sizes.sum(axis=-1)  # (C,)
     c = point_sizes.shape[0]
+    n_cols = point_sizes.shape[1]
     # the byte value rides in the key's low 8 bits (positions < 2^24, so
     # key = pos<<8 | byte still fits u32 and sorts by position) — a single
     # one-word sort instead of key+payload; two-word fallback for plans whose
     # worst-case chunk exceeds 16 MiB (never for 32Ki-point chunks).
     packed = max_bytes < (1 << 24)
+    INVALID = np.uint32(0xFFFFFFFF)
 
-    def pack_with_cap(cap):
-        """Sort with stream ``i`` trimmed to its first ``cap[i]`` lanes (int
-        cap = uniform). Legal whenever no token of stream i is longer than
-        cap[i]; the sort is the whole cost of encode, and real clouds never
-        emit the worst-case 5- or 10-byte varints (a 4-byte token means
-        |quantized delta| >= 2^20), so the common tiers sort 40-70% fewer
-        slots."""
-        caps = [cap] * len(streams) if isinstance(cap, int) else cap
-        keys = []
-        vals = []
+    # ---- point-0 slots: (C, sum(full_s)) keys with full lane width --------
+    p0_keys = []
+    p0_vals = []
+    intra0 = None  # (C,) exclusive running sum of first-token lengths
+    for lanes, ln in streams:
+        l0 = ln[:, 0]
+        start0 = jnp.zeros_like(l0) if intra0 is None else intra0
+        intra0 = l0 if intra0 is None else intra0 + l0
+        for k, byte_lane in enumerate(lanes):
+            pos = start0 + np.int32(k)  # point 0 starts at stream offset 0
+            b0 = byte_lane[:, 0]
+            if packed:
+                kl = (pos.astype(jnp.uint32) << 8) | b0
+            else:
+                kl = pos.astype(jnp.uint32)
+                p0_vals.append(jnp.where(k < l0, b0, 0))
+            p0_keys.append(jnp.where(k < l0, kl, INVALID))
+    p0_key = jnp.stack(p0_keys, axis=-1)  # (C, S_p0)
+    p0_val = jnp.stack(p0_vals, axis=-1) if p0_vals else None
+    not_p0 = (jnp.arange(n_cols, dtype=np.int32) > 0)[None, :]
+
+    def pack_with_cap(caps):
+        """Sort with stream ``i`` trimmed to its first ``caps[i]`` lanes.
+        Legal whenever no token of stream i at points >= 1 is longer than
+        caps[i]; the sort is the whole cost of encode, and real clouds never
+        emit the worst-case 5- or 10-byte varints past point 0 (a 4-byte
+        token means |quantized delta| >= 2^20), so the common tiers sort
+        40-70% fewer slots."""
+        keys = [p0_key]
+        vals = [p0_val] if p0_val is not None else []
         intra = None  # exclusive running sum of stream lengths, (C, N)
         for (lanes, ln), cap_i in zip(streams, caps):
             tok_start = point_off if intra is None else point_off + intra
@@ -304,7 +342,7 @@ def _interleave_scatter(token_streams, n_points: int, max_bytes: int):
                 else:
                     key_l = pos.astype(jnp.uint32)
                     vals.append(byte_lane)
-                keys.append(jnp.where(k < ln, key_l, np.uint32(0xFFFFFFFF)))
+                keys.append(jnp.where((k < ln) & not_p0, key_l, INVALID))
         key = jnp.concatenate(keys, axis=-1) if len(keys) > 1 else keys[0]
         if packed:
             stream = (jax.lax.sort(key, dimension=1, is_stable=False) & np.uint32(0xFF)).astype(jnp.uint8)
@@ -326,35 +364,61 @@ def _interleave_scatter(token_streams, n_points: int, max_bytes: int):
         )
         return out, total.astype(jnp.int32)
 
-    full = max(len(lanes) for lanes, _ in streams)
-    tiers = [t for t in (2, 3, 5) if t < full] + [full]
+    full_caps = tuple(len(lanes) for lanes, _ in streams)
+    if stream_kinds is None:
+        # generic fallback: varint-shaped ladder; fixed-width streams still
+        # end at their full rung via the per-stream fit check
+        stream_kinds = tuple(("varint",) for _ in streams)
+    assert len(stream_kinds) == len(streams)
+
+    def rung(fl, vi, go):
+        caps = []
+        for kind, full_s in zip(stream_kinds, full_caps):
+            if kind[0] == "floatn":
+                cc = fl(kind[1])
+            elif kind[0] == "varint":
+                cc = vi
+            elif kind[0] == "gorilla":
+                cc = go
+            else:  # fixed width: always full
+                cc = full_s
+            caps.append(min(cc, full_s))
+        return tuple(caps)
+
+    # plan-aware ladder (tightest first); duplicates collapse below. The
+    # asymmetric LiDAR rung keeps r2's measured win (planar x/y deltas exceed
+    # z/intensity on ground-vehicle clouds); the gorilla rungs come from the
+    # dds fixture's measured reuse-token widths.
+    ladder = [
+        rung(lambda lane: 2, 2, 2),
+        rung(lambda lane: 3 if lane < 2 else 2, 2, 2),
+        rung(lambda lane: 3, 3, 6),
+        rung(lambda lane: 5, 5, 9),
+        full_caps,
+    ]
+    tiers = []
+    for t in ladder:
+        if (not tiers or t != tiers[-1]) and all(a <= b for a, b in zip(t, full_caps)):
+            tiers.append(t)
     if len(tiers) == 1:
-        return pack_with_cap(full)
-    # longest token per stream / in the batch (fixed-width streams have
-    # constant lengths, so they just raise their tier to their width)
-    per_stream = jnp.stack([ln.max() for _, ln in streams])
-    cap_rt = jnp.max(per_stream)
+        return pack_with_cap(full_caps)
+    # longest token per stream at points >= 1 (fixed-width streams have
+    # constant lengths, so they just raise their rung to their width)
+    if n_cols > 1:
+        per_stream = jnp.stack([ln[:, 1:].max() for _, ln in streams])
+    else:
+        per_stream = jnp.zeros((len(streams),), jnp.int32)
 
     def build(i):
         if i == len(tiers) - 1:
             return lambda: pack_with_cap(tiers[i])
         nxt = build(i + 1)
-        this = tiers[i]
+        caps = tiers[i]
+        fits = jnp.all(per_stream <= jnp.asarray(caps))
 
         def tier():
-            return jax.lax.cond(cap_rt <= this, lambda: pack_with_cap(this), nxt)
+            return jax.lax.cond(fits, lambda: pack_with_cap(caps), nxt)
 
-        if this == 3 and len(streams) >= 3:
-            # asymmetric LiDAR tier: on ground-vehicle clouds the planar x/y
-            # deltas exceed z/intensity, so chunks often need 3 bytes only in
-            # the LEADING lanes — sort 3+3+2+... slots instead of 3 per lane
-            caps = tuple(3 if k < 2 else 2 for k in range(len(streams)))
-            fits = jnp.all(per_stream <= jnp.asarray(caps))
-
-            def asym():
-                return jax.lax.cond(fits, lambda: pack_with_cap(caps), tier)
-
-            return asym
         return tier
 
     return build(0)()
@@ -418,25 +482,51 @@ class DeviceStage1Encoder:
 
     def _encode(self, rows: jnp.ndarray, n_valid: jnp.ndarray):
         out, sizes = self._stage1(rows, n_valid)
+        if self.stage2 == "none":
+            return out, sizes
         if self.stage2 == "lz4":
-            from .lz4 import compress_bound, lz4_compress_chunks
+            from .lz4 import compress_bound, lz4_compress_chunks as compress
+        else:
+            from .zstd import compress_bound, zstd_compress_chunks as compress
 
-            max_out = -(-compress_bound(self.max_bytes) // 1024) * 1024  # lane-align
-            return lz4_compress_chunks(out, sizes, max_out)
-        if self.stage2 == "zstd":
-            from .zstd import compress_bound, zstd_compress_chunks
+        max_out = -(-compress_bound(self.max_bytes) // 1024) * 1024  # lane-align
 
-            max_out = -(-compress_bound(self.max_bytes) // 1024) * 1024
-            return zstd_compress_chunks(out, sizes, max_out)
-        return out, sizes
+        # tight-width tier (r3): the stage-2 kernels pay ~30 full passes over
+        # their STATIC input width; the worst-case stage-1 bound (20-41 B/pt)
+        # is 3-5x the real output of any actual cloud (4-7 B/pt measured on
+        # both fixtures), so the common case runs the whole matcher/parse/
+        # serialization at 8 B/pt and only worst-case batches take the
+        # full-width branch.
+        w_tight = min(self.max_bytes, -(-(self.chunk_points * 8) // 1024) * 1024)
+        if w_tight >= self.max_bytes:
+            return compress(out, sizes, max_out)
+
+        def tight():
+            return compress(out[:, :w_tight], sizes, max_out)
+
+        def full():
+            return compress(out, sizes, max_out)
+
+        return jax.lax.cond(jnp.max(sizes) <= w_tight, tight, full)
 
     def _stage1(self, rows: jnp.ndarray, n_valid: jnp.ndarray):
         valid = jnp.arange(self.chunk_points, dtype=np.int32)[None, :] < n_valid[:, None]
         streams = []
+        kinds = []
         for unit in self.plan.units:
-            streams.extend(_encode_unit_tokens(unit, rows, valid))
+            unit_streams = _encode_unit_tokens(unit, rows, valid)
+            streams.extend(unit_streams)
+            if unit.kind == UnitKind.FLOATN_LOSSY:
+                kinds.extend(("floatn", lane) for lane in range(len(unit_streams)))
+            elif unit.kind in (UnitKind.FLOAT_LOSSY, UnitKind.INT_DELTA):
+                kinds.extend(("varint",) for _ in unit_streams)
+            elif unit.kind == UnitKind.GORILLA:
+                kinds.extend(("gorilla",) for _ in unit_streams)
+            else:
+                kinds.extend(("fixed",) for _ in unit_streams)
         if streams:
-            out, sizes = _interleave_scatter(streams, self.chunk_points, self.max_bytes)
+            out, sizes = _interleave_scatter(streams, self.chunk_points, self.max_bytes,
+                                             stream_kinds=tuple(kinds))
         else:
             # all-adaptive plan (every field a V5 int): empty regular stream
             out = jnp.zeros((rows.shape[0], self.max_bytes), jnp.uint8)

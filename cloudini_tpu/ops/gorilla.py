@@ -107,16 +107,23 @@ def gorilla_tokens(
 
     resets = _window_resets(lead_c, trail_c)
 
-    # window in effect when encoding each token = last reset strictly before it
-    # for reuse tokens (reset tokens replace it themselves)
+    # window in effect when encoding each token = the (lead, trail) of the
+    # last reset strictly before it (reset tokens replace it themselves).
+    # Fill-forward WITHOUT gathers: pack (idx << 11 | lead5 | trail6) at reset
+    # positions, cummax carries the latest packed record (idx is monotone so
+    # the index bits dominate the comparison), shift one step, unpack.
+    # Gathers cost ~10 ns/element here; this is two elementwise passes.
     stored_lead = jnp.minimum(lead, 31)
-    reset_idx = jnp.where(resets, idx, -1)
-    last_reset = jax.lax.cummax(reset_idx, axis=reset_idx.ndim - 1)
-    prev_reset = jnp.roll(last_reset, 1, axis=-1).at[..., 0].set(-1)
-    batch = jnp.arange(c, dtype=jnp.int32)[:, None]
-    g = jnp.maximum(prev_reset, 0)
-    win_lead = jnp.minimum(lead_c, 31)[batch, g]
-    win_trail = trail_c[batch, g]
+    packed_w = jnp.where(
+        resets,
+        (idx << 11) | (jnp.minimum(lead_c, 31) << 6) | trail_c,
+        -1,
+    )
+    last_w = jax.lax.cummax(packed_w, axis=packed_w.ndim - 1)
+    prev_w = jnp.roll(last_w, 1, axis=-1).at[..., 0].set(-1)
+    prev_w = jnp.maximum(prev_w, 0)  # before the first reset: dummy (0, 0)
+    win_lead = (prev_w >> 6) & 0x1F
+    win_trail = prev_w & 0x3F
 
     # ---- token classes ------------------------------------------------------
     is_first = first & valid

@@ -6,18 +6,21 @@ while device stage-1 runs near HBM bandwidth. This kernel emits a *valid LZ4
 block stream* (decodable by LZ4_decompress_safe and therefore by the reference
 decoder) entirely on device:
 
-  * match finding is FIXED-DISTANCE: for a small set of offsets D (1..64,
+  * match finding is FIXED-DISTANCE: for a small set of offsets D (1..32,
     biased toward point-stride periods) the match length at every position is
     a run-length of the elementwise equality mask data[i] == data[i-d] —
     computed for all positions at once with a reverse cummin (no hash table,
     no sort; stage-1 streams repeat at short periods, which is exactly what
     fixed offsets catch; offset 1 doubles as RLE)
-  * the greedy parse (LZ4's sequential cursor walk) becomes the orbit of
-    position 0 under next[i] = i + (match ? mlen : 1), marked by pointer
-    doubling — the same construction as the Gorilla window chain
-    (ops/gorilla.py)
-  * serialization (tokens, 255-run length extensions, literal copies) is
-    prefix sums + region-fill masks + one scatter per component
+  * the greedy parse (LZ4's sequential cursor walk) is restarted at every
+    1024-byte boundary and run as ONE device-resident lax.scan over
+    (C, n_blocks) cursor lanes (greedy_parse_blocked; the r2 whole-stream
+    pointer-doubling orbit was gather-bound — seconds per batch)
+  * serialization is gather/scatter-free (r3): per-sequence geometry comes
+    from monotone cummax fills, every wire byte (token, offsets, remainders,
+    255-run bytes, literals) is multiplexed onto an input position as a
+    packed (dest << 8 | byte) key, and ONE 1-word sort builds the block —
+    the same primitive as the stage-1 interleave (device_codec)
 
 Measured vs liblz4 (scripts/lz4_ratio.py, artifact LZ4_RATIO.json): -1.6% on
 lidar XYZI, +0.9% on the mixed DDS stream (was +99.5% before the sorted-gram
@@ -34,10 +37,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .orbit import mark_orbit
+
 
 # offsets searched: runs + typical LiDAR point strides and small periods
-DISTANCES = (1, 2, 3, 4, 5, 6, 7, 8, 10, 12, 14, 16, 18, 20, 22, 24, 26, 28, 32, 40, 48, 64)
+DISTANCES = (1, 2, 3, 4, 5, 6, 7, 8, 16, 32)
 
 _MINMATCH = 4
 _MFLIMIT = 12  # last match must start >= 12 B before end
@@ -50,12 +53,13 @@ def compress_bound(n: int) -> int:
 
 def _run_lengths(eq: jnp.ndarray) -> jnp.ndarray:
     """Length of the run of True starting at each position (0 when False):
-    next-zero index via reverse cummin, minus own index."""
+    next-zero index via reverse-direction cummin, minus own index."""
     n = eq.shape[-1]
     idx = jnp.arange(n, dtype=jnp.int32)
     nz = jnp.where(eq, n, idx)  # position of this zero, else sentinel
-    # reverse cummin -> index of first zero at or after i
-    rev = jax.lax.cummin(nz[..., ::-1], axis=eq.ndim - 1)[..., ::-1]
+    # reverse-direction cummin -> index of first zero at or after i (the
+    # kwarg form avoids two explicit reverse passes per call)
+    rev = jax.lax.cummin(nz, axis=eq.ndim - 1, reverse=True)
     return rev - idx
 
 
@@ -65,21 +69,6 @@ def _ext_count(n: jnp.ndarray) -> jnp.ndarray:
     """LZ4 length-extension byte count for a length field value n (the part
     above 14 in the token nibble): 0 when n < 15, else (n-15)//255 + 1."""
     return jnp.where(n >= 15, (n - 15) // 255 + 1, 0)
-
-
-def _fill_regions(starts, counts, total_out: int, batch):
-    """Boolean mask of the union of [start, start+count) regions (per row).
-
-    Inactive lanes park at UNIQUE scratch slots past total_out: routing them
-    all to one shared drop index makes TPU scatter serialize the colliding
-    updates (observed ~1000x, data-dependent)."""
-    c, n = starts.shape
-    lane = jnp.arange(n, dtype=jnp.int32)
-    park = total_out + lane
-    bump = jnp.zeros((c, total_out + n), jnp.int32)
-    bump = bump.at[batch, jnp.where(counts > 0, starts, park)].add(1, mode="drop")
-    bump = bump.at[batch, jnp.where(counts > 0, starts + counts, park)].add(-1, mode="drop")
-    return jnp.cumsum(bump[:, :total_out], axis=-1) > 0
 
 
 _GRAM_BYTES = 16  # sort-matcher window: matches found at lengths 4..16
@@ -149,36 +138,104 @@ def _sorted_gram_matches(data: jnp.ndarray, sizes: jnp.ndarray,
     return (r >> 16).astype(jnp.int32), (r & np.uint32(0xFFFF)).astype(jnp.int32)
 
 
+_PARSE_BLOCK = 1024
+
+
+def greedy_parse_blocked(valid: jnp.ndarray, mlen: jnp.ndarray,
+                         block: int = _PARSE_BLOCK):
+    """Greedy parse (the sequential cursor walk of LZ4_compress_default),
+    restarted at every ``block`` bytes. Returns (is_match, mlen_eff).
+
+    The r1/r2 form — binary lifting over the whole stream (ops/orbit.py) —
+    is ~40 gather rounds over (C, B) at ~10 ns/element: ~4 s per 16-chunk
+    batch on the real chip, the root cause of the 0.0015 GB/s fused-LZ4
+    bench row (BENCH_r02, reproduced clean r3). Restarting the parse at
+    block boundaries turns the walk into ONE ``block``-step lax.scan over
+    (C, n_blocks) cursor lanes (device-resident, ~us/step, xs-fed so no
+    gathers): matches truncate at the boundary (a truncated match shorter
+    than MINMATCH decays to literals), and the ratio cost is mostly
+    recovered downstream by merge_same_offset_chains — a match that
+    continues across the restart re-merges into its head sequence.
+    """
+    c, b = valid.shape
+    pad = (-b) % block
+    if pad:
+        valid = jnp.concatenate([valid, jnp.zeros((c, pad), bool)], axis=-1)
+        mlen = jnp.concatenate([mlen, jnp.zeros((c, pad), jnp.int32)], axis=-1)
+    bp = b + pad
+    nb = bp // block
+    rel_end = block - (jnp.arange(bp, dtype=jnp.int32) % block)
+    ml_t = jnp.minimum(mlen, rel_end)
+    ok = valid & (ml_t >= _MINMATCH)
+    step = jnp.minimum(jnp.where(ok, ml_t, 1), rel_end)
+    xs = step.reshape(c, nb, block).transpose(2, 0, 1)  # (block, C, nb)
+
+    def body(cur, x):
+        x_j, j = x
+        member = cur == j
+        return jnp.where(member, j + x_j, cur), member
+
+    _, members = jax.lax.scan(
+        body,
+        jnp.zeros((c, nb), jnp.int32),
+        (xs, jnp.arange(block, dtype=jnp.int32)),
+    )
+    is_match = members.transpose(1, 2, 0).reshape(c, bp) & ok
+    return is_match[:, :b], jnp.where(is_match, ml_t, 0)[:, :b]
+
+
 def merge_same_offset_chains(is_match: jnp.ndarray, mlen: jnp.ndarray,
                              off: jnp.ndarray):
     """Fold zero-literal same-offset chains into their head sequence.
 
-    The sorted-gram tier truncates matches at the gram width, so one long
-    arbitrary-offset match parses as a chain of zero-literal links with the
-    same offset; each link costs a full sequence (3 B in LZ4: token +
-    offset) where liblz4 pays ~1 B per 255 matched. Shared by the LZ4 and
-    ZSTD kernels. Returns (head, merged_ml): head marks surviving sequence
-    starts, merged_ml their folded match lengths (0 elsewhere)."""
+    The sorted-gram tier truncates matches at the gram width (and the
+    blocked parse at parse-block boundaries), so one long arbitrary-offset
+    match parses as a chain of zero-literal links with the same offset;
+    each link costs a full sequence (3 B in LZ4: token + offset) where
+    liblz4 pays ~1 B per 255 matched. Shared by the LZ4 and ZSTD kernels.
+    Returns (head, merged_ml): head marks surviving sequence starts,
+    merged_ml their folded match lengths (0 elsewhere).
+
+    Gather-free (r3): the previous-match attributes each match needs (its
+    end; its offset) come from monotone cummax FILLS instead of the old
+    ``x[ri, prev_match_index]`` gathers (~10 ns/element on this chip —
+    fills are ~0.3 ns/element scans). Match ends are monotone, so the end
+    fill is direct; offsets ride a (idx>>2 << 16 | off) pack (selected
+    match starts are >= MINMATCH apart, so idx>>2 is unique and monotone;
+    requires b < 2**18 — callers with wider buffers use the tight-width
+    tier first)."""
     c, b = is_match.shape
     idx = jnp.arange(b, dtype=jnp.int32)
-    ri = jnp.arange(c, dtype=jnp.int32)[:, None]
-    pm_all = jax.lax.cummax(jnp.where(is_match, idx, -1), axis=1)
-    pm_aprev = jnp.roll(pm_all, 1, axis=1).at[:, 0].set(-1)
-    pm_aprev = jnp.where(is_match, pm_aprev, pm_all)
-    ga = jnp.maximum(pm_aprev, 0)
-    prev_end_all = jnp.where(pm_aprev >= 0, ga + mlen[ri, ga], 0)
-    chained = is_match & (idx == prev_end_all) & (off == off[ri, ga]) & (
-        pm_aprev >= 0)
+    if b < (1 << 18):
+        end_fill = jax.lax.cummax(jnp.where(is_match, idx + mlen, -1), axis=1)
+        prev_end_all = jnp.maximum(jnp.roll(end_fill, 1, axis=1).at[:, 0].set(-1), 0)
+        offp = jnp.where(
+            is_match,
+            ((idx >> 2).astype(jnp.uint32) << 16) | off.astype(jnp.uint32),
+            0,
+        )
+        off_fill = jax.lax.cummax(offp, axis=1)
+        prev_off = (jnp.roll(off_fill, 1, axis=1).at[:, 0].set(0)
+                    & np.uint32(0xFFFF)).astype(jnp.int32)
+        chained = is_match & (idx == prev_end_all) & (off == prev_off)
+    else:  # wide fallback: the pack above would overflow its 16-bit tag
+        ri = jnp.arange(c, dtype=jnp.int32)[:, None]
+        pm_all = jax.lax.cummax(jnp.where(is_match, idx, -1), axis=1)
+        pm_aprev = jnp.roll(pm_all, 1, axis=1).at[:, 0].set(-1)
+        pm_aprev = jnp.where(is_match, pm_aprev, pm_all)
+        ga = jnp.maximum(pm_aprev, 0)
+        prev_end_all = jnp.where(pm_aprev >= 0, ga + mlen[ri, ga], 0)
+        chained = is_match & (idx == prev_end_all) & (off == off[ri, ga]) & (
+            pm_aprev >= 0)
     head = is_match & ~chained
-    # chain extent: up to the next head or the end of contiguous coverage
-    bump = jnp.zeros((c, 2 * b), jnp.int32)
-    bump = bump.at[ri, jnp.where(is_match, idx, b + idx)].add(1, mode="drop")
-    bump = bump.at[ri, jnp.where(is_match, idx + mlen, b + idx)].add(
-        -1, mode="drop")
-    cov = jnp.cumsum(bump[:, :b], axis=1) > 0
+    # chain extent: up to the next head or the end of contiguous coverage;
+    # covered = some match starting at or before i extends past i (selected
+    # matches never overlap, so the end fill decides — no scatter bump)
+    end_incl = jax.lax.cummax(jnp.where(is_match, idx + mlen, -1), axis=1)
+    cov = idx < end_incl
     covrun = _run_lengths(cov)
     nh = jnp.roll(
-        jax.lax.cummin(jnp.where(head, idx, b)[:, ::-1], axis=1)[:, ::-1],
+        jax.lax.cummin(jnp.where(head, idx, b), axis=1, reverse=True),
         -1, axis=1,
     ).at[:, -1].set(b)  # next head strictly after i
     merged_ml = jnp.where(head, jnp.minimum(nh, idx + covrun) - idx, 0)
@@ -225,7 +282,6 @@ def lz4_compress_chunks(data: jnp.ndarray, sizes: jnp.ndarray, max_out: int,
     ``deep`` adds the sorted-gram arbitrary-distance match finder."""
     c, b = data.shape
     idx = jnp.arange(b, dtype=jnp.int32)
-    batch = jnp.arange(c, dtype=jnp.int32)[:, None]
     size_col = sizes[:, None]
 
     best_len, best_off = two_tier_matches(data, sizes, deep)
@@ -235,28 +291,32 @@ def lz4_compress_chunks(data: jnp.ndarray, sizes: jnp.ndarray, max_out: int,
     valid = (best_len >= _MINMATCH) & (idx <= size_col - _MFLIMIT) & (idx < size_col)
     mlen = jnp.where(valid, best_len, 0)
 
-    # ---- greedy parse: orbit of 0 under i + (match ? mlen : 1) ------------
-    nxt = jnp.minimum(idx + jnp.where(valid, mlen, 1), b)
-    orbit = mark_orbit(nxt, jnp.zeros((c,), jnp.int32), b)
-    is_match = orbit & valid
-    # fold zero-literal same-offset link chains (gram-width truncation)
+    # ---- greedy parse: block-restarted scan (see greedy_parse_blocked) ----
+    is_match, mlen = greedy_parse_blocked(valid, mlen)
+    # fold zero-literal same-offset link chains (gram-width + parse-block
+    # truncation)
     is_match, mlen = merge_same_offset_chains(is_match, mlen, best_off)
 
-    # ---- per-sequence geometry (computed in place at match positions) -----
-    pm = jax.lax.cummax(jnp.where(is_match, idx, -1), axis=1)  # last match <= i
-    pm_prev = jnp.roll(pm, 1, axis=1).at[:, 0].set(-1)  # last match < i
-    pm_prev = jnp.where(is_match, pm_prev, pm)  # at a match: the previous one
-    g = jnp.maximum(pm_prev, 0)
-    prev_end = jnp.where(pm_prev >= 0, g + mlen[batch, g], 0)
-    lit_len = jnp.where(is_match, idx - prev_end, 0)
+    # ---- per-sequence geometry — ALL gather/scatter-free (r3) -------------
+    # Every "attribute of my owning/previous match" comes from a monotone
+    # cummax fill (~0.3 ns/element) instead of an x[batch, index] gather
+    # (~10 ns/element); selected matches never overlap, so ends and output
+    # starts are monotone along the stream.
+    ends = jnp.where(is_match, idx + mlen, -1)
+    end_incl = jax.lax.cummax(ends, axis=1)           # own/last end at <= i
+    prev_end_f = jnp.maximum(                          # last end strictly < i
+        jnp.roll(end_incl, 1, axis=1).at[:, 0].set(-1), 0
+    )
+    lit_len = jnp.where(is_match, idx - prev_end_f, 0)
 
     m_field = mlen - _MINMATCH
     lit_ext = jnp.where(is_match, _ext_count(lit_len), 0)
     mat_ext = jnp.where(is_match, _ext_count(m_field), 0)
     seq_size = jnp.where(is_match, 1 + lit_ext + lit_len + 2 + mat_ext, 0)
 
-    out_start = jnp.cumsum(seq_size, axis=1) - seq_size  # exclusive, at matches
-    match_total = jnp.sum(seq_size, axis=1)
+    s_incl = jnp.cumsum(seq_size, axis=1)              # (C, B) inclusive
+    out_start = s_incl - seq_size                      # exclusive, at matches
+    match_total = s_incl[:, -1]
 
     # ---- tail sequence (token + ext + trailing literals, no match) --------
     last_end = jnp.max(jnp.where(is_match, idx + mlen, 0), axis=1)
@@ -265,63 +325,110 @@ def lz4_compress_chunks(data: jnp.ndarray, sizes: jnp.ndarray, max_out: int,
     tail_dest = match_total
     out_sizes = match_total + 1 + tail_ext + tail_lit
 
-    # output carries a b-wide scratch region: every masked scatter lane parks
-    # at a UNIQUE in-bounds slot past max_out instead of one shared drop
-    # index (colliding drops serialize TPU scatter, ~1000x data-dependent)
-    out = jnp.zeros((c, max_out + b), jnp.uint8)
-    park = max_out + idx
+    INVALID = np.uint32(0xFFFFFFFF)
 
-    # ---- tokens ------------------------------------------------------------
-    tok = (jnp.minimum(lit_len, 15) << 4 | jnp.minimum(m_field, 15)).astype(jnp.uint8)
-    out = out.at[batch, jnp.where(is_match, out_start, park)].set(tok, mode="drop")
-    tail_tok = (jnp.minimum(tail_lit, 15) << 4).astype(jnp.uint8)
-    out = out.at[batch, tail_dest[:, None]].set(tail_tok[:, None], mode="drop")
+    def key_at(dest, byte, ok):
+        return jnp.where(
+            ok, (dest.astype(jnp.uint32) << 8) | byte.astype(jnp.uint32), INVALID
+        )
 
-    # ---- length extensions: fill 255 runs, patch the last byte ------------
-    ext_starts = jnp.concatenate([out_start + 1, (tail_dest + 1)[:, None]], axis=1)
-    ext_counts = jnp.concatenate([lit_ext, tail_ext[:, None]], axis=1)
-    ext_mask = _fill_regions(ext_starts, ext_counts, max_out, batch)
-    # match extensions live after the offset
-    moff_pos = out_start + 1 + lit_ext + lit_len
-    mext_mask = _fill_regions(moff_pos + 2, mat_ext, max_out, batch)
-    filler = jnp.concatenate([ext_mask | mext_mask, jnp.zeros((c, b), bool)], axis=1)
-    out = jnp.where(filler, jnp.uint8(255), out)
-
-    lit_rem = ((lit_len - 15) % 255).astype(jnp.uint8)
-    pos = jnp.where(is_match & (lit_ext > 0), out_start + lit_ext, park)
-    out = out.at[batch, pos].set(lit_rem, mode="drop")
-    tail_rem = ((tail_lit - 15) % 255).astype(jnp.uint8)
-    pos = jnp.where(tail_ext > 0, tail_dest + tail_ext, max_out)
-    out = out.at[batch, pos[:, None]].set(tail_rem[:, None], mode="drop")
-    mat_rem = ((m_field - 15) % 255).astype(jnp.uint8)
-    pos = jnp.where(is_match & (mat_ext > 0), moff_pos + 1 + mat_ext, park)
-    out = out.at[batch, pos].set(mat_rem, mode="drop")
-
-    # ---- offsets (2 B little-endian) ---------------------------------------
-    off = jnp.where(is_match, best_off, 0)
-    pos = jnp.where(is_match, moff_pos, park)
-    out = out.at[batch, pos].set((off & 0xFF).astype(jnp.uint8), mode="drop")
-    out = out.at[batch, jnp.where(is_match, moff_pos + 1, park)].set(
-        (off >> 8).astype(jnp.uint8), mode="drop"
-    )
-
-    # ---- literal copies: per-byte destination mapping ----------------------
-    # covered = inside a selected match extent
-    bump = jnp.zeros((c, 2 * b), jnp.int32)
-    bump = bump.at[batch, jnp.where(is_match, idx, b + idx)].add(1, mode="drop")
-    bump = bump.at[batch, jnp.where(is_match, idx + mlen, b + idx)].add(-1, mode="drop")
-    covered = jnp.cumsum(bump[:, :b], axis=1) > 0
-    is_lit = (~covered) & (idx < size_col)
-    # next match at or after i (sentinel b -> tail literal)
-    nm = jax.lax.cummin(jnp.where(is_match, idx, b)[:, ::-1], axis=1)[:, ::-1]
+    # ---- main lane: one u32 key per input position --------------------------
+    # Wire bytes multiplex onto input positions: a match's token rides its own
+    # position; its offset/remainder bytes ride positions i+1..i+4, which its
+    # extent covers (off bytes need mlen >= 4 = MINMATCH; the matrem byte
+    # exists only when m_field >= 15, i.e. mlen >= 19 >> 4); literals ride
+    # their own (uncovered) positions. Matches start >= MINMATCH apart, so
+    # every position receives at most one valid key.
+    covered = idx < end_incl
+    is_lit = (~covered) & (~is_match) & (idx < size_col)
+    # literal destinations, elementwise: its sequence is the NEXT match's;
+    # that sequence's bytes-before-literals = inclusive seq_size cumsum at i
+    # (no matches sit between i and its owning match), +1 token, +E ext bytes
+    nm = jax.lax.cummin(jnp.where(is_match, idx, b), axis=1, reverse=True)
     in_tail = nm >= b
-    seq_dest = out_start[batch, jnp.minimum(nm, b - 1)] + 1 + lit_ext[batch, jnp.minimum(nm, b - 1)]
-    seq_prev_end = prev_end[batch, jnp.minimum(nm, b - 1)]
-    dest = jnp.where(
+    pe = jnp.maximum(end_incl, 0)  # gap start for literal i
+    gap_len = jnp.where(in_tail, tail_lit[:, None], nm - pe)
+    gap_ext = _ext_count(gap_len)
+    l_in_gap = idx - pe
+    dest_lit = jnp.where(
         in_tail,
         (tail_dest + 1 + tail_ext)[:, None] + (idx - last_end[:, None]),
-        seq_dest + (idx - seq_prev_end),
+        s_incl + 1 + gap_ext + l_in_gap,
     )
-    out = out.at[batch, jnp.where(is_lit, dest, park)].set(data, mode="drop")
 
-    return out[:, :max_out], out_sizes.astype(jnp.int32)
+    off = jnp.where(is_match, best_off, 0)
+    tok = (jnp.minimum(lit_len, 15) << 4) | jnp.minimum(m_field, 15)
+    moff = out_start + 1 + lit_ext + lit_len
+    lit_rem = (lit_len - 15) % 255
+    mat_rem = (m_field - 15) % 255
+
+    def roll1(key, k):
+        r = jnp.roll(key, k, axis=1)
+        return r.at[:, :k].set(INVALID)
+
+    lane = key_at(dest_lit, data.astype(jnp.uint32), is_lit)
+    lane = jnp.minimum(lane, key_at(out_start, tok, is_match))
+    lane = jnp.minimum(lane, roll1(key_at(moff, off & 0xFF, is_match), 1))
+    lane = jnp.minimum(lane, roll1(key_at(moff + 1, off >> 8, is_match), 2))
+    lane = jnp.minimum(
+        lane, roll1(key_at(out_start + lit_ext, lit_rem, is_match & (lit_ext > 0)), 3)
+    )
+    lane = jnp.minimum(
+        lane,
+        roll1(key_at(moff + 1 + mat_ext, mat_rem, is_match & (mat_ext > 0)), 4),
+    )
+
+    # ---- ext lane: the 255 run bytes ----------------------------------------
+    # A gap's k-th 255 byte (k < gap_ext - 1) rides the literal whose in-gap
+    # index is 15 + 255k; a match's k-th 255 byte (k < mat_ext - 1) rides the
+    # covered position with in-match index 5 + 255k (mlen >= 19 + 255k there,
+    # so the position exists and is covered). Emitters are literal or covered
+    # positions respectively — disjoint, at most one key per position.
+    k_lit = (l_in_gap - 15) // 255
+    lit255 = (
+        is_lit & (l_in_gap >= 15) & ((l_in_gap - 15) % 255 == 0)
+        & (k_lit < gap_ext - 1)
+    )
+    dest_l255 = jnp.where(
+        in_tail, (tail_dest + 1)[:, None] + k_lit, s_incl + 1 + k_lit
+    )
+    hs = jax.lax.cummax(jnp.where(is_match, idx, -1), axis=1)  # own head <= i
+    m_in = idx - jnp.maximum(hs, 0)
+    own_mlen = end_incl - jnp.maximum(hs, 0)
+    own_mext = _ext_count(own_mlen - _MINMATCH)
+    moff_f = jax.lax.cummax(jnp.where(is_match, moff, -1), axis=1)  # monotone
+    k_mat = (m_in - 5) // 255
+    mat255 = (
+        covered & (m_in >= 5) & ((m_in - 5) % 255 == 0) & (k_mat < own_mext - 1)
+    )
+    lane2 = key_at(dest_l255, jnp.uint32(255), lit255)
+    lane2 = jnp.minimum(lane2, key_at(moff_f + 2 + k_mat, jnp.uint32(255), mat255))
+
+    # ---- tail token + tail remainder: two per-row slots ---------------------
+    tail_tok = (jnp.minimum(tail_lit, 15) << 4).astype(jnp.uint32)
+    tail_cols = jnp.stack(
+        [
+            (tail_dest.astype(jnp.uint32) << 8) | tail_tok,
+            jnp.where(
+                tail_ext > 0,
+                ((tail_dest + tail_ext).astype(jnp.uint32) << 8)
+                | ((tail_lit - 15) % 255).astype(jnp.uint32),
+                INVALID,
+            ),
+        ],
+        axis=-1,
+    )
+
+    # ---- ONE 1-word sort builds the block -----------------------------------
+    keys = jnp.concatenate([lane, lane2, tail_cols], axis=-1)
+    stream = (jax.lax.sort(keys, dimension=1, is_stable=False) & np.uint32(0xFF)).astype(jnp.uint8)
+    slots = keys.shape[1]
+    if slots < max_out:
+        stream = jnp.concatenate(
+            [stream, jnp.zeros((c, max_out - slots), jnp.uint8)], axis=-1
+        )
+    out = stream[:, :max_out]
+    out = jnp.where(
+        jnp.arange(max_out, dtype=np.int32)[None, :] < out_sizes[:, None], out, 0
+    )
+    return out, out_sizes.astype(jnp.int32)

@@ -42,8 +42,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ref import zstd_frame as ZF
-from .lz4 import merge_same_offset_chains, two_tier_matches
-from .orbit import mark_orbit
+from .lz4 import greedy_parse_blocked, merge_same_offset_chains, two_tier_matches
 
 BLOCK_CAP = ZF.BLOCK_CAP  # 126 KiB: LL/ML/#seq stay in predefined-code range
 _MINMATCH = 4  # sorted-gram tier keys 4-byte grams; zstd allows 3
@@ -497,9 +496,10 @@ def _match_parse(data: jnp.ndarray, sizes: jnp.ndarray):
         valid = (best_len >= _MINMATCH) & (idx < size_col) & pays
         mlen = jnp.where(valid, best_len, 0)
 
-        nxt = jnp.minimum(idx + jnp.where(valid, mlen, 1), b)
-        orbit = mark_orbit(nxt, jnp.zeros((c,), jnp.int32), b)
-        is_match = orbit & valid
+        # block-restarted scan parse (lz4.greedy_parse_blocked) — the old
+        # whole-stream binary-lifting orbit was ~40 gather rounds over (C, B)
+        # and is the prime suspect for the r2 fused-ZSTD device fault
+        is_match, mlen = greedy_parse_blocked(valid, mlen)
 
         # coverage mask of the accepted parse -> next round's exclusions
         bump = jnp.zeros((c, 2 * b), jnp.int32)
