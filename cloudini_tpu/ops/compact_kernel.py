@@ -197,8 +197,29 @@ def _kernel(mask_ref, *refs, S: int, out_rows_per_chunk: int, n_words: int,
     carry[0] = off + cnt
 
 
+def _xla_fallback(mask, vals, out_cols: int):
+    """Sort-based compaction for non-TPU backends (tests run the device
+    codec on CPU meshes; interpret-mode Pallas is orders of magnitude too
+    slow there). Unstable sort with unique position keys == stable
+    compaction."""
+    C, B = mask.shape
+    pos = jnp.arange(B, dtype=jnp.uint32)[None, :]
+    key = jnp.where(mask != 0, pos, np.uint32(0xFFFFFFFF))
+    key = jnp.broadcast_to(key, (C, B))
+    sorted_ = jax.lax.sort(
+        (key,) + tuple(v.astype(jnp.uint32) for v in vals),
+        dimension=1, num_keys=1, is_stable=False)
+    outs = []
+    for s in sorted_[1:]:
+        if B < out_cols:
+            s = jnp.concatenate(
+                [s, jnp.zeros((C, out_cols - B), jnp.uint32)], axis=-1)
+        outs.append(s[:, :out_cols])
+    return tuple(outs)
+
+
 def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
-                   interpret: bool = False):
+                   interpret: bool | None = None):
     """Per-chunk-row stream compaction: pack ``vals`` lanes where ``mask``
     is nonzero to the front, preserving order.
 
@@ -207,6 +228,8 @@ def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
       vals: one (C, B) uint32 array or a tuple of them (shared mask).
       out_cols: output columns K (multiple of 128).
       tile_rows: sublane rows per kernel tile (auto-shrunk to fit B).
+      interpret: force Pallas interpret mode (tests); None = auto — the
+        Mosaic kernel on TPU, the XLA sort fallback elsewhere.
     Returns:
       (C, K) uint32 per input word. Lanes at/after each row's valid
       count are UNSPECIFIED — callers mask by count, as they did for
@@ -214,18 +237,35 @@ def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
     """
     single = not isinstance(vals, (tuple, list))
     vals = (vals,) if single else tuple(vals)
+    if interpret is None:
+        if jax.default_backend() != "tpu":
+            outs = _xla_fallback(mask, vals, out_cols)
+            return outs[0] if single else outs
+        interpret = False
     C, B = mask.shape
     assert B % 128 == 0, B
     S = tile_rows
-    while S > B // 128 or (B // 128) % S:
+    while S > -(-B // 128):
         S //= 2
     assert S >= 1, (B, tile_rows)
+    # pad the stream axis to a whole number of (S,128) tiles — a shrunken
+    # tile would multiply the per-grid-step overhead (~2.3 us) instead
+    # (zero mask lanes contribute nothing)
+    Bp = -(-B // (128 * S)) * (128 * S)
+    if Bp != B:
+        zpad = jnp.zeros((C, Bp - B), jnp.int32)
+        mask = jnp.concatenate([mask.astype(jnp.int32), zpad], axis=-1)
+        vals = tuple(
+            jnp.concatenate(
+                [v.astype(jnp.uint32), zpad.astype(jnp.uint32)], axis=-1)
+            for v in vals)
+        B = Bp
     n_tiles = B // (128 * S)
     K = out_cols
     assert K % 128 == 0, K
     n_words = len(vals)
     out_rows = K // 128 + (S + 1)   # slack: the last tile's DMA stays in
-    mask2 = mask.reshape(C * (B // 128), 128)
+    mask2 = mask.astype(jnp.int32).reshape(C * (B // 128), 128)
     vals2 = tuple(v.astype(jnp.uint32).reshape(C * (B // 128), 128)
                   for v in vals)
 

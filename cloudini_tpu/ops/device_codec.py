@@ -29,6 +29,7 @@ from ..core.plan import CodecPlan, CodecUnit, UnitKind
 from ..core.types import DECODE_BUT_SKIP_STORE, FieldType, size_of
 from . import columns as C
 from . import u64
+from .compact_kernel import masked_compact
 
 INT32_MIN = np.int32(-(2**31))
 _F32_NAN_BITS = np.uint32(0x7FC00000)  # std::numeric_limits<float>::quiet_NaN()
@@ -934,39 +935,34 @@ class DeviceStage1Decoder:
             b = jnp.where(in_range & (pos_in_tok == 4), g, 0)
             run_a = jnp.cumsum(a, axis=-1, dtype=jnp.uint32)
 
-            def compact(run_b):
-                """Sort-compact running sums to dense token order; plane b's
-                mod-2^9 running sum rides in the key when present."""
-                key = jnp.where(
-                    needed,
-                    (tok_id.astype(jnp.uint32) << 10)
-                    | ((run_b & np.uint32(0x1FF)) << 1),
-                    np.uint32(0xFFFFFFFF),
-                )
-                ra = run_a
-                if B < K:
-                    key = jnp.concatenate(
-                        [key, jnp.full((Cn, K - B), np.uint32(0xFFFFFFFF))], axis=-1
-                    )
-                    ra = jnp.concatenate([ra, jnp.zeros((Cn, K - B), jnp.uint32)], axis=-1)
-                s_key, s_a = jax.lax.sort((key, ra), dimension=1, num_keys=1, is_stable=False)
-                s_key, s_a = s_key[:, :K], s_a[:, :K]
+            Kpad = -(-K // 128) * 128
+
+            def _vals_from(s_a, s_b):
                 a_val = s_a - jnp.roll(s_a, 1, axis=-1).at[:, 0].set(0)
-                b_prev = jnp.roll(s_key >> 1, 1, axis=-1).at[:, 0].set(0)
-                b_val = (((s_key >> 1) - b_prev) & np.uint32(0x1FF))
+                b_val = s_b - jnp.roll(s_b, 1, axis=-1).at[:, 0].set(0)
                 # biased = a + b*2^28 (< 2^36) as a u32 pair
                 carry = (a_val >> 28) + b_val
                 b_lo = (a_val & np.uint32(0x0FFFFFFF)) | ((carry & np.uint32(0xF)) << 28)
                 return b_lo, carry >> 4
 
+            def compact_ab(run_b):
+                """Compact BOTH running-sum planes to dense token order
+                (Pallas stream-compaction kernel; sort fallback off-TPU)."""
+                s_a, s_b = masked_compact(needed, (run_a, run_b), Kpad)
+                return _vals_from(s_a[:, :K], s_b[:, :K])
+
+            def compact_a():
+                s_a = masked_compact(needed, run_a, Kpad)
+                return _vals_from(s_a[:, :K], jnp.zeros((Cn, K), jnp.uint32))
+
             # a 5-byte token forces a nonzero plane-b group (biased >= 2^28),
             # so when plane b is empty — every real cloud: a 4-byte token
             # already means |quantized delta| >= 2^20 — its running-sum scan
-            # and key bits are skipped entirely (one of the four stream scans)
+            # and compaction word are skipped entirely
             b_lo, b_hi = jax.lax.cond(
                 jnp.any(b != 0),
-                lambda: compact(jnp.cumsum(b, axis=-1, dtype=jnp.uint32)),
-                lambda: compact(jnp.zeros_like(a)),
+                lambda: compact_ab(jnp.cumsum(b, axis=-1, dtype=jnp.uint32)),
+                compact_a,
             )
             biased = (b_lo, b_hi)
             nan = u64.is_zero(biased)
@@ -981,22 +977,10 @@ class DeviceStage1Decoder:
             )
             mask = in_range & (pos_in_tok < 10)
             run = u64.cumsum((jnp.where(mask, lo, 0), jnp.where(mask, hi, 0)))
-            key = jnp.where(
-                needed,
-                tok_id.astype(jnp.uint32) << 1,
-                np.uint32(0xFFFFFFFF),
-            )
             run_lo, run_hi = run
-            if B < K:  # tiny buffers: pad so the dense token slice below exists
-                pad = jnp.full((Cn, K - B), np.uint32(0xFFFFFFFF))
-                zpad = jnp.zeros((Cn, K - B), jnp.uint32)
-                key = jnp.concatenate([key, pad], axis=-1)
-                run_lo = jnp.concatenate([run_lo, zpad], axis=-1)
-                run_hi = jnp.concatenate([run_hi, zpad], axis=-1)
-            s_key, s_lo, s_hi = jax.lax.sort(
-                (key, run_lo, run_hi), dimension=1, num_keys=1, is_stable=False
-            )
-            s_key, s_lo, s_hi = s_key[:, :K], s_lo[:, :K], s_hi[:, :K]
+            Kpad = -(-K // 128) * 128
+            s_lo, s_hi = masked_compact(needed, (run_lo, run_hi), Kpad)
+            s_lo, s_hi = s_lo[:, :K], s_hi[:, :K]
             # token value = this terminator's running sum minus the previous one
             p_lo = jnp.roll(s_lo, 1, axis=-1).at[:, 0].set(0)
             p_hi = jnp.roll(s_hi, 1, axis=-1).at[:, 0].set(0)
