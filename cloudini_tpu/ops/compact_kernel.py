@@ -224,7 +224,7 @@ def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
     is nonzero to the front, preserving order.
 
     Args:
-      mask: (C, B) int/bool array; nonzero = keep. B % 128 == 0.
+      mask: (C, B) int/bool array; nonzero = keep (any B).
       vals: one (C, B) uint32 array or a tuple of them (shared mask).
       out_cols: output columns K (multiple of 128).
       tile_rows: sublane rows per kernel tile (auto-shrunk to fit B).
@@ -243,7 +243,6 @@ def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
             return outs[0] if single else outs
         interpret = False
     C, B = mask.shape
-    assert B % 128 == 0, B
     S = tile_rows
     while S > -(-B // 128):
         S //= 2

@@ -295,71 +295,43 @@ def _interleave_scatter(token_streams, n_points: int, max_bytes: int,
     total = point_sizes.sum(axis=-1)  # (C,)
     c = point_sizes.shape[0]
     n_cols = point_sizes.shape[1]
-    # the byte value rides in the key's low 8 bits (positions < 2^24, so
-    # key = pos<<8 | byte still fits u32 and sorts by position) — a single
-    # one-word sort instead of key+payload; two-word fallback for plans whose
-    # worst-case chunk exceeds 16 MiB (never for 32Ki-point chunks).
-    packed = max_bytes < (1 << 24)
-    INVALID = np.uint32(0xFFFFFFFF)
 
-    # ---- point-0 slots: (C, sum(full_s)) keys with full lane width --------
-    p0_keys = []
-    p0_vals = []
-    intra0 = None  # (C,) exclusive running sum of first-token lengths
+    # ---- point-0 slots: (C, sum(full_s)) packed lanes, full width ----------
+    # the wire starts with point 0's interleaved tokens; valid lanes carry
+    # byte|0x100 so one array is both compaction mask and value
+    FLAG = np.uint32(0x100)
+    p0_cols = []
     for lanes, ln in streams:
         l0 = ln[:, 0]
-        start0 = jnp.zeros_like(l0) if intra0 is None else intra0
-        intra0 = l0 if intra0 is None else intra0 + l0
         for k, byte_lane in enumerate(lanes):
-            pos = start0 + np.int32(k)  # point 0 starts at stream offset 0
-            b0 = byte_lane[:, 0]
-            if packed:
-                kl = (pos.astype(jnp.uint32) << 8) | b0
-            else:
-                kl = pos.astype(jnp.uint32)
-                p0_vals.append(jnp.where(k < l0, b0, 0))
-            p0_keys.append(jnp.where(k < l0, kl, INVALID))
-    p0_key = jnp.stack(p0_keys, axis=-1)  # (C, S_p0)
-    p0_val = jnp.stack(p0_vals, axis=-1) if p0_vals else None
+            p0_cols.append(jnp.where(k < l0, byte_lane[:, 0] | FLAG, 0))
+    p0_pack = jnp.stack(p0_cols, axis=-1).astype(jnp.uint32)  # (C, S_p0)
     not_p0 = (jnp.arange(n_cols, dtype=np.int32) > 0)[None, :]
 
     def pack_with_cap(caps):
-        """Sort with stream ``i`` trimmed to its first ``caps[i]`` lanes.
+        """Compact with stream ``i`` trimmed to its first ``caps[i]`` lanes.
         Legal whenever no token of stream i at points >= 1 is longer than
-        caps[i]; the sort is the whole cost of encode, and real clouds never
-        emit the worst-case 5- or 10-byte varints past point 0 (a 4-byte
-        token means |quantized delta| >= 2^20), so the common tiers sort
-        40-70% fewer slots."""
-        keys = [p0_key]
-        vals = [p0_val] if p0_val is not None else []
-        intra = None  # exclusive running sum of stream lengths, (C, N)
+        caps[i]; the compaction is the whole cost of encode, and real clouds
+        never emit the worst-case 5- or 10-byte varints past point 0 (a
+        4-byte token means |quantized delta| >= 2^20), so the common tiers
+        move 40-70% fewer slots.
+
+        The wire stream IS the masked compaction of slot bytes in
+        (point, stream, lane) order — r3 replaced the position sort with
+        ops/compact_kernel.py (the sort paid full bitonic cost on
+        already-ordered keys); slot bytes stack point-major with a
+        byte|0x100 valid flag so one array is both mask and value."""
+        cols = []  # (C, N) packed lanes in per-point wire order
         for (lanes, ln), cap_i in zip(streams, caps):
-            tok_start = point_off if intra is None else point_off + intra
-            intra = ln if intra is None else intra + ln
             for k, byte_lane in enumerate(lanes[:cap_i]):
-                pos = tok_start + k
-                if packed:
-                    key_l = (pos.astype(jnp.uint32) << 8) | byte_lane
-                else:
-                    key_l = pos.astype(jnp.uint32)
-                    vals.append(byte_lane)
-                keys.append(jnp.where((k < ln) & not_p0, key_l, INVALID))
-        key = jnp.concatenate(keys, axis=-1) if len(keys) > 1 else keys[0]
-        if packed:
-            stream = (jax.lax.sort(key, dimension=1, is_stable=False) & np.uint32(0xFF)).astype(jnp.uint8)
-        else:
-            val = jnp.concatenate(vals, axis=-1) if len(vals) > 1 else vals[0]
-            _, stream = jax.lax.sort(
-                (key, val.astype(jnp.uint8)), dimension=1, num_keys=1,
-                is_stable=False,
-            )
-        slots = key.shape[1]
-        if slots < max_bytes:
-            stream = jnp.concatenate(
-                [stream, jnp.zeros((c, max_bytes - slots), jnp.uint8)], axis=-1
-            )
-        out = stream[:, :max_bytes]
-        # lanes past each chunk's total hold garbage from invalid keys: zero
+                cols.append(jnp.where((k < ln) & not_p0, byte_lane | FLAG, 0))
+        main = jnp.stack(cols, axis=-1).reshape(c, n_cols * len(cols))
+        pk = jnp.concatenate([p0_pack, main], axis=-1)
+        out_cols = -(-max_bytes // 128) * 128
+        stream = masked_compact(pk, pk, out_cols)
+        out = (stream[:, :max_bytes] & np.uint32(0xFF)).astype(jnp.uint8)
+        # lanes past each chunk's total are unspecified (kernel) or zero
+        # (fallback): zero them
         out = jnp.where(
             jnp.arange(max_bytes, dtype=np.int32)[None, :] < total[:, None], out, 0
         )
