@@ -164,12 +164,16 @@ class FsmLayout:
     # ------------------------------------------------------------ transitions
 
     def step(self, s: jnp.ndarray, f: jnp.ndarray, hl: int,
-             lmap: Optional[jnp.ndarray]):
+             lmap: Optional[jnp.ndarray], l_fixed=None):
         """One byte: state codes ``s`` (i32, any shape) consume feature word
         ``f`` (broadcastable). Pure arithmetic — see the class docstring for
         the numbering that makes the default transition ``p + 1``. ``hl`` is
         the L-tier width (the window-length component enumerates only the L
-        values actually present in the batch, via ``lmap``)."""
+        values actually present in the batch, via ``lmap``). ``hl == 1``
+        with a Gorilla slot is the SPECULATIVE single-window tier: the
+        reuse length is the runtime scalar ``l_fixed`` (broadcastable) and
+        the caller must verify the speculation on the replayed states
+        (run_fsm)."""
         if hl > 1:
             p = s // hl
             l = s - p * hl
@@ -184,12 +188,16 @@ class FsmLayout:
             reuse = (f >> 1) & 1
             # identity lane map: the L component IS the reuse byte length
             # (lmap left as an escape hatch for explicit maps)
-            if lmap is None:
-                l_act = l
+            if hl > 1:
+                if lmap is None:
+                    l_act = l
+                else:
+                    l_act = jnp.zeros_like(p)
+                    for i in range(1, hl):
+                        l_act = jnp.where(l == i, lmap[i], l_act)
             else:
-                l_act = jnp.zeros_like(p)
-                for i in range(1, hl):
-                    l_act = jnp.where(l == i, lmap[i], l_act)
+                assert l_fixed is not None, "hl==1 Gorilla needs l_fixed"
+                l_act = l_fixed
             # same/new targets ride precomputed in the feature word; only the
             # reuse target needs runtime state (corrupt L=0 clamps in range;
             # the replay pass flags it)
@@ -197,7 +205,8 @@ class FsmLayout:
                             (f >> 3) & 511)
             p1 = jnp.where(at_g, tgt, p1)
             p1 = jnp.where(p == self.r0g, self.g0 + 11 - self.slots[self.gslot].width, p1)
-            l1 = jnp.where(at_g & (((f >> 2) & 1) > 0), (f >> 12) & 15, l)
+            l1 = jnp.where(at_g & (((f >> 2) & 1) > 0), (f >> 12) & 15, l) \
+                if hl > 1 else None
         else:
             l1 = None
         p1 = jnp.where(p1 == self.wrap, self.entry[0], p1)
@@ -369,17 +378,64 @@ def run_fsm(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
     virtual byte B — the state the chain would be in after the whole buffer,
     tier_overflow () bool — reserved, currently always False).
 
-    Gorilla plans factor the window length into the state with the IDENTITY
-    lane map (lane == L value): enumerating fewer, data-observed L values was
-    tried and rejected — the candidate superset (every byte whose low bits
-    read as a new-window control) is hopelessly noisy on real streams, and
-    the identity map removes the lane->L translation chain from the inner
-    transition entirely, which is most of the same win."""
-    hl = 1 if layout.gslot is None else HL
-    return _run_tier(layout, hl, None, payloads, sizes, start, block)
+    Gorilla plans run the SPECULATIVE single-window tier (r3): real
+    timestamp columns emit a handful of new-window tokens per chunk, all
+    with the same reuse length L (the dds fixture: exactly ONE, L=5, per
+    32Ki chunk — scripts/fsm_window_census via ref/gorilla.py), so the
+    10-value window component of the hypothesis state collapses to a
+    runtime scalar:
+
+      1. pre-pass: the EXACT full-HL tier over block 0 only (nb=1 —
+         ~1/nb of the old pass-1 cost) observes the chunk's first
+         new-window L (0 if none in block 0);
+      2. the full stream runs the hl=1 tier with ``l_fixed = L0`` —
+         hypothesis lanes drop from P*10+1 to P+1 and the two-round
+         dedup machinery is skipped entirely;
+      3. the replayed true states verify the speculation elementwise:
+         any new-window token whose L differs from L0, or a reuse token
+         before the first new-window, flags the chunk for host RETRY
+         (same escape as dedup_overflow; never taken on real clouds).
+
+    The r2 identity-lane-map design (hl=10 everywhere) remains the
+    pre-pass; enumerating data-observed L SUPERSETS (gorilla_l_values)
+    stays rejected — the speculative tier observes the exact value
+    instead."""
+    if layout.gslot is None:
+        return _run_tier(layout, 1, None, payloads, sizes, start, block)
+    c, b = payloads.shape
+    k0 = min(max(block, 1), b) if b else 1
+    sizes0 = jnp.minimum(sizes, k0)
+    p0, _c0, _f0, _o0 = _run_tier(layout, HL, None, payloads[:, :k0],
+                                  sizes0, start, block)
+    feats0 = build_features(layout, payloads[:, :k0], sizes0, start,
+                            lambda Lv: Lv)
+    idx0 = jnp.arange(k0, dtype=jnp.int32)[None, :]
+    act0 = idx0 < sizes0[:, None]
+    at_new0 = act0 & (p0 == layout.g0) & (((feats0 >> 2) & 1) > 0)
+    INFI = jnp.int32(1 << 30)
+    first_i = jnp.min(jnp.where(at_new0, idx0, INFI), axis=-1)  # (C,)
+    l_at = jnp.take_along_axis((feats0 >> 12) & 15,
+                               jnp.minimum(first_i, k0 - 1)[:, None], axis=1)[:, 0]
+    L0 = jnp.where(first_i < INFI, l_at, 0)
+
+    p_bytes, corrupt, p_final, ovf = _run_tier(
+        layout, 1, L0, payloads, sizes, start, block)
+
+    # ---- verify the speculation on the replayed true states ---------------
+    feats = build_features(layout, payloads, sizes, start, lambda Lv: Lv)[:, :b]
+    idx = jnp.arange(b, dtype=jnp.int32)[None, :]
+    active = idx < sizes[:, None]
+    at_g = active & (p_bytes == layout.g0)
+    neww = at_g & (((feats >> 2) & 1) > 0)
+    reuse = at_g & (((feats >> 1) & 1) > 0) & ~(((feats >> 2) & 1) > 0)
+    nw_i = neww.astype(jnp.int32)
+    seen_excl = (jnp.cumsum(nw_i, axis=-1) - nw_i) > 0
+    viol = jnp.any(neww & (((feats >> 12) & 15) != L0[:, None]), axis=-1)
+    viol = viol | jnp.any(reuse & ~seen_excl, axis=-1)
+    return p_bytes, corrupt & ~viol, p_final, ovf | viol
 
 
-def _run_tier(layout: FsmLayout, hl: int, _unused, payloads, sizes, start, block):
+def _run_tier(layout: FsmLayout, hl: int, l_fixed, payloads, sizes, start, block):
     c, b = payloads.shape
     # U bytes advance per lax.scan step: per-step work (c*nb*lanes elements)
     # is far below VPU saturation, so the pass cost is SCAN-STEP LATENCY —
@@ -403,9 +459,12 @@ def _run_tier(layout: FsmLayout, hl: int, _unused, payloads, sizes, start, block
     hyp = jnp.asarray(hyp_np)
     H = hyp_np.shape[0]
 
+    lf1 = l_fixed[:, None, None] if l_fixed is not None else None
+    lf3 = l_fixed[:, None] if l_fixed is not None else None
+
     def p1_step(s, f_u):  # f_u: (U, c, nb) — U unrolled byte transitions
         for j in range(U):
-            s = layout.step(s, f_u[j][:, :, None], hl, lmap)
+            s = layout.step(s, f_u[j][:, :, None], hl, lmap, lf1)
         return s, None
 
     entries = jnp.broadcast_to(hyp[None, None, :], (c, nb, H)).astype(jnp.int32)
@@ -481,7 +540,7 @@ def _run_tier(layout: FsmLayout, hl: int, _unused, payloads, sizes, start, block
         outs = []
         for j in range(U):
             outs.append(s)
-            s = layout.step(s, f_u[j], hl, lmap)
+            s = layout.step(s, f_u[j], hl, lmap, lf3)
         return s, jnp.stack(outs)
 
     _, states = jax.lax.scan(p3_step, entries_true,
@@ -505,6 +564,11 @@ def _run_tier(layout: FsmLayout, hl: int, _unused, payloads, sizes, start, block
     active = idx < sizes[:, None]
     if layout.dynamic_start:
         active = active & (p_bytes >= 0)
-    corrupt = jnp.any(active & layout.replay_corrupt(p_bytes, l_bytes, feats[:, :b]), axis=-1)
+    # speculative tier: the window component for the corrupt predicate is
+    # the pinned L (l == 0 means "no window observed yet" only when the
+    # chunk truly had no new-window token in block 0 — reuse then flags)
+    l_corr = l_bytes if l_fixed is None else jnp.broadcast_to(
+        l_fixed[:, None], l_bytes.shape)
+    corrupt = jnp.any(active & layout.replay_corrupt(p_bytes, l_corr, feats[:, :b]), axis=-1)
     p_final = s_final // hl if hl > 1 else s_final
     return p_bytes, corrupt, p_final, dedup_overflow

@@ -25,6 +25,7 @@ from ..core.plan import CodecPlan, UnitKind
 from ..core.types import DECODE_BUT_SKIP_STORE, size_of
 from . import columns as C
 from . import u64
+from .compact_kernel import masked_compact
 from .fsm import FsmLayout, run_fsm
 
 _U32 = jnp.uint32
@@ -162,29 +163,22 @@ class FsmStage1Decoder:
             ck = jnp.where((d >= 0) & (d < 32), left,
                            jnp.where((d < 0) & (d > -8), right, 0))
             limbs.append(jnp.where(active, ck, 0))
-        key = jnp.where(needed_end, tok_id.astype(_U32), _INF)
-
-        def _compact(ops):
-            if B < K:
-                ops = [jnp.concatenate([o, jnp.full((Cn, K - B), _INF if i == 0 else 0,
-                                                    o.dtype)], axis=-1)
-                       for i, o in enumerate(ops)]
-            srt = jax.lax.sort(tuple(ops), dimension=1, num_keys=1, is_stable=False)
-            return [x[:, :K] for x in srt[1:]]
+        Kpad = -(-K // 128) * 128
 
         # the third limb only matters when some token reaches 9+ bytes (acc
-        # bits >= 64): never on real LiDAR streams, so its running sum and
-        # sort word run under a cond (same trick as the pure path's plane b)
-        def with_w2():
-            r = _cumsum96(tuple(limbs))
-            return _compact([key, r[0], r[1], r[2]])
-
-        def without_w2():
-            r = u64.cumsum((limbs[0], limbs[1]))
-            s0, s1 = _compact([key, r[0], r[1]])
-            return [s0, s1, jnp.zeros_like(s0)]
-
-        s = jax.lax.cond(jnp.any(active & (pos >= 8)), with_w2, without_w2)
+        # bits >= 64): never on real LiDAR streams (a 9-byte Gorilla
+        # new-window needs m >= 52 meaningful bits; the dds fixture's
+        # largest token is 6 bytes). r2 ran the 96-bit path under a
+        # lax.cond — r3 measured XLA SPLITTING that cond into FIVE
+        # conditionals, each re-computing the 21 ms branch (5x cost, HLO
+        # dump in PROFILE.md). Such chunks now take the host-RETRY escape
+        # (exact semantics preserved by the pipeline; on real data the
+        # flag never fires) and the device path is a single unconditional
+        # 2-limb running sum + 2-word compaction.
+        w2_retry = jnp.any(active & (pos >= 8), axis=-1)  # (C,)
+        r = u64.cumsum((limbs[0], limbs[1]))
+        s0, s1 = masked_compact(needed_end, (r[0], r[1]), Kpad)
+        s = [s0[:, :K], s1[:, :K], jnp.zeros_like(s0[:, :K])]
         prev = tuple(jnp.roll(x, 1, axis=-1).at[:, 0].set(0) for x in s)
         acc = _sub96(tuple(s), prev)
         acc = tuple(x.reshape(Cn, N, T) for x in acc)

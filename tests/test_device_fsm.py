@@ -261,3 +261,66 @@ def test_p_final_exact_on_unaligned_full_buffer():
     # truth: the state ENTERING byte b of the padded run (bytes 0..b-1 real)
     assert int(exact[2][0]) == int(np.asarray(ref[0])[0, b])
     assert np.array_equal(np.asarray(exact[0])[0, :b], np.asarray(ref[0])[0, :b])
+
+
+def _two_window_ts(n):
+    """f64 column whose Gorilla stream emits TWO new-window tokens with
+    DIFFERENT reuse lengths L (window A: m=20 -> L=3; window B: m=44 ->
+    L=6), with reuse tokens inside each window."""
+    bits = np.zeros(n, np.uint64)
+    bits[0] = np.uint64(0x3FF0000000000000)
+    v = bits[0]
+    for i in range(1, n):
+        if i == 1:
+            v ^= np.uint64(0xFFFFF) << np.uint64(20)   # m=20 at trail 20
+        elif i < n // 2:
+            v ^= np.uint64(0x3) << np.uint64(24)        # reuse (inside A)
+        elif i == n // 2:
+            v ^= np.uint64((1 << 44) - 1) << np.uint64(8)  # m=44: new window B
+        else:
+            v ^= np.uint64(0x5) << np.uint64(12)        # reuse (inside B)
+        bits[i] = v
+    return bits.view(np.float64)
+
+
+def test_speculative_window_tier_contract():
+    """The r3 speculative single-window FSM tier: streams whose Gorilla
+    column keeps ONE window length decode on device; a second new-window
+    token with a DIFFERENT L flags host RETRY (never garbage), and the
+    pipeline output stays bit-exact either way."""
+    import jax.numpy as jnp
+
+    from cloudini_tpu.core.plan import build_plan
+    from cloudini_tpu.ops.adaptive_decode import RETRY
+    from cloudini_tpu.ops.fsm_decode import FsmStage1Decoder
+
+    n = 64
+    rng = np.random.default_rng(5)
+
+    def _stream(ts):
+        rows, _, _ = _dds_rows(rng, n)
+        rows[:, 18:26] = ts.reshape(-1, 1).view(np.uint8)
+        info = _info(_DDS_FIELDS, n, 26)
+        data = PointcloudEncoder(info, backend="host", chunk_points=CHUNK
+                                 ).encode(rows, write_header=False)
+        payload = np.frombuffer(data, np.uint8)[4:]
+        plan = build_plan(info, for_decode=True)
+        dec = FsmStage1Decoder(plan, 26, n)
+        buf = np.zeros((1, -(-len(payload) // 128) * 128), np.uint8)
+        buf[0, : len(payload)] = payload
+        out, consumed = dec.decode(
+            jnp.asarray(buf), jnp.asarray([len(payload)], np.int32),
+            jnp.asarray([n], np.int32))
+        return info, rows, data, np.asarray(consumed)[0]
+
+    # single-L (the real-fixture pattern): stays on device, no retry
+    _, _, _, consumed = _stream(_ts_column(rng, n, "monotonic"))
+    assert consumed != RETRY and consumed != np.int32(2**31 - 1)
+
+    # two different-L windows: speculation must flag RETRY...
+    info, rows, data, consumed = _stream(_two_window_ts(n))
+    assert consumed == RETRY
+    # ...and the pipeline still decodes bit-exactly (host fallback)
+    host = PointcloudDecoder(backend="host", chunk_points=CHUNK).decode(info, data)
+    dev = PointcloudDecoder(backend="device", chunk_points=CHUNK).decode(info, data)
+    assert np.array_equal(host, dev)
