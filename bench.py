@@ -26,6 +26,14 @@ import time
 import numpy as np
 
 REPO = pathlib.Path(__file__).resolve().parent
+
+# Persistent XLA compilation cache (VERDICT r3 item 4): the fused stage-2
+# programs take minutes to compile cold; priming the cache in-session lets
+# the driver's deadline-bounded run execute the FULL matrix. Env vars must
+# land before jax import.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", str(REPO / ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 sys.path.insert(0, str(REPO))
 
 CHUNK = 32 * 1024
@@ -288,22 +296,27 @@ def main():
         deadline_s = 500.0
     deadline = _START + deadline_s
     print(f"# t={time.monotonic()-_START:.0f}s headline done", file=sys.stderr)
+    # Order = importance (r4): the rows the VERDICT tracks land first so a
+    # degraded-tunnel headline (588 s observed r4 vs ~300 typical) cannot
+    # starve them; the cheap reuse rows follow.
     for name, cost_s, fn in (
+        ("dds_mixed_fsm_decode", 110, lambda: _cfg_dds_fsm(jax)),
+        ("padded_xyzi_fused_device_lz4", 160,
+         lambda: _cfg_fused_lz4(jax, plan, chunks, n_valid)),
+        ("padded_xyzi_fused_device_zstd", 200,
+         lambda: _cfg_fused_zstd(jax, chunks, n_valid)),
         ("bag_stream_ragged_batch", 45,
          lambda: _cfg_bag_stream(jax, enc, big, rows)),
         ("xyz_1mm_zstd1_end_to_end", 90,
          lambda: _cfg_xyz_zstd(jax, enc, chunks, n_valid)),
-        ("dds_mixed_fsm_decode", 110, lambda: _cfg_dds_fsm(jax)),
         ("streaming_latency_per_msg", 60, lambda: _cfg_streaming_latency(jax)),
-        ("padded_xyzi_fused_device_lz4", 160,
-         lambda: _cfg_fused_lz4(jax, plan, chunks, n_valid)),
         ("mixed_schema_concurrent_batch", 120,
          lambda: _cfg_mixed_schema(jax, chunks, n_valid)),
-        ("padded_xyzi_fused_device_zstd", 200,
-         lambda: _cfg_fused_zstd(jax, chunks, n_valid)),
     ):
         if time.monotonic() + cost_s > deadline:
+            configs[name] = {"error": "skipped (bench deadline)"}
             print(f"# config {name}: skipped (bench deadline)", file=sys.stderr)
+            print(json.dumps({**result, "configs": configs}), flush=True)
             continue
         try:
             row = fn()
@@ -311,9 +324,12 @@ def main():
             print(f"# t={time.monotonic()-_START:.0f}s config "
                   f"{json.dumps({'metric': name, **row})}",
                   file=sys.stderr, flush=True)
-            print(json.dumps({**result, "configs": configs}), flush=True)
-        except Exception as exc:  # a failed row must not kill the headline
+        except Exception as exc:  # a failed row must not kill the headline —
+            # but it MUST appear in the artifact (VERDICT r3 item 6b: the r3
+            # dds row died and left no trace in the JSON)
+            configs[name] = {"error": f"{type(exc).__name__}: {exc}"}
             print(f"# config {name}: failed: {exc!r}", file=sys.stderr)
+        print(json.dumps({**result, "configs": configs}), flush=True)
 
 
 _START = time.monotonic()
@@ -774,10 +790,35 @@ def _cfg_dds_fsm(jax):
         else:
             np_stage1.decode_chunk(plan, plist[i % C], out_h, CHUNK)
     t_host = (time.perf_counter() - t0) / 4 * C
+
+    # device mixed/Gorilla ENCODE on the same data (VERDICT r3 item 8: the
+    # encoder_prefers_device flip for Gorilla plans must be driver-verified,
+    # not probe-script-asserted). Byte-exactness vs the host encoder is
+    # locked by tests (test_device_gorilla / test_device_fsm); here the
+    # fingerprint gate re-checks chunk 0 on the driver's run.
+    from cloudini_tpu.ops.device_codec import DeviceStage1Encoder
+
+    enc = DeviceStage1Encoder(eplan, 26, chunk_points=CHUNK)
+    d_rows = jax.device_put(chunks)
+    pay_d, sz_d = jax.block_until_ready(enc._encode(d_rows, d_valid))
+    sz_h = np.asarray(sz_d)
+    assert sz_h[0] == sizes[0] and bytes(
+        np.asarray(pay_d[0, : sz_h[0]])) == plist[0].tobytes(), "device encode != host bytes"
+    enc_best, _ = _chain_encode(jax, enc._encode, d_rows, d_valid, iters=6, point_col=12)
+    t0 = time.perf_counter()
+    for i in range(2):
+        if native.available():
+            native.encode_chunk(eplan, chunks[i], eplan.max_encoded_point_bytes)
+        else:
+            np_stage1.encode_chunk(eplan, chunks[i])
+    t_henc = (time.perf_counter() - t0) / 2 * C
     return {
         "value": round(rows.nbytes / best / 1e9, 4), "unit": "GB/s (decode)",
         "host_native_gbps": round(rows.nbytes / t_host / 1e9, 3),
         "vs_host_native": round(t_host / best, 3),
+        "encode_gbps": round(rows.nbytes / enc_best / 1e9, 4),
+        "encode_host_native_gbps": round(rows.nbytes / t_henc / 1e9, 3),
+        "encode_vs_host_native": round(t_henc / enc_best, 3),
     }
 
 

@@ -56,13 +56,16 @@ def encoder_prefers_device(plan: CodecPlan) -> bool:
 
 
 def decoder_prefers_device(plan: CodecPlan) -> bool:
-    """Whether the ``auto`` backend should pick the device decoder. The
-    pure-varint scan+sort path clearly wins on device; the enumerative-FSM
-    path (mixed fixed/varint/Gorilla) measures around the host-native rate
-    (PROFILE.md), so ``auto`` keeps those on the host until a real-workload
-    bench shows the device ahead (explicit ``backend='device'`` always
-    dispatches)."""
-    return decoder_supports_plan(plan) and plan.all_varint_class
+    """Whether the ``auto`` backend should pick the device decoder — yes for
+    every supported plan since r4. The pure-varint scan+sort path clearly
+    wins on device; the enumerative-FSM path (mixed fixed/varint/Gorilla)
+    crossed the host bar once the speculative single-window tier became
+    sound (two-round L observation, ops/fsm.py): BENCH_r04
+    ``dds_mixed_fsm_decode`` measures 1.00 GB/s on chip vs 0.672 host-native
+    on the real tiled dds fixture (vs_host_native 1.49). Mis-speculating
+    chunks escape to the host via RETRY, so exactness is preserved for any
+    stream. Small clouds still route to the host via AUTO_DEVICE_MIN_CHUNKS."""
+    return decoder_supports_plan(plan)
 
 
 def decoder_supports_plan(plan: CodecPlan) -> bool:

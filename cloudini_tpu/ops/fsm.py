@@ -378,53 +378,57 @@ def run_fsm(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
     virtual byte B — the state the chain would be in after the whole buffer,
     tier_overflow () bool — reserved, currently always False).
 
-    Gorilla plans run the SPECULATIVE single-window tier (r3): real
+    Gorilla plans run the SPECULATIVE single-window tier (r4): real
     timestamp columns emit a handful of new-window tokens per chunk, all
     with the same reuse length L (the dds fixture: exactly ONE, L=5, per
-    32Ki chunk — scripts/fsm_window_census via ref/gorilla.py), so the
-    10-value window component of the hypothesis state collapses to a
-    runtime scalar:
+    32Ki chunk — census via ref/gorilla.py), so the 10-value window
+    component of the hypothesis state collapses to a runtime scalar.
+    TWO ROUNDS of the cheap hl=1 tier make the speculation sound:
 
-      1. pre-pass: the EXACT full-HL tier over block 0 only (nb=1 —
-         ~1/nb of the old pass-1 cost) observes the chunk's first
-         new-window L (0 if none in block 0);
-      2. the full stream runs the hl=1 tier with ``l_fixed = L0`` —
-         hypothesis lanes drop from P*10+1 to P+1 and the two-round
-         dedup machinery is skipped entirely;
-      3. the replayed true states verify the speculation elementwise:
-         any new-window token whose L differs from L0, or a reuse token
-         before the first new-window, flags the chunk for host RETRY
-         (same escape as dedup_overflow; never taken on real clouds).
+      1. round 1 runs hl=1 with ``l_fixed = 0``. Before the chunk's
+         first reuse-or-new-window token, NO token's byte length depends
+         on the window L (same-value = 1 byte, record-0 raw = fixed,
+         other slots are L-free), so round 1's replayed states are EXACT
+         up to and including the first new-window token — wherever it is
+         in the stream (the r3 design observed L only inside block 0 and
+         flagged every real chunk whose first window came later; the dds
+         fixture's is at value 256). Read that token's L => L0.
+      2. round 2 re-runs hl=1 with ``l_fixed = L0`` and verifies on its
+         replayed states: any new-window token whose L differs from L0,
+         or a reuse token before the first new-window, flags the chunk
+         for host RETRY (same escape as dedup_overflow). Soundness: by
+         induction the states are exact up to the first violating token,
+         and the violation itself is therefore detected with exact
+         states — mis-speculation can never pass silently.
 
-    The r2 identity-lane-map design (hl=10 everywhere) remains the
-    pre-pass; enumerating data-observed L SUPERSETS (gorilla_l_values)
-    stays rejected — the speculative tier observes the exact value
-    instead."""
+    Hypothesis lanes drop from P*10+1 to P+1 per round (two rounds ~
+    2(P+1) vs 10P+1); the r2 identity-lane-map design (hl=10) remains
+    available via _run_tier for reference; enumerating data-observed L
+    SUPERSETS (gorilla_l_values) stays rejected — round 1 observes the
+    exact value instead."""
     if layout.gslot is None:
         return _run_tier(layout, 1, None, payloads, sizes, start, block)
     c, b = payloads.shape
-    k0 = min(max(block, 1), b) if b else 1
-    sizes0 = jnp.minimum(sizes, k0)
-    p0, _c0, _f0, _o0 = _run_tier(layout, HL, None, payloads[:, :k0],
-                                  sizes0, start, block)
-    feats0 = build_features(layout, payloads[:, :k0], sizes0, start,
-                            lambda Lv: Lv)
-    idx0 = jnp.arange(k0, dtype=jnp.int32)[None, :]
-    act0 = idx0 < sizes0[:, None]
-    at_new0 = act0 & (p0 == layout.g0) & (((feats0 >> 2) & 1) > 0)
+    feats = build_features(layout, payloads, sizes, start, lambda Lv: Lv)[:, :b]
+    idx = jnp.arange(b, dtype=jnp.int32)[None, :]
+    active = idx < sizes[:, None]
     INFI = jnp.int32(1 << 30)
-    first_i = jnp.min(jnp.where(at_new0, idx0, INFI), axis=-1)  # (C,)
-    l_at = jnp.take_along_axis((feats0 >> 12) & 15,
-                               jnp.minimum(first_i, k0 - 1)[:, None], axis=1)[:, 0]
+
+    # ---- round 1: locate the first new-window token, read its true L ------
+    p1_bytes, _c1, _f1, _o1 = _run_tier(
+        layout, 1, jnp.zeros((c,), jnp.int32), payloads, sizes, start, block)
+    at_new1 = active & (p1_bytes == layout.g0) & (((feats >> 2) & 1) > 0)
+    first_i = jnp.min(jnp.where(at_new1, idx, INFI), axis=-1)  # (C,)
+    l_at = jnp.take_along_axis(
+        (feats >> 12) & 15,
+        jnp.clip(first_i, 0, b - 1)[:, None], axis=1)[:, 0]
     L0 = jnp.where(first_i < INFI, l_at, 0)
 
+    # ---- round 2: run with the observed L, verify the speculation ---------
     p_bytes, corrupt, p_final, ovf = _run_tier(
         layout, 1, L0, payloads, sizes, start, block)
 
     # ---- verify the speculation on the replayed true states ---------------
-    feats = build_features(layout, payloads, sizes, start, lambda Lv: Lv)[:, :b]
-    idx = jnp.arange(b, dtype=jnp.int32)[None, :]
-    active = idx < sizes[:, None]
     at_g = active & (p_bytes == layout.g0)
     neww = at_g & (((feats >> 2) & 1) > 0)
     reuse = at_g & (((feats >> 1) & 1) > 0) & ~(((feats >> 2) & 1) > 0)

@@ -233,11 +233,13 @@ class FsmStage1Decoder:
 
         consumed = jnp.where(n_valid > 0, consumed, 0)
         consumed = jnp.where(bad, np.int32(2**31 - 1), consumed)
-        # >3 distinct window lengths: outside the compiled L tier — the
-        # pipeline re-decodes host-side (RETRY), preserving exact semantics
+        # mis-speculated window length (tier_ovf) or a 9+-byte token whose
+        # third accumulator limb this path drops (w2_retry): outside the
+        # compiled tier — the pipeline re-decodes host-side (RETRY),
+        # preserving exact semantics
         from .adaptive_decode import RETRY
 
-        return out, jnp.where(tier_ovf, RETRY, consumed)
+        return out, jnp.where(tier_ovf | w2_retry, RETRY, consumed)
 
 
 def _gorilla_values(a, n_valid: jnp.ndarray, width: int) -> Tuple[u64.U64, jnp.ndarray]:

@@ -202,11 +202,15 @@ def merge_same_offset_chains(is_match: jnp.ndarray, mlen: jnp.ndarray,
     fills are ~0.3 ns/element scans). Match ends are monotone, so the end
     fill is direct; offsets ride a (idx>>2 << 16 | off) pack (selected
     match starts are >= MINMATCH apart, so idx>>2 is unique and monotone;
-    requires b < 2**18 — callers with wider buffers use the tight-width
-    tier first)."""
+    requires b <= 2**18 so the tag fits 16 bits — callers with wider
+    buffers use the tight-width tier first). r4: the gate was ``b < 2**18``
+    while the tight tier is EXACTLY 2**18 wide (8 B/pt x 32Ki), so the
+    bench shape silently took the wide-fallback branch below whose two
+    (C, B) ``x[ri, ga]`` gathers were 83% of the fused-LZ4 program
+    (240 of 292 ms/iter, fusion.2/fusion.3 in the r4 HLO dump)."""
     c, b = is_match.shape
     idx = jnp.arange(b, dtype=jnp.int32)
-    if b < (1 << 18):
+    if b <= (1 << 18):
         end_fill = jax.lax.cummax(jnp.where(is_match, idx + mlen, -1), axis=1)
         prev_end_all = jnp.maximum(jnp.roll(end_fill, 1, axis=1).at[:, 0].set(-1), 0)
         offp = jnp.where(

@@ -99,6 +99,38 @@ class ShardedChunkCodec:
     def decode(self, payloads, sizes, n_valid) -> jax.Array:
         return self._decoder(payloads.shape[1]).decode_chunks(payloads, sizes, n_valid)
 
+    def decode_exact(self, payloads, sizes, n_valid) -> np.ndarray:
+        """decode + the host-RETRY escape (same contract as the single-chip
+        pipeline, pipeline.py:627): chunks the device tier flags RETRY —
+        mis-speculated Gorilla window, 9+-byte tokens, per-chunk V5 wire-mode
+        divergence — are re-decoded host-side, so the result is exact for
+        every legal stream. Returns host rows (C, N, step)."""
+        out, consumed = self.decode(payloads, sizes, n_valid)
+        out_h = np.array(np.asarray(out))  # writable ordered gather
+        cons = np.asarray(consumed)
+        from ..ops.adaptive_decode import RETRY
+
+        bad = np.nonzero((cons == RETRY) & (np.asarray(n_valid) > 0))[0]
+        if len(bad):
+            from .. import native
+            from ..ref import stage1 as np_stage1
+            from ..ref import v5 as np_v5
+
+            pay_h = np.asarray(payloads)
+            sz = np.asarray(sizes)
+            nv = np.asarray(n_valid)
+            for i in bad:
+                data = pay_h[i, : sz[i]]
+                rows = out_h[i, : nv[i]]
+                if native.available() and self.plan.units and len(self.plan.units) <= 64:
+                    pos = native.decode_chunk(self.plan, data, rows, int(nv[i]))
+                else:
+                    pos = np_stage1.decode_chunk(self.plan, data, rows, int(nv[i]))
+                if self.adaptive_modes is not None:  # wire carries sections
+                    for field in self.plan.adaptive:
+                        pos = np_v5.decode_section(field, data, pos, rows, int(nv[i]))
+        return out_h
+
 
 def shard_rows(rows: np.ndarray, chunk_points: int, mesh: Mesh, axis: str = "data"):
     """Host rows (n, step) -> (device-sharded (C, N, step), n_valid (C,)).

@@ -78,3 +78,34 @@ def test_auto_backend_selection_is_fallback_on_cpu():
     for c in range(C):
         ref = _ref(mask[c], val[c], K)
         np.testing.assert_array_equal(out[c][: len(ref)], ref)
+
+
+def test_cross_backend_contract_full_chunk_shape():
+    """VERDICT r3 item 6c: the TPU kernel (interpret mode) and the XLA sort
+    fallback must agree at FULL-CHUNK shapes — multi-tile grids with carry
+    crossing tile boundaries and a partial last output row. The r3
+    regression shipped because kernel-vs-fallback equivalence was only
+    ever asserted on toy shapes."""
+    rng = np.random.default_rng(0xC0FFEE)
+    C, B, tile = 2, 65536, 256          # 2 tiles of (256, 128) per chunk row
+    K = 32768                           # full 32Ki-token output
+    # density chosen so valid counts straddle K (one row under, one over)
+    mask = np.zeros((C, B), np.int32)
+    mask[0] = rng.random(B) < 0.3       # ~19.6k valid < K
+    mask[1] = rng.random(B) < 0.7       # ~45.9k valid > K (truncated at K)
+    val = rng.integers(0, 2**32, (C, B), dtype=np.int64).astype(np.uint32)
+    val2 = rng.integers(0, 2**32, (C, B), dtype=np.int64).astype(np.uint32)
+
+    k1, k2 = masked_compact(mask, (val, val2), K, tile_rows=tile,
+                            interpret=True)
+    f1, f2 = _xla_fallback(jnp.asarray(mask),
+                           (jnp.asarray(val), jnp.asarray(val2)), K)
+    k1, k2, f1, f2 = map(np.asarray, (k1, k2, f1, f2))
+    for c in range(C):
+        n = min(int(mask[c].sum()), K)
+        ref1 = _ref(mask[c], val[c], K)[:n]
+        ref2 = _ref(mask[c], val2[c], K)[:n]
+        np.testing.assert_array_equal(k1[c][:n], ref1)
+        np.testing.assert_array_equal(f1[c][:n], ref1)
+        np.testing.assert_array_equal(k2[c][:n], ref2)
+        np.testing.assert_array_equal(f2[c][:n], ref2)
