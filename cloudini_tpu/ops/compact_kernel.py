@@ -105,7 +105,7 @@ def _roll_flat_left(x, k: int, lane_iota, interpret: bool):
 
 
 def _kernel(mask_ref, *refs, S: int, out_rows_per_chunk: int, n_words: int,
-            interpret: bool):
+            fuse_bits, interpret: bool):
     val_refs = refs[:n_words]
     out_refs = refs[n_words:2 * n_words]
     carry = refs[2 * n_words]           # SMEM (1,)   running valid count
@@ -146,37 +146,73 @@ def _kernel(mask_ref, *refs, S: int, out_rows_per_chunk: int, n_words: int,
     p = jax.lax.rem(off, 128)
     row0 = jax.lax.div(off, 128)
 
-    # ---- working tiles: row 0 reserved for the pending partial row --------
-    lane_w = jax.lax.broadcasted_iota(jnp.int32, (S + 1, 128), 1)
-    sub_w = jax.lax.broadcasted_iota(jnp.int32, (S + 1, 128), 0)
+    # ---- working tiles: row 0 reserved for the pending partial row; the
+    # bottom pads to a multiple of 8 rows so every move-loop op runs on
+    # (8,128)-aligned vregs (257 rows = 32.125 row-tiles otherwise). Dead
+    # rows carry zeros; movers can never wrap into them (a round-b mover's
+    # residual is >= 2**b, so its position is >= the shift). -------------
+    WR = -(-(S + 1) // 8) * 8
+    lane_w = jax.lax.broadcasted_iota(jnp.int32, (WR, 128), 1)
+    sub_w = jax.lax.broadcasted_iota(jnp.int32, (WR, 128), 0)
     pos_w = sub_w * 128 + lane_w
 
     zrow_i = jnp.zeros((1, 128), jnp.int32)
-    v_w = jnp.concatenate([zrow_i, mi], axis=0)  # int32 0/1 (Mosaic cannot
-    # roll i1 vectors, so every shifted mask stays int32)
-    dest = jnp.concatenate([zrow_i, rank + p], axis=0)
+    zpad_i = jnp.zeros((WR - S - 1, 128), jnp.int32)
+    v_w = jnp.concatenate([zrow_i, mi, zpad_i], axis=0)  # int32 0/1 (Mosaic
+    # cannot roll i1 vectors, so every shifted mask stays int32)
     zrow_u = jnp.zeros((1, 128), jnp.uint32)
-    ws = [jnp.concatenate([zrow_u, vr[:]], axis=0) for vr in val_refs]
+    zpad_u = jnp.zeros((WR - S - 1, 128), jnp.uint32)
+    ws = [jnp.concatenate([zrow_u, vr[:], zpad_u], axis=0) for vr in val_refs]
 
+    # Move rounds (r4 reformulation): the per-lane residual distance
+    # ``pos - dest`` rides IN a moved word instead of a separate rolled
+    # ``dest`` plus a rolled mover mask — the residual's untraversed low
+    # bits are exactly the bits not yet processed, so bit b can be read
+    # off the carried word and subtracted as the lane moves.
+    #   * fuse_bits=k (single value word, caller promises nonzero values
+    #     < 2**k on masked lanes): residual packs into bits k.. of the
+    #     VALUE word itself -> ONE rolled word per round (was three).
+    #     After the last round every residual is zero, so the word IS the
+    #     value again.
+    #   * generic: a meta word ``residual<<1 | valid`` replaces the dest
+    #     and mover-mask rolls -> 1+n_words rolled words (was 2+n_words).
     n_bits = int(np.ceil(np.log2((S + 1) * 128)))
-    for b in range(n_bits):
-        sh = 1 << b
-        bit = jax.lax.shift_right_logical(pos_w - dest, np.int32(b)) & 1
-        condi = v_w * bit                                    # int32 0/1
-        takei = _roll_flat_left(condi, sh, lane_w, interpret)
-        take = takei != 0
-        keep = (v_w - condi) != 0
-        dest = jnp.where(take, _roll_flat_left(dest, sh, lane_w, interpret),
-                         dest)
-        ws = [jnp.where(take, _roll_flat_left(w, sh, lane_w, interpret),
-                        jnp.where(keep, w, jnp.zeros_like(w)))
-              for w in ws]
-        v_w = takei | (v_w - condi)
+    dest_w = jnp.concatenate([zrow_i, rank + p, zpad_i], axis=0)
+    resid = (pos_w - dest_w) * v_w
+
+    def _move(m, others, base_bit):
+        """LSB-first conditional shifts of [m]+others; m carries the
+        residual at bits base_bit.. and is nonzero exactly on live lanes."""
+        for b in range(n_bits):
+            sh = 1 << b
+            condi = (m >> jnp.uint32(base_bit + b)) & jnp.uint32(1)
+            mov = m * condi
+            stay = m - mov
+            rmov = _roll_flat_left(mov, sh, lane_w, interpret)
+            take = rmov != 0
+            keep = stay != 0
+            m = stay + rmov - (take.astype(jnp.uint32) << jnp.uint32(base_bit + b))
+            others = [jnp.where(take, _roll_flat_left(w, sh, lane_w, interpret),
+                                jnp.where(keep, w, jnp.zeros_like(w)))
+                      for w in others]
+        return m, others
+
+    if fuse_bits is not None:
+        assert n_words == 1
+        # mask in-kernel: unmasked lanes must be dead even if the caller's
+        # value word is nonzero there
+        m0 = (ws[0] | (resid.astype(jnp.uint32) << jnp.uint32(fuse_bits))) \
+            * v_w.astype(jnp.uint32)
+        m0, _ = _move(m0, [], fuse_bits)
+        ws = [m0]  # residuals are all zero: the word is the value again
+    else:
+        meta = ((resid << 1) | v_w).astype(jnp.uint32)
+        _, ws = _move(meta, ws, 1)
 
     # ---- stitch previous partial row, save the new one, write out ---------
     row0_mask = sub_w == 0
     for i, w in enumerate(ws):
-        pend_b = jnp.broadcast_to(pend[i, 0:1, :], (S + 1, 128))
+        pend_b = jnp.broadcast_to(pend[i, 0:1, :], (WR, 128))
         work[i, :, :] = w | jnp.where(row0_mask, pend_b, jnp.uint32(0))
     q = jax.lax.div(p + cnt, 128)      # partial-row index within work
     for i in range(n_words):
@@ -185,7 +221,8 @@ def _kernel(mask_ref, *refs, S: int, out_rows_per_chunk: int, n_words: int,
     out_base = c * out_rows_per_chunk + row0
     copies = [
         pltpu.make_async_copy(
-            work.at[i], out_refs[i].at[pl.ds(out_base, S + 1), :], sems.at[i]
+            work.at[i, pl.ds(0, S + 1)],
+            out_refs[i].at[pl.ds(out_base, S + 1), :], sems.at[i]
         )
         for i in range(n_words)
     ]
@@ -219,6 +256,7 @@ def _xla_fallback(mask, vals, out_cols: int):
 
 
 def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
+                   fuse_bits: int | None = None,
                    interpret: bool | None = None):
     """Per-chunk-row stream compaction: pack ``vals`` lanes where ``mask``
     is nonzero to the front, preserving order.
@@ -228,6 +266,11 @@ def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
       vals: one (C, B) uint32 array or a tuple of them (shared mask).
       out_cols: output columns K (multiple of 128).
       tile_rows: sublane rows per kernel tile (auto-shrunk to fit B).
+      fuse_bits: single-word fast path — caller promises every masked
+        lane's value is NONZERO and < 2**fuse_bits, letting the kernel
+        carry the move residual in the value word's high bits (one rolled
+        word per shift round instead of three; needs
+        fuse_bits + ceil(log2((tile_rows+1)*128)) <= 32).
       interpret: force Pallas interpret mode (tests); None = auto — the
         Mosaic kernel on TPU, the XLA sort fallback elsewhere.
     Returns:
@@ -237,6 +280,7 @@ def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
     """
     single = not isinstance(vals, (tuple, list))
     vals = (vals,) if single else tuple(vals)
+    assert fuse_bits is None or len(vals) == 1
     if interpret is None:
         if jax.default_backend() != "tpu":
             outs = _xla_fallback(mask, vals, out_cols)
@@ -279,9 +323,12 @@ def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
     out_shape = tuple(
         jax.ShapeDtypeStruct((C * out_rows, 128), jnp.uint32)
         for _ in range(n_words))
+    if fuse_bits is not None:
+        assert fuse_bits + int(np.ceil(np.log2((S + 1) * 128))) <= 32, (
+            fuse_bits, S)
     kernel = functools.partial(
         _kernel, S=S, out_rows_per_chunk=out_rows, n_words=n_words,
-        interpret=interpret,
+        fuse_bits=fuse_bits, interpret=interpret,
     )
     outs = pl.pallas_call(
         kernel,
@@ -292,7 +339,7 @@ def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
         scratch_shapes=[
             pltpu.SMEM((1,), jnp.int32),
             pltpu.VMEM((n_words, 1, 128), jnp.uint32),
-            pltpu.VMEM((n_words, S + 1, 128), jnp.uint32),
+            pltpu.VMEM((n_words, -(-(S + 1) // 8) * 8, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((n_words,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

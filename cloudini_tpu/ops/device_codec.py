@@ -44,15 +44,18 @@ def encoder_supports_plan(plan: CodecPlan) -> bool:
 
 
 def encoder_prefers_device(plan: CodecPlan) -> bool:
-    """Whether the ``auto`` backend should pick the device encoder — yes for
-    every plan since r3. The r2 rejection of Gorilla plans rested on an
-    18.4 s/iter wall that turned out to be a measurement artifact (an
-    un-warmed first call inside the timed region — PROFILE.md r3 section);
-    measured clean, the device mixed-DDS encode runs 1.03 GB/s after the r3
-    window fill-forward (no gathers) and the point-0 out-of-band tier system
-    (scripts/mixed_plan_bisect.py) vs the 0.67-0.9 GB/s host-native bar.
-    Small clouds still route to the host via AUTO_DEVICE_MIN_CHUNKS."""
-    return True
+    """Whether the ``auto`` backend should pick the device encoder.
+
+    r4, driver-verified (BENCH_r04 ``dds_mixed_fsm_decode.encode_gbps``):
+    device mixed/Gorilla ENCODE measures ~0.25 GB/s on chip vs 0.589
+    host-native on the real tiled dds fixture — the r3 universal flip's
+    1.03 GB/s probe figure does not reproduce under the honest jitted
+    chain (profile: the tier-ladder conds + the Gorilla window scan
+    dominate). Gorilla plans therefore route encode to the host under
+    ``auto``; everything else stays on device (headline XYZI encode runs
+    2.38 GB/s vs ~0.6 host). Small clouds still route to the host via
+    AUTO_DEVICE_MIN_CHUNKS; explicit backend='device' always dispatches."""
+    return not any(u.kind == UnitKind.GORILLA for u in plan.units)
 
 
 def decoder_prefers_device(plan: CodecPlan) -> bool:
@@ -331,7 +334,10 @@ def _interleave_scatter(token_streams, n_points: int, max_bytes: int,
         main = jnp.stack(cols, axis=-1).reshape(c, n_cols * len(cols))
         pk = jnp.concatenate([p0_pack, main], axis=-1)
         out_cols = -(-max_bytes // 128) * 128
-        stream = masked_compact(pk, pk, out_cols)
+        # fuse_bits=9: every valid lane is byte|0x100 (nonzero, < 2**9), so
+        # the kernel carries the move residual in the same word — one rolled
+        # word per shift round (r4, ~2x on the interleave kernel)
+        stream = masked_compact(pk, pk, out_cols, fuse_bits=9)
         out = (stream[:, :max_bytes] & np.uint32(0xFF)).astype(jnp.uint8)
         # lanes past each chunk's total are unspecified (kernel) or zero
         # (fallback): zero them

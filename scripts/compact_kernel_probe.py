@@ -55,11 +55,16 @@ def main():
     d_val2 = jax.device_put(val2)
     d_key = jax.device_put(key32)
 
+    val9 = ((val & np.uint32(0xFF)) | np.uint32(0x100)) * mask.astype(np.uint32)
+    d_val9 = jax.device_put(val9)
+
     for tr in (128, 256, 512):
         _time(lambda v, tr=tr: masked_compact(d_mask, v, K, tile_rows=tr),
               d_val, f"kernel_1word_S{tr}")
     _time(lambda v: masked_compact(d_mask, (v, d_val2), K, tile_rows=256)[0],
           d_val, "kernel_2word_S256")
+    _time(lambda v: masked_compact(d_mask, v, K, tile_rows=256, fuse_bits=9),
+          d_val9, "kernel_fused9_S256")
 
     def sort2(v):
         _, p = jax.lax.sort((d_key, v), dimension=1, num_keys=1,
@@ -82,6 +87,11 @@ def main():
         ref2 = val2[c][mask[c] != 0][:K]
         assert np.array_equal(np.asarray(o1[c])[: len(ref1)], ref1), c
         assert np.array_equal(np.asarray(o2[c])[: len(ref2)], ref2), c
+    outf = jax.jit(
+        lambda m, v: masked_compact(m, v, K, fuse_bits=9))(d_mask, d_val9)
+    for c in (0, C - 1):
+        ref = val9[c][mask[c] != 0][:K]
+        assert np.array_equal(np.asarray(outf[c])[: len(ref)], ref), f"fused {c}"
     print("# correctness OK (chip)", flush=True)
 
 

@@ -109,3 +109,23 @@ def test_cross_backend_contract_full_chunk_shape():
         np.testing.assert_array_equal(f1[c][:n], ref1)
         np.testing.assert_array_equal(k2[c][:n], ref2)
         np.testing.assert_array_equal(f2[c][:n], ref2)
+
+
+@pytest.mark.parametrize("C,B,dens,tile", [(2, 2048, 0.25, 8), (2, 65536, 0.6, 256)])
+def test_fused_single_word_path(C, B, dens, tile):
+    """fuse_bits: the encode interleave's byte|0x100 lanes (< 2**9, nonzero
+    on every masked lane) ride the one-rolled-word fast path; must match the
+    generic kernel and the reference exactly."""
+    rng = np.random.default_rng(B + C)
+    mask = (rng.random((C, B)) < dens).astype(np.int32)
+    val = (rng.integers(0, 256, (C, B), dtype=np.int64).astype(np.uint32)
+           | np.uint32(0x100)) * mask.astype(np.uint32)
+    K = ((B // 2) // 128 + 2) * 128
+    fused = np.asarray(masked_compact(mask, val, K, tile_rows=tile,
+                                      fuse_bits=9, interpret=True))
+    generic = np.asarray(masked_compact(mask, val, K, tile_rows=tile,
+                                        interpret=True))
+    for c in range(C):
+        ref = _ref(mask[c], val[c], K)
+        np.testing.assert_array_equal(fused[c][: len(ref)], ref)
+        np.testing.assert_array_equal(generic[c][: len(ref)], ref)
