@@ -97,148 +97,273 @@ def _roll_flat_left(x, k: int, lane_iota, interpret: bool):
     kr, kl = divmod(k, 128)
     if kl == 0:
         return _roll_up_sub(x, kr, interpret)
-    a = _roll_left_lane(_roll_up_sub(x, kr, interpret), kl, interpret)
-    b = _roll_left_lane(_roll_up_sub(x, kr + 1, interpret), kl, interpret)
     # flat element f reads f+k: lanes < 128-kl stay in row-block a, the
-    # tail wraps into the next row (b)
+    # tail wraps into the next row — which is a itself rolled up one more
+    # sublane (roll_up and lane-roll commute), saving a second lane roll
+    a = _roll_left_lane(_roll_up_sub(x, kr, interpret), kl, interpret)
+    b = _roll_up_sub(a, 1, interpret)
     return jnp.where(lane_iota < 128 - kl, a, b)
 
 
-def _kernel(mask_ref, *refs, S: int, out_rows_per_chunk: int, n_words: int,
-            fuse_bits, interpret: bool):
-    val_refs = refs[:n_words]
-    out_refs = refs[n_words:2 * n_words]
-    carry = refs[2 * n_words]           # SMEM (1,)   running valid count
-    pend = refs[2 * n_words + 1]        # VMEM (n_words, 1, 128) partial row
-    work = refs[2 * n_words + 2]        # VMEM (n_words, S+1, 128) scratch
-    sems = refs[2 * n_words + 3]        # DMA sems (n_words,)
+import os as _os
+
+# Both knobs measured on chip (scripts/fused_bisect.py, r4, 50% density,
+# (64,262144)): max-residual guards on the top move rounds are a net LOSS
+# at real densities (the residual's top bit is almost always live — 6.17 ms
+# without guards vs 6.44 with), and deriving the valid mask from the value
+# word instead of streaming the mask is catastrophically slower (14.88 ms
+# vs 6.17 — Mosaic pipelines the two-stream form better). Defaults: guards
+# off, mask streamed; env knobs kept for re-measurement.
+_GUARD_FROM = int(_os.environ.get("CLDN_COMPACT_GUARD_FROM", "99"))
+_FUSED_MASK = _os.environ.get("CLDN_COMPACT_FUSED_MASK", "1") == "1"
+
+
+def _kernel(*refs, S: int, out_rows_per_chunk: int, n_words: int,
+            fuse_bits, has_mask: bool, has_init: bool, interpret: bool):
+    k = 0
+    if has_mask:
+        mask_ref = refs[0]
+        k = 1
+    val_refs = refs[k:k + n_words]
+    k += n_words
+    if has_init:
+        init_row_ref = refs[k]          # (1,1,128) per chunk: pre-packed head
+        init_cnt_ref = refs[k + 1]      # SMEM (C,) whole array: valid counts
+        k += 2
+    out_refs = refs[k:k + n_words]
+    k += n_words
+    carry = refs[k]                     # SMEM (1,)   running valid count
+    pend = refs[k + 1]                  # VMEM (n_words, 1, 128) partial row
+    work = refs[k + 2]                  # VMEM (n_words, S+1, 128) scratch
+    sems = refs[k + 3]                  # DMA sems (n_words,)
+    inflight = refs[k + 4]              # SMEM (1,)   output copy in flight?
 
     c = pl.program_id(0)
     t = pl.program_id(1)
+    nC = pl.num_programs(0)
+    nT = pl.num_programs(1)
 
     @pl.when(t == 0)
     def _init():
-        carry[0] = 0
-        pend[...] = jnp.zeros_like(pend)
+        if has_init:
+            # the caller's pre-packed head bytes (e.g. encode's out-of-band
+            # point 0) seed the pending row + running count, so they never
+            # travel through the move loop (and the stream needs no concat)
+            carry[0] = init_cnt_ref[c]
+            pend[0, :, :] = init_row_ref[0]
+        else:
+            carry[0] = 0                # per-chunk running count
+            pend[...] = jnp.zeros_like(pend)
 
-    m = mask_ref[:] != 0
-    mi = m.astype(jnp.int32)
+    @pl.when((c == 0) & (t == 0))
+    def _init_global():
+        inflight[0] = 0
 
-    # ---- exclusive rank within tile (row-major flattened) -----------------
-    lane = jax.lax.broadcasted_iota(jnp.int32, (S, 128), 1)
-    cs = mi
-    for b in range(7):
-        sh = 1 << b
-        cs = cs + jnp.where(lane >= sh, _roll_right_lane(cs, sh, interpret), 0)
-    row_tot = cs[:, 127:128]                          # (S,1) inclusive sums
-    row_idx = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
-    row_pre = row_tot
-    b = 1
-    while b < S:
-        row_pre = row_pre + jnp.where(
-            row_idx >= b, _roll_down_sub(row_pre, b, interpret), 0)
-        b *= 2
-    row_excl = row_pre - row_tot                      # (S,1) exclusive
-    rank = cs - mi + row_excl                         # (S,128) exclusive
-    cnt = row_pre[S - 1, 0]
-
-    off = carry[0]
-    p = jax.lax.rem(off, 128)
-    row0 = jax.lax.div(off, 128)
-
-    # ---- working tiles: row 0 reserved for the pending partial row; the
-    # bottom pads to a multiple of 8 rows so every move-loop op runs on
-    # (8,128)-aligned vregs (257 rows = 32.125 row-tiles otherwise). Dead
-    # rows carry zeros; movers can never wrap into them (a round-b mover's
-    # residual is >= 2**b, so its position is >= the shift). -------------
-    WR = -(-(S + 1) // 8) * 8
-    lane_w = jax.lax.broadcasted_iota(jnp.int32, (WR, 128), 1)
-    sub_w = jax.lax.broadcasted_iota(jnp.int32, (WR, 128), 0)
-    pos_w = sub_w * 128 + lane_w
-
-    zrow_i = jnp.zeros((1, 128), jnp.int32)
-    zpad_i = jnp.zeros((WR - S - 1, 128), jnp.int32)
-    v_w = jnp.concatenate([zrow_i, mi, zpad_i], axis=0)  # int32 0/1 (Mosaic
-    # cannot roll i1 vectors, so every shifted mask stays int32)
-    zrow_u = jnp.zeros((1, 128), jnp.uint32)
-    zpad_u = jnp.zeros((WR - S - 1, 128), jnp.uint32)
-    ws = [jnp.concatenate([zrow_u, vr[:], zpad_u], axis=0) for vr in val_refs]
-
-    # Move rounds (r4 reformulation): the per-lane residual distance
-    # ``pos - dest`` rides IN a moved word instead of a separate rolled
-    # ``dest`` plus a rolled mover mask — the residual's untraversed low
-    # bits are exactly the bits not yet processed, so bit b can be read
-    # off the carried word and subtracted as the lane moves.
-    #   * fuse_bits=k (single value word, caller promises nonzero values
-    #     < 2**k on masked lanes): residual packs into bits k.. of the
-    #     VALUE word itself -> ONE rolled word per round (was three).
-    #     After the last round every residual is zero, so the word IS the
-    #     value again.
-    #   * generic: a meta word ``residual<<1 | valid`` replaces the dest
-    #     and mover-mask rolls -> 1+n_words rolled words (was 2+n_words).
-    n_bits = int(np.ceil(np.log2((S + 1) * 128)))
-    dest_w = jnp.concatenate([zrow_i, rank + p, zpad_i], axis=0)
-    resid = (pos_w - dest_w) * v_w
-
-    def _move(m, others, base_bit):
-        """LSB-first conditional shifts of [m]+others; m carries the
-        residual at bits base_bit.. and is nonzero exactly on live lanes."""
-        for b in range(n_bits):
-            sh = 1 << b
-            condi = (m >> jnp.uint32(base_bit + b)) & jnp.uint32(1)
-            mov = m * condi
-            stay = m - mov
-            rmov = _roll_flat_left(mov, sh, lane_w, interpret)
-            take = rmov != 0
-            keep = stay != 0
-            m = stay + rmov - (take.astype(jnp.uint32) << jnp.uint32(base_bit + b))
-            others = [jnp.where(take, _roll_flat_left(w, sh, lane_w, interpret),
-                                jnp.where(keep, w, jnp.zeros_like(w)))
-                      for w in others]
-        return m, others
-
-    if fuse_bits is not None:
-        assert n_words == 1
-        # mask in-kernel: unmasked lanes must be dead even if the caller's
-        # value word is nonzero there
-        m0 = (ws[0] | (resid.astype(jnp.uint32) << jnp.uint32(fuse_bits))) \
-            * v_w.astype(jnp.uint32)
-        m0, _ = _move(m0, [], fuse_bits)
-        ws = [m0]  # residuals are all zero: the word is the value again
+    # fused mode derives validity from the value word itself (the caller
+    # promises nonzero values on masked lanes), saving a whole input stream
+    if has_mask:
+        mi = (mask_ref[:] != 0).astype(jnp.int32)
     else:
-        meta = ((resid << 1) | v_w).astype(jnp.uint32)
-        _, ws = _move(meta, ws, 1)
+        mi = (val_refs[0][:] != 0).astype(jnp.int32)
+    total_valid = jnp.sum(mi)
 
-    # ---- stitch previous partial row, save the new one, write out ---------
-    row0_mask = sub_w == 0
-    for i, w in enumerate(ws):
-        pend_b = jnp.broadcast_to(pend[i, 0:1, :], (WR, 128))
-        work[i, :, :] = w | jnp.where(row0_mask, pend_b, jnp.uint32(0))
-    q = jax.lax.div(p + cnt, 128)      # partial-row index within work
-    for i in range(n_words):
-        pend[i, :, :] = work[i, pl.ds(q, 1), :]
+    def _wait_out_copies():
+        for i in range(n_words):
+            pltpu.make_async_copy(
+                work.at[i, pl.ds(0, S + 1)],
+                out_refs[i].at[pl.ds(0, S + 1), :], sems.at[i]).wait()
 
-    out_base = c * out_rows_per_chunk + row0
-    copies = [
-        pltpu.make_async_copy(
-            work.at[i, pl.ds(0, S + 1)],
-            out_refs[i].at[pl.ds(out_base, S + 1), :], sems.at[i]
-        )
-        for i in range(n_words)
-    ]
-    for cp in copies:
-        cp.start()
-    for cp in copies:
-        cp.wait()
+    # an all-invalid tile (stream-axis zero padding, ragged chunks) touches
+    # no state at all: carry/pend unchanged, no output rows written (lanes
+    # at/after each row's valid count are unspecified by contract)
+    @pl.when(total_valid > 0)
+    def _body():
+        # ---- exclusive rank within tile (row-major flattened) -------------
+        # within-row inclusive prefix on the MXU: cs[r, j] = sum_{i<=j}
+        # mi[r, i] via mi @ upper-tri ones — one (S,128)x(128,128) matmul
+        # instead of 7 roll+select+add lane rounds (counts <= 128 are exact
+        # in bf16 operands with f32 accumulation)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+        jj = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+        tri = (ii <= jj).astype(jnp.bfloat16)
+        cs = jax.lax.dot_general(
+            mi.astype(jnp.bfloat16), tri, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.int32)
+        row_tot = cs[:, 127:128]                      # (S,1) inclusive sums
+        row_idx = jax.lax.broadcasted_iota(jnp.int32, (S, 1), 0)
+        row_pre = row_tot
+        b = 1
+        while b < S:
+            row_pre = row_pre + jnp.where(
+                row_idx >= b, _roll_down_sub(row_pre, b, interpret), 0)
+            b *= 2
+        row_excl = row_pre - row_tot                  # (S,1) exclusive
+        rank = cs - mi + row_excl                     # (S,128) exclusive
+        cnt = row_pre[S - 1, 0]
 
-    carry[0] = off + cnt
+        off = carry[0]
+        p = jax.lax.rem(off, 128)
+        row0 = jax.lax.div(off, 128)
+
+        # ---- working tiles: row 0 reserved for the pending partial row; the
+        # bottom pads to a multiple of 8 rows so every move-loop op runs on
+        # (8,128)-aligned vregs (257 rows = 32.125 row-tiles otherwise). Dead
+        # rows carry zeros; movers can never wrap into them (a round-b
+        # mover's residual is >= 2**b, so its position is >= the shift). ----
+        WR = -(-(S + 1) // 8) * 8
+        lane_w = jax.lax.broadcasted_iota(jnp.int32, (WR, 128), 1)
+        sub_w = jax.lax.broadcasted_iota(jnp.int32, (WR, 128), 0)
+        pos_w = sub_w * 128 + lane_w
+
+        zrow_i = jnp.zeros((1, 128), jnp.int32)
+        zpad_i = jnp.zeros((WR - S - 1, 128), jnp.int32)
+        v_w = jnp.concatenate([zrow_i, mi, zpad_i], axis=0)  # int32 0/1
+        # (Mosaic cannot roll i1 vectors, so every shifted mask stays int32)
+        zrow_u = jnp.zeros((1, 128), jnp.uint32)
+        zpad_u = jnp.zeros((WR - S - 1, 128), jnp.uint32)
+        ws = [jnp.concatenate([zrow_u, vr[:], zpad_u], axis=0)
+              for vr in val_refs]
+
+        # Move rounds (r4 reformulation): the per-lane residual distance
+        # ``pos - dest`` rides IN a moved word instead of a separate rolled
+        # ``dest`` plus a rolled mover mask — the residual's untraversed low
+        # bits are exactly the bits not yet processed, so bit b can be read
+        # off the carried word and cleared as the lane moves.
+        #   * fuse_bits=k (single value word, caller promises nonzero values
+        #     < 2**k on masked lanes): residual packs into bits k.. of the
+        #     VALUE word itself -> ONE rolled word per round (was three).
+        #     After the last round every residual is zero, so the word IS
+        #     the value again.
+        #   * generic: a meta word ``residual<<1 | valid`` replaces the dest
+        #     and mover-mask rolls -> 1+n_words rolled words (was 2+n_words).
+        # Rounds >= _GUARD_FROM run under a scalar max-residual guard: a
+        # round whose shift exceeds every residual moves nothing (LSB-first
+        # clearing only shrinks residuals), so dense tiles skip the top
+        # rounds entirely.
+        n_bits = int(np.ceil(np.log2((S + 1) * 128)))
+        dest_w = jnp.concatenate([zrow_i, rank + p, zpad_i], axis=0)
+        resid = (pos_w - dest_w) * v_w
+        mr = jnp.max(resid)
+
+        def _move(m, others, base_bit):
+            """LSB-first conditional shifts of [m]+others; m carries the
+            residual at bits base_bit.. and is nonzero exactly on live
+            lanes. The moved bit is cleared BEFORE the roll (the mover's
+            word keeps its low valid/value bits, so it stays nonzero)."""
+            others = tuple(others)
+
+            def mk_round(b):
+                sh = 1 << b
+                bitpos = jnp.uint32(base_bit + b)
+
+                def round_fn(m, others):
+                    condi = (m >> bitpos) & jnp.uint32(1)
+                    mov = m * condi
+                    stay = m - mov
+                    movc = mov - (condi << bitpos)
+                    rmov = _roll_flat_left(movc, sh, lane_w, interpret)
+                    m2 = stay + rmov
+                    if others:
+                        take = rmov != 0
+                        keep = stay != 0
+                        others2 = tuple(
+                            jnp.where(
+                                take,
+                                _roll_flat_left(w, sh, lane_w, interpret),
+                                jnp.where(keep, w, jnp.zeros_like(w)))
+                            for w in others)
+                    else:
+                        others2 = others
+                    return m2, others2
+
+                return round_fn
+
+            for b in range(n_bits):
+                rf = mk_round(b)
+                if b < _GUARD_FROM:
+                    m, others = rf(m, others)
+                else:
+                    m, others = jax.lax.cond(
+                        mr >= (1 << b), rf,
+                        lambda m_, o_: (m_, o_), m, others)
+            return m, list(others)
+
+        if fuse_bits is not None:
+            assert n_words == 1
+            # mask in-kernel: unmasked lanes must be dead even if the
+            # caller's value word is nonzero there
+            m0 = (ws[0] | (resid.astype(jnp.uint32) << jnp.uint32(fuse_bits))) \
+                * v_w.astype(jnp.uint32)
+            m0, _ = _move(m0, [], fuse_bits)
+            ws = [m0]  # residuals are all zero: the word is the value again
+        else:
+            meta = ((resid << 1) | v_w).astype(jnp.uint32)
+            _, ws = _move(meta, ws, 1)
+
+        # ---- wait for the PREVIOUS tile's output copy (it overlapped this
+        # tile's whole compute), then stitch + write + start this one's ----
+        @pl.when(inflight[0] == 1)
+        def _wait_prev():
+            _wait_out_copies()
+
+        row0_mask = sub_w == 0
+        for i, w in enumerate(ws):
+            pend_b = jnp.broadcast_to(pend[i, 0:1, :], (WR, 128))
+            work[i, :, :] = w | jnp.where(row0_mask, pend_b, jnp.uint32(0))
+        q = jax.lax.div(p + cnt, 128)      # partial-row index within work
+        for i in range(n_words):
+            pend[i, :, :] = work[i, pl.ds(q, 1), :]
+
+        out_base = c * out_rows_per_chunk + row0
+        for i in range(n_words):
+            pltpu.make_async_copy(
+                work.at[i, pl.ds(0, S + 1)],
+                out_refs[i].at[pl.ds(out_base, S + 1), :], sems.at[i]
+            ).start()
+        inflight[0] = 1
+        carry[0] = off + cnt
+
+    if has_init:
+        # the head bytes live only in ``pend`` until a body tile stitches
+        # them; a chunk whose whole main stream is empty (or whose last
+        # tiles are padding) still must land them — rewrite the partial
+        # row at each chunk's last tile (identical bytes when a body
+        # already wrote it)
+        @pl.when(t == nT - 1)
+        def _flush_head():
+            @pl.when(inflight[0] == 1)
+            def _w():
+                _wait_out_copies()
+            inflight[0] = 0
+            row_p = jax.lax.div(carry[0], 128)
+            for i in range(n_words):
+                cp = pltpu.make_async_copy(
+                    pend.at[i],
+                    out_refs[i].at[
+                        pl.ds(c * out_rows_per_chunk + row_p, 1), :],
+                    sems.at[i])
+                cp.start()
+                cp.wait()
+
+    @pl.when((c == nC - 1) & (t == nT - 1) & (inflight[0] == 1))
+    def _final_wait():
+        _wait_out_copies()
 
 
-def _xla_fallback(mask, vals, out_cols: int):
+def _xla_fallback(mask, vals, out_cols: int, init_row=None, init_count=None):
     """Sort-based compaction for non-TPU backends (tests run the device
     codec on CPU meshes; interpret-mode Pallas is orders of magnitude too
     slow there). Unstable sort with unique position keys == stable
-    compaction."""
+    compaction. ``init_row``/``init_count`` prepend a pre-packed head row
+    (the kernel's pend-seed feature) by widening the stream."""
+    if init_row is not None:
+        C0 = mask.shape[0]
+        head_valid = (jnp.arange(128, dtype=jnp.int32)[None, :]
+                      < init_count[:, None]).astype(jnp.int32)
+        mask = jnp.concatenate([head_valid, mask.astype(jnp.int32)], axis=-1)
+        vals = tuple(
+            jnp.concatenate([init_row.astype(jnp.uint32),
+                             v.astype(jnp.uint32)], axis=-1) for v in vals)
     C, B = mask.shape
     pos = jnp.arange(B, dtype=jnp.uint32)[None, :]
     key = jnp.where(mask != 0, pos, np.uint32(0xFFFFFFFF))
@@ -257,6 +382,7 @@ def _xla_fallback(mask, vals, out_cols: int):
 
 def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
                    fuse_bits: int | None = None,
+                   init_row=None, init_count=None,
                    interpret: bool | None = None):
     """Per-chunk-row stream compaction: pack ``vals`` lanes where ``mask``
     is nonzero to the front, preserving order.
@@ -271,6 +397,13 @@ def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
         carry the move residual in the value word's high bits (one rolled
         word per shift round instead of three; needs
         fuse_bits + ceil(log2((tile_rows+1)*128)) <= 32).
+      init_row/init_count: (C, 128) uint32 + (C,) int32 pre-packed head
+        bytes per chunk (e.g. encode's out-of-band point 0) seeded into
+        the running output before the stream's own lanes — the packed
+        stream starts with them without any host-side concat. Requires
+        fuse_bits (single word) and init_count <= 127: the head must fit
+        a PARTIAL pending row (a full row would collide with the first
+        main lane's destination in the stitch).
       interpret: force Pallas interpret mode (tests); None = auto — the
         Mosaic kernel on TPU, the XLA sort fallback elsewhere.
     Returns:
@@ -281,9 +414,10 @@ def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
     single = not isinstance(vals, (tuple, list))
     vals = (vals,) if single else tuple(vals)
     assert fuse_bits is None or len(vals) == 1
+    assert init_row is None or fuse_bits is not None
     if interpret is None:
         if jax.default_backend() != "tpu":
-            outs = _xla_fallback(mask, vals, out_cols)
+            outs = _xla_fallback(mask, vals, out_cols, init_row, init_count)
             return outs[0] if single else outs
         interpret = False
     C, B = mask.shape
@@ -307,19 +441,36 @@ def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
     K = out_cols
     assert K % 128 == 0, K
     n_words = len(vals)
+    has_mask = fuse_bits is None or _FUSED_MASK
+    has_init = init_row is not None
     out_rows = K // 128 + (S + 1)   # slack: the last tile's DMA stays in
-    mask2 = mask.astype(jnp.int32).reshape(C * (B // 128), 128)
     vals2 = tuple(v.astype(jnp.uint32).reshape(C * (B // 128), 128)
                   for v in vals)
 
     def idx(c, t):
         return (c * n_tiles + t, 0)
 
-    in_specs = [pl.BlockSpec((S, 128), idx, memory_space=pltpu.VMEM)]
+    in_specs = []
+    inputs = []
+    if has_mask:
+        in_specs.append(pl.BlockSpec((S, 128), idx, memory_space=pltpu.VMEM))
+        inputs.append(mask.astype(jnp.int32).reshape(C * (B // 128), 128))
     in_specs += [pl.BlockSpec((S, 128), idx, memory_space=pltpu.VMEM)
                  for _ in range(n_words)]
+    inputs += list(vals2)
+    if has_init:
+        # (C,1,128) with block (1,1,128): Mosaic requires the last two block
+        # dims divisible by (8,128) OR equal to the array dims
+        in_specs.append(pl.BlockSpec((1, 1, 128), lambda c, t: (c, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        inputs.append(init_row.astype(jnp.uint32).reshape(-1, 1, 128))
+        # whole (C,) array in SMEM (rank-1 blocks must equal the array dim);
+        # the kernel indexes it by program id
+        in_specs.append(pl.BlockSpec((C,), lambda c, t: (0,),
+                                     memory_space=pltpu.SMEM))
+        inputs.append(init_count.astype(jnp.int32))
     out_specs = tuple(
-        pl.BlockSpec(memory_space=pltpu.ANY) for _ in range(n_words))
+        pl.BlockSpec(memory_space=pl.ANY) for _ in range(n_words))
     out_shape = tuple(
         jax.ShapeDtypeStruct((C * out_rows, 128), jnp.uint32)
         for _ in range(n_words))
@@ -328,7 +479,8 @@ def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
             fuse_bits, S)
     kernel = functools.partial(
         _kernel, S=S, out_rows_per_chunk=out_rows, n_words=n_words,
-        fuse_bits=fuse_bits, interpret=interpret,
+        fuse_bits=fuse_bits, has_mask=has_mask, has_init=has_init,
+        interpret=interpret,
     )
     outs = pl.pallas_call(
         kernel,
@@ -341,10 +493,11 @@ def masked_compact(mask, vals, out_cols: int, *, tile_rows: int = 256,
             pltpu.VMEM((n_words, 1, 128), jnp.uint32),
             pltpu.VMEM((n_words, -(-(S + 1) // 8) * 8, 128), jnp.uint32),
             pltpu.SemaphoreType.DMA((n_words,)),
+            pltpu.SMEM((1,), jnp.int32),    # inflight flag
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(mask2, *vals2)
+    )(*inputs)
     outs = (outs,) if n_words == 1 else outs
     outs = tuple(o.reshape(C, out_rows * 128)[:, :K] for o in outs)
     return outs[0] if single else outs

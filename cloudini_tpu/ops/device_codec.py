@@ -313,6 +313,21 @@ def _interleave_scatter(token_streams, n_points: int, max_bytes: int,
             p0_cols.append(jnp.where(k < l0, byte_lane[:, 0] | FLAG, 0))
     p0_pack = jnp.stack(p0_cols, axis=-1).astype(jnp.uint32)  # (C, S_p0)
     not_p0 = (jnp.arange(n_cols, dtype=np.int32) > 0)[None, :]
+    # pre-pack point 0 once (a tiny (C, S_p0) sort — invalid lanes are 0 and
+    # sort to the tail as zeros) and seed it into the compaction kernel's
+    # running output (init_row): the main stream no longer pays a full-width
+    # concatenate per tier rung, and point 0's bytes skip the move loop
+    S_p0 = len(p0_cols)
+    use_init = S_p0 <= 127   # the kernel's head row must stay PARTIAL
+    if use_init:
+        pos0 = jnp.arange(S_p0, dtype=np.uint32)[None, :]
+        key0 = jnp.broadcast_to(
+            jnp.where(p0_pack != 0, pos0, np.uint32(0xFFFFFFFF)),
+            p0_pack.shape)
+        _, p0_sorted = jax.lax.sort(
+            (key0, p0_pack), dimension=1, num_keys=1, is_stable=False)
+        init_row = jnp.pad(p0_sorted, ((0, 0), (0, 128 - S_p0)))
+        init_count = point_sizes[:, 0].astype(jnp.int32)
 
     def pack_with_cap(caps):
         """Compact with stream ``i`` trimmed to its first ``caps[i]`` lanes.
@@ -332,12 +347,16 @@ def _interleave_scatter(token_streams, n_points: int, max_bytes: int,
             for k, byte_lane in enumerate(lanes[:cap_i]):
                 cols.append(jnp.where((k < ln) & not_p0, byte_lane | FLAG, 0))
         main = jnp.stack(cols, axis=-1).reshape(c, n_cols * len(cols))
-        pk = jnp.concatenate([p0_pack, main], axis=-1)
         out_cols = -(-max_bytes // 128) * 128
         # fuse_bits=9: every valid lane is byte|0x100 (nonzero, < 2**9), so
         # the kernel carries the move residual in the same word — one rolled
         # word per shift round (r4, ~2x on the interleave kernel)
-        stream = masked_compact(pk, pk, out_cols, fuse_bits=9)
+        if use_init:
+            stream = masked_compact(main, main, out_cols, fuse_bits=9,
+                                    init_row=init_row, init_count=init_count)
+        else:
+            pk = jnp.concatenate([p0_pack, main], axis=-1)
+            stream = masked_compact(pk, pk, out_cols, fuse_bits=9)
         out = (stream[:, :max_bytes] & np.uint32(0xFF)).astype(jnp.uint8)
         # lanes past each chunk's total are unspecified (kernel) or zero
         # (fallback): zero them
@@ -890,12 +909,7 @@ class DeviceStage1Decoder:
         # token id OWNING each byte = count of terminators strictly before it
         csum_term = jnp.cumsum(term.astype(jnp.int32), axis=-1)
         tok_id = csum_term - term.astype(jnp.int32)
-        # position within token: previous terminator via exclusive cummax
-        prev_term = jax.lax.cummax(jnp.where(term, idxb, -1), axis=1)
-        prev_term_excl = jnp.roll(prev_term, 1, axis=-1).at[:, 0].set(-1)
-        pos_in_tok = idxb - prev_term_excl - 1  # 0-based group index
         g = (payloads & np.uint8(0x7F)).astype(jnp.uint32)
-        tok_len = (idxb - prev_term_excl).astype(jnp.uint32)  # valid at terms
         needed = term & (tok_id < (n_valid * T)[:, None])
         # the NaN marker is biased == 0 (the +1 bias reserves it), matching
         # the numpy oracle and the reference's decodeVarint u==0 check — it
@@ -911,43 +925,64 @@ class DeviceStage1Decoder:
         planes = self.max_token_bytes <= 5 and self.max_bytes <= (1 << 21)
         if planes:
             max_len = 5  # 6..10-byte tokens only exist in corrupt streams
-            sh = jnp.minimum(pos_in_tok, 3) * 7
-            a = jnp.where(in_range & (pos_in_tok < 4), g << sh.astype(jnp.uint32), 0)
-            b = jnp.where(in_range & (pos_in_tok == 4), g, 0)
-            run_a = jnp.cumsum(a, axis=-1, dtype=jnp.uint32)
+            # clamped in-token position from a 5-byte LOCAL window instead of
+            # the cummax scan (r4: the scan was ~1 ms of the 8.8 ms decode):
+            # pos_in_tok >= k iff the k previous bytes are all continuation
+            # bytes (positions before the buffer count as terminators), and
+            # the planes tier only ever needs min(pos, 3), pos == 4, and the
+            # pos >= 5 overflow flag — all local properties.
+            acc, ge = None, []
+            for k in range(1, 6):
+                tk = jnp.roll(term, k, axis=-1).at[:, :k].set(True)
+                acc = ~tk if acc is None else acc & ~tk
+                ge.append(acc)
+            ge1, ge2, ge3, ge4, ge5 = ge
+            pos3 = (ge1.astype(jnp.uint32) + ge2.astype(jnp.uint32)
+                    + ge3.astype(jnp.uint32))       # min(pos_in_tok, 3)
+            a = jnp.where(in_range & ~ge4, g << (pos3 * np.uint32(7)), 0)
+            b = jnp.where(in_range & ge4 & ~ge5, g, 0)
+            # token longer than max_len: its terminator sits at pos >= 5
+            overflow = jnp.any(needed & ge5, axis=-1)
+
+            # token value AT ITS TERMINATOR from the same 5-byte local
+            # window (r4): V = a + sum_{k=1..4} ge_k ? roll(a, k) < 2^28 —
+            # the full-stream running sums (two jnp.cumsum scans) and the
+            # post-compaction adjacent-diff machinery both disappear; the
+            # compaction now moves the values themselves.
+            V = a
+            for k, gek in ((1, ge1), (2, ge2), (3, ge3), (4, ge4)):
+                V = V + jnp.where(
+                    gek, jnp.roll(a, k, axis=-1).at[:, :k].set(0), 0)
 
             Kpad = -(-K // 128) * 128
 
-            def _vals_from(s_a, s_b):
-                a_val = s_a - jnp.roll(s_a, 1, axis=-1).at[:, 0].set(0)
-                b_val = s_b - jnp.roll(s_b, 1, axis=-1).at[:, 0].set(0)
-                # biased = a + b*2^28 (< 2^36) as a u32 pair
-                carry = (a_val >> 28) + b_val
-                b_lo = (a_val & np.uint32(0x0FFFFFFF)) | ((carry & np.uint32(0xF)) << 28)
-                return b_lo, carry >> 4
+            def compact_vb():
+                s_v, s_b = masked_compact(needed, (V, b), Kpad)
+                return s_v[:, :K], s_b[:, :K]
 
-            def compact_ab(run_b):
-                """Compact BOTH running-sum planes to dense token order
-                (Pallas stream-compaction kernel; sort fallback off-TPU)."""
-                s_a, s_b = masked_compact(needed, (run_a, run_b), Kpad)
-                return _vals_from(s_a[:, :K], s_b[:, :K])
-
-            def compact_a():
-                s_a = masked_compact(needed, run_a, Kpad)
-                return _vals_from(s_a[:, :K], jnp.zeros((Cn, K), jnp.uint32))
+            def compact_v():
+                s_v = masked_compact(needed, V, Kpad)
+                return s_v[:, :K], jnp.zeros((Cn, K), jnp.uint32)
 
             # a 5-byte token forces a nonzero plane-b group (biased >= 2^28),
             # so when plane b is empty — every real cloud: a 4-byte token
-            # already means |quantized delta| >= 2^20 — its running-sum scan
-            # and compaction word are skipped entirely
-            b_lo, b_hi = jax.lax.cond(
-                jnp.any(b != 0),
-                lambda: compact_ab(jnp.cumsum(b, axis=-1, dtype=jnp.uint32)),
-                compact_a,
-            )
+            # already means |quantized delta| >= 2^20 — its compaction word
+            # is skipped entirely
+            v_a, v_b = jax.lax.cond(jnp.any(b != 0), compact_vb, compact_v)
+            # biased = V + b*2^28 (< 2^35) as a u32 pair
+            b_lo = v_a | ((v_b & np.uint32(0xF)) << 28)
+            b_hi = v_b >> 4
             biased = (b_lo, b_hi)
             nan = u64.is_zero(biased)
         else:
+            # position within token: previous terminator via exclusive cummax
+            # (the 6..10-byte tier; the hot planes tier above uses the local
+            # window instead)
+            prev_term = jax.lax.cummax(jnp.where(term, idxb, -1), axis=1)
+            prev_term_excl = jnp.roll(prev_term, 1, axis=-1).at[:, 0].set(-1)
+            pos_in_tok = idxb - prev_term_excl - 1  # 0-based group index
+            tok_len = (idxb - prev_term_excl).astype(jnp.uint32)  # at terms
+            overflow = jnp.any(needed & (tok_len > max_len), axis=-1)
             # u64-pair contribution of each byte; groups past 9 are overflow
             sh = jnp.minimum(pos_in_tok, 9) * 7
             lo = jnp.where(sh < 32, g << sh.astype(jnp.uint32), 0)
@@ -1026,7 +1061,7 @@ class DeviceStage1Decoder:
         # the chunk instead of returning garbage rows
         total_terms = csum_term[:, -1]
         truncated = total_terms < K_valid
-        overflow = jnp.any(needed & (tok_len > max_len), axis=-1)
+        # ``overflow`` computed per-tier above (local window / cummax)
         # the NaN-marker byte 0x00 is only legal in lossy-FLOAT lanes; the
         # host/reference decoder raises for integer lanes
         # (ref/varint.py decode_varint_scalar 'unexpected NaN marker')

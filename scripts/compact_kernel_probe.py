@@ -2,8 +2,11 @@
 """Correctness + throughput of ops/compact_kernel.py on the real chip,
 vs the sort formulation it replaces (decode shape: (64, 262144), ~50%
 density, 1- and 2-word payloads)."""
+import os
 import sys
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax
 import jax.numpy as jnp
@@ -58,20 +61,36 @@ def main():
     val9 = ((val & np.uint32(0xFF)) | np.uint32(0x100)) * mask.astype(np.uint32)
     d_val9 = jax.device_put(val9)
 
-    for tr in (128, 256, 512):
-        _time(lambda v, tr=tr: masked_compact(d_mask, v, K, tile_rows=tr),
-              d_val, f"kernel_1word_S{tr}")
+    # init-seeded head row (encode's out-of-band point 0)
+    icnt = rng.integers(1, 128, (C,)).astype(np.int32)
+    irow = ((rng.integers(0, 256, (C, 128), dtype=np.int64).astype(np.uint32)
+             | np.uint32(0x100))
+            * (np.arange(128)[None, :] < icnt[:, None]))
+    d_irow = jax.device_put(jnp.asarray(irow))
+    d_icnt = jax.device_put(jnp.asarray(icnt))
+
+    prod_only = "--prod" in sys.argv
+    if not prod_only:
+        for tr in (128, 512):
+            _time(lambda v, tr=tr: masked_compact(d_mask, v, K, tile_rows=tr),
+                  d_val, f"kernel_1word_S{tr}")
+    _time(lambda v: masked_compact(d_mask, v, K, tile_rows=256),
+          d_val, "kernel_1word_S256")
     _time(lambda v: masked_compact(d_mask, (v, d_val2), K, tile_rows=256)[0],
           d_val, "kernel_2word_S256")
     _time(lambda v: masked_compact(d_mask, v, K, tile_rows=256, fuse_bits=9),
           d_val9, "kernel_fused9_S256")
+    _time(lambda v: masked_compact(d_mask, v, K, tile_rows=256, fuse_bits=9,
+                                   init_row=d_irow, init_count=d_icnt),
+          d_val9, "kernel_fused9_init_S256")
 
-    def sort2(v):
-        _, p = jax.lax.sort((d_key, v), dimension=1, num_keys=1,
-                            is_stable=False)
-        return p
+    if not prod_only:
+        def sort2(v):
+            _, p = jax.lax.sort((d_key, v), dimension=1, num_keys=1,
+                                is_stable=False)
+            return p
 
-    _time(sort2, d_val, "sort_2word_baseline")
+        _time(sort2, d_val, "sort_2word_baseline")
 
     # correctness on chip: pull 3 single rows (the tunnel D2H is slow;
     # never pull the whole output)
@@ -92,6 +111,13 @@ def main():
     for c in (0, C - 1):
         ref = val9[c][mask[c] != 0][:K]
         assert np.array_equal(np.asarray(outf[c])[: len(ref)], ref), f"fused {c}"
+    outi = jax.jit(
+        lambda m, v: masked_compact(m, v, K, fuse_bits=9, init_row=d_irow,
+                                    init_count=d_icnt))(d_mask, d_val9)
+    for c in (0, C // 2, C - 1):
+        full = np.concatenate([irow[c][: icnt[c]], val9[c][mask[c] != 0]])[:K]
+        got = np.asarray(outi[c])[: len(full)]
+        assert np.array_equal(got, full), f"init {c}"
     print("# correctness OK (chip)", flush=True)
 
 

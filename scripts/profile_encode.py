@@ -189,7 +189,7 @@ def main():
                 cnt[name] += 1
                 total += dur
     print(f"device total: {total/1e3/n_it:.2f} ms/iter across {len(agg)} op names")
-    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:28]:
+    for name, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:70]:
         print(f"  {dur/1e3/n_it:9.3f} ms  x{cnt[name]:<4d} {name[:90]}")
 
 

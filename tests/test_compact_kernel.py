@@ -129,3 +129,44 @@ def test_fused_single_word_path(C, B, dens, tile):
         ref = _ref(mask[c], val[c], K)
         np.testing.assert_array_equal(fused[c][: len(ref)], ref)
         np.testing.assert_array_equal(generic[c][: len(ref)], ref)
+
+
+@pytest.mark.parametrize(
+    "C,B,dens,tile,counts",
+    [
+        (3, 2048, 0.4, 8, (41, 0, 127)),     # mixed head sizes incl. empty/max
+        (2, 65536, 0.55, 256, (17, 99)),     # full-chunk multi-tile
+        (2, 1024, 0.0, 4, (41, 3)),          # empty main stream: head only
+    ],
+)
+def test_init_row_seeding(C, B, dens, tile, counts):
+    """init_row/init_count: pre-packed head bytes (encode's out-of-band
+    point 0) seed the running output before the stream's own lanes — the
+    kernel result must equal compacting [head | stream] as one stream.
+    Covers the pend-flush path (a chunk whose main stream is empty must
+    still land its head bytes)."""
+    rng = np.random.default_rng(B * 7 + C)
+    mask = (rng.random((C, B)) < dens).astype(np.int32)
+    val = (rng.integers(0, 256, (C, B), dtype=np.int64).astype(np.uint32)
+           | np.uint32(0x100)) * mask.astype(np.uint32)
+    init_count = np.asarray(counts, np.int32)
+    lanes = np.arange(128)[None, :]
+    init_row = ((rng.integers(0, 256, (C, 128), dtype=np.int64)
+                 .astype(np.uint32) | np.uint32(0x100))
+                * (lanes < init_count[:, None]))
+    K = ((B // 2) // 128 + 3) * 128
+    out = np.asarray(masked_compact(
+        mask, val, K, tile_rows=tile, fuse_bits=9,
+        init_row=jnp.asarray(init_row), init_count=jnp.asarray(init_count),
+        interpret=True))
+    fb = np.asarray(masked_compact(
+        mask, val, K, fuse_bits=9,
+        init_row=jnp.asarray(init_row), init_count=jnp.asarray(init_count),
+        interpret=None))  # CPU -> the widened-stream sort fallback
+    for c in range(C):
+        full_mask = np.concatenate(
+            [(lanes[0] < init_count[c]).astype(np.int32), mask[c]])
+        full_val = np.concatenate([init_row[c], val[c]])
+        ref = _ref(full_mask, full_val, K)
+        np.testing.assert_array_equal(out[c][: len(ref)], ref)
+        np.testing.assert_array_equal(fb[c][: len(ref)], ref)
