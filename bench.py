@@ -142,12 +142,15 @@ def main():
     # size the decode buffer from the actual chunk sizes (1 KiB buckets, +1 so
     # the truncation sentinel exceeds any real size), like the pipeline does
     b_act = int(-(-(int(np.asarray(sizes).max()) + 1) // 1024) * 1024)
+    print(f"# t={time.monotonic()-_START:.0f}s sizes pulled (b_act {b_act})",
+          file=sys.stderr)
     payloads = jax.block_until_ready(jax.jit(lambda p: p[:, :b_act])(payloads))
     # raw_words_out: rows return as flat u32 words (identical bytes, viewed
     # for free on the host) — skips ~1 ms/iter of byte-materialization
     dec = DeviceStage1Decoder(plan, 16, chunk_points=CHUNK, max_bytes=b_act,
                               raw_words_out=True)
     decoded, _consumed = jax.block_until_ready(dec.decode_chunks(payloads, sizes, d_valid))
+    print(f"# t={time.monotonic()-_START:.0f}s decode compiled", file=sys.stderr)
 
     # CRITICAL honesty requirements (both empirically observed on axon):
     #  * the runtime memoizes executions by (program, argument contents) —

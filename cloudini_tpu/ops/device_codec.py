@@ -47,15 +47,14 @@ def encoder_prefers_device(plan: CodecPlan) -> bool:
     """Whether the ``auto`` backend should pick the device encoder.
 
     r4, driver-verified (BENCH_r04 ``dds_mixed_fsm_decode.encode_gbps``):
-    device mixed/Gorilla ENCODE measures ~0.25 GB/s on chip vs 0.589
-    host-native on the real tiled dds fixture — the r3 universal flip's
-    1.03 GB/s probe figure does not reproduce under the honest jitted
-    chain (profile: the tier-ladder conds + the Gorilla window scan
-    dominate). Gorilla plans therefore route encode to the host under
-    ``auto``; everything else stays on device (headline XYZI encode runs
-    2.38 GB/s vs ~0.6 host). Small clouds still route to the host via
+    device mixed/Gorilla ENCODE measures 1.734 GB/s on chip vs 0.887
+    host-native on the real tiled dds fixture (encode_vs_host_native
+    1.955) AFTER the r4 compaction-kernel rewrite (residual-carrying
+    move words + head-row seeding); the early-r4 rollback figure of
+    ~0.25 GB/s predates that kernel. All plans route encode to the
+    device under ``auto``. Small clouds still route to the host via
     AUTO_DEVICE_MIN_CHUNKS; explicit backend='device' always dispatches."""
-    return not any(u.kind == UnitKind.GORILLA for u in plan.units)
+    return True
 
 
 def decoder_prefers_device(plan: CodecPlan) -> bool:

@@ -1,12 +1,12 @@
 """Value assembly for the FSM-decoded mixed-token streams (ops/fsm.py).
 
-With per-byte FSM states known, decode is the running-sum doctrine of the
-pure-varint path generalized to three 32-bit limbs (tokens are up to 11
-bytes): every byte contributes ``group << 7*pos`` (varint bytes) or
-``byte << 8*pos`` (fixed/Gorilla bytes) to a 96-bit running sum along the
-stream, and ONE sort compacts the sums at token-end bytes to dense token
-order; token accumulators are adjacent 96-bit differences. Slot kind then
-decodes elementwise: varints un-zigzag (+NaN marker = biased 0, matching
+With per-byte FSM states known, every byte contributes ``group << 7*pos``
+(varint bytes) or ``byte << 8*pos`` (fixed/Gorilla bytes); the token value
+is the SAME-TOKEN sum of those contributions at the token's end byte,
+computed from an 8-byte local window (tokens on the device path are <= 8
+bytes; longer ones escape to host RETRY), and ONE stream compaction packs
+the end-byte values to dense token order. Slot kind then decodes
+elementwise: varints un-zigzag (+NaN marker = biased 0, matching
 decodeVarint's u==0 semantics), fixed tokens are the raw bytes, and Gorilla
 tokens recover the XOR chain with window propagation as hold-last scans and
 the value chain as an XOR prefix scan (field_decoder.hpp:155-300; numpy
@@ -33,42 +33,6 @@ _INF = np.uint32(0xFFFFFFFF)
 
 
 # ------------------------------------------------------------------ 96-bit ops
-
-
-def _add96(a, b):
-    a0, a1, a2 = a
-    b0, b1, b2 = b
-    r0 = a0 + b0
-    c0 = (r0 < a0).astype(_U32)
-    u1 = a1 + b1
-    ca = u1 < a1
-    r1 = u1 + c0
-    cb = r1 < u1
-    r2 = a2 + b2 + (ca | cb).astype(_U32)
-    return r0, r1, r2
-
-
-def _sub96(a, b):
-    a0, a1, a2 = a
-    b0, b1, b2 = b
-    r0 = a0 - b0
-    bw0 = (a0 < b0).astype(_U32)
-    r1 = a1 - b1 - bw0
-    bw1 = ((a1 < b1) | ((a1 == b1) & (bw0 > 0))).astype(_U32)
-    r2 = a2 - b2 - bw1
-    return r0, r1, r2
-
-
-def _cumsum96(w):
-    """Inclusive 96-bit prefix sum along the last axis (Hillis-Steele)."""
-    n = w[0].shape[-1]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    k = 1
-    while k < n:
-        sh = tuple(jnp.where(idx >= k, jnp.roll(x, k, axis=-1), 0) for x in w)
-        w = _add96(w, sh)
-        k *= 2
-    return w
 
 
 def _shr96_const(a, c: int) -> u64.U64:
@@ -143,20 +107,32 @@ class FsmStage1Decoder:
         ts_next = jnp.concatenate([ts_raw[:, 1:], ts_at_b[:, None]], axis=-1)
         needed_end = ts_next & active & (tok_id < K_valid[:, None])
 
-        # byte position within its token
-        last_start = jax.lax.cummax(jnp.where(ts, idx, -1), axis=1)
-        pos = jnp.clip(idx - last_start, 0, 11)
+        # byte position within its token AND the token value at its end byte
+        # from an 8-byte LOCAL window (r4): every token on the 2-limb device
+        # path is <= 8 bytes (pos >= 8 escapes to host RETRY below), so both
+        # are local properties of the previous start flags — the cummax
+        # scan, the 96-bit running sum, and the adjacent-diff step all
+        # disappear. same_j: byte p-j belongs to p's token <=> no token
+        # start in (p-j, p] (bytes before the buffer count as starts).
+        nts = ~ts
+        same, accm = [], None
+        for j in range(1, 9):
+            t_im1 = jnp.roll(nts, j - 1, axis=-1).at[:, : j - 1].set(False)
+            accm = t_im1 if accm is None else accm & t_im1
+            same.append(accm)
+        pos = same[0].astype(jnp.int32)
+        for m in same[1:]:
+            pos = pos + m.astype(jnp.int32)   # == min(true pos, 8)
 
         is_vbyte = jnp.zeros(p_bytes.shape, bool)
         for lo, hi in lay.v_ranges:
             is_vbyte = is_vbyte | ((p_bytes >= lo) & (p_bytes < hi))
-        overflow = jnp.any(active & is_vbyte & (pos >= 10) & ~ts, axis=-1)
 
         b32 = payloads.astype(_U32)
         v = jnp.where(is_vbyte, b32 & np.uint32(0x7F), b32)
         sh = jnp.where(is_vbyte, 7, 8) * pos
         limbs = []
-        for kk in range(3):
+        for kk in range(2):
             d = sh - 32 * kk
             left = v << (jnp.clip(d, 0, 31).astype(_U32))
             right = v >> (jnp.clip(-d, 0, 31).astype(_U32))
@@ -165,22 +141,27 @@ class FsmStage1Decoder:
             limbs.append(jnp.where(active, ck, 0))
         Kpad = -(-K // 128) * 128
 
-        # the third limb only matters when some token reaches 9+ bytes (acc
-        # bits >= 64): never on real LiDAR streams (a 9-byte Gorilla
-        # new-window needs m >= 52 meaningful bits; the dds fixture's
-        # largest token is 6 bytes). r2 ran the 96-bit path under a
-        # lax.cond — r3 measured XLA SPLITTING that cond into FIVE
-        # conditionals, each re-computing the 21 ms branch (5x cost, HLO
-        # dump in PROFILE.md). Such chunks now take the host-RETRY escape
-        # (exact semantics preserved by the pipeline; on real data the
-        # flag never fires) and the device path is a single unconditional
-        # 2-limb running sum + 2-word compaction.
+        # A third accumulator limb only matters when some token reaches 9+
+        # bytes (value bits >= 64): never on real LiDAR streams (a 9-byte
+        # Gorilla new-window needs m >= 52 meaningful bits; the dds
+        # fixture's largest token is 6 bytes). Such chunks take the
+        # host-RETRY escape (exact semantics preserved by the pipeline;
+        # pos >= 8 also covers the corrupt >10-byte-varint case — the host
+        # re-decode raises for those). On-device the token value is the
+        # same-token local sum of limb contributions at the END byte:
+        # V = sum_{j=0..7} same_j ? limb[p-j], a 2-limb add chain.
         w2_retry = jnp.any(active & (pos >= 8), axis=-1)  # (C,)
-        r = u64.cumsum((limbs[0], limbs[1]))
-        s0, s1 = masked_compact(needed_end, (r[0], r[1]), Kpad)
-        s = [s0[:, :K], s1[:, :K], jnp.zeros_like(s0[:, :K])]
-        prev = tuple(jnp.roll(x, 1, axis=-1).at[:, 0].set(0) for x in s)
-        acc = _sub96(tuple(s), prev)
+        v_lo, v_hi = limbs[0], limbs[1]
+        for j, m in enumerate(same, start=1):
+            r_lo = jnp.roll(limbs[0], j, axis=-1).at[:, :j].set(0)
+            r_hi = jnp.roll(limbs[1], j, axis=-1).at[:, :j].set(0)
+            add_lo = jnp.where(m, r_lo, 0)
+            n_lo = v_lo + add_lo
+            carry = (n_lo < add_lo).astype(_U32)
+            v_lo = n_lo
+            v_hi = v_hi + jnp.where(m, r_hi, 0) + carry
+        s0, s1 = masked_compact(needed_end, (v_lo, v_hi), Kpad)
+        acc = (s0[:, :K], s1[:, :K], jnp.zeros_like(s0[:, :K]))
         acc = tuple(x.reshape(Cn, N, T) for x in acc)
 
         found = jnp.sum(needed_end.astype(jnp.int32), axis=-1)
@@ -189,7 +170,9 @@ class FsmStage1Decoder:
                            axis=-1)
 
         out = jnp.zeros((Cn, N, self.point_step), jnp.uint8)
-        bad = truncated | overflow | g_corrupt
+        # >10-byte varints (the old device-side overflow flag) imply
+        # pos >= 8 and are covered by the w2_retry host escape
+        bad = truncated | g_corrupt
         pts_valid = jnp.arange(N, dtype=jnp.int32)[None, :] < n_valid[:, None]
         for t, slot in enumerate(lay.slots):
             unit = self.plan.units[slot.unit_index]
