@@ -168,6 +168,11 @@ def _kernel(*refs, S: int, out_rows_per_chunk: int, n_words: int,
     total_valid = jnp.sum(mi)
 
     def _wait_out_copies():
+        # NOTE: the descriptor here names out rows [0, S+1) while the copy in
+        # flight actually targets a dynamic out_base — that is fine ONLY
+        # because Pallas DMA waits match by semaphore and transfer SIZE, not
+        # by address. An address-sensitive refactor of the wait machinery
+        # must rebuild the true destination slice here.
         for i in range(n_words):
             pltpu.make_async_copy(
                 work.at[i, pl.ds(0, S + 1)],

@@ -892,12 +892,14 @@ class DeviceStage1Decoder:
         """Pure-varint plans, gather-free.
 
         Every byte computes its token-local contribution (group << 7*pos, all
-        elementwise + prefix scans), a u64-pair prefix sum accumulates them
-        along the stream, and ONE sort compacts the per-token running sums
-        from terminator byte positions to dense token order; token values are
-        then adjacent differences of the compacted prefix sums. No
-        searchsorted (log-B rounds of 10ns/element gathers dominated the old
-        path), no byte gathers.
+        elementwise). In the hot <=5-byte "planes" tier (r4) each terminator
+        byte reconstructs its token VALUE directly from an 8-byte local
+        window (static rolls of the contribution plane), and the Pallas
+        stream compaction moves those values themselves from terminator byte
+        positions to dense token order. The 6..10-byte generic tier instead
+        compacts u64-pair stream running sums and recovers values as
+        adjacent differences. No searchsorted (log-B rounds of
+        10ns/element gathers dominated the old path), no byte gathers.
         """
         Cn, B = payloads.shape
         N, T = self.chunk_points, self.tokens_per_point
@@ -918,9 +920,10 @@ class DeviceStage1Decoder:
 
         # <=5-byte plans (fused FloatN, the LiDAR hot path): the biased value
         # is < 2^35 and splits into plane a (groups 0-3, <2^28) and plane b
-        # (group 4, <2^7). Plane b's running sum mod 2^9 rides in the KEY next
-        # to the NaN bit (its per-token diff is <2^8, so mod-2^9 diffs are
-        # exact), leaving a TWO-word sort: key + plane-a running sum.
+        # (group 4, <2^7). Both planes are LOCAL-WINDOW values (r4): each
+        # terminator assembles V from rolls of its own token's bytes, and the
+        # compaction moves (V, b) — one word when plane b is empty — with no
+        # stream running sums and no post-compaction adjacent diffs.
         planes = self.max_token_bytes <= 5 and self.max_bytes <= (1 << 21)
         if planes:
             max_len = 5  # 6..10-byte tokens only exist in corrupt streams

@@ -23,8 +23,10 @@ def main():
     val9 = ((val & np.uint32(0xFF)) | np.uint32(0x100)) * mask.astype(np.uint32)
     d_mask = jax.device_put(mask)
     d_val9 = jax.device_put(val9)
-    tag = (f"g{os.environ.get('CLDN_COMPACT_GUARD_FROM', '12')}"
-           f"_m{os.environ.get('CLDN_COMPACT_FUSED_MASK', '0')}")
+    # default strings MUST match compact_kernel.py's env defaults ('99'/'1')
+    # or an unset-env run gets mislabeled (ADVICE r4)
+    tag = (f"g{os.environ.get('CLDN_COMPACT_GUARD_FROM', '99')}"
+           f"_m{os.environ.get('CLDN_COMPACT_FUSED_MASK', '1')}")
     _time(lambda v: masked_compact(d_mask, v, K, tile_rows=256, fuse_bits=9),
           d_val9, f"fused9_{tag}")
 

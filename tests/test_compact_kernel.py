@@ -131,6 +131,33 @@ def test_fused_single_word_path(C, B, dens, tile):
         np.testing.assert_array_equal(generic[c][: len(ref)], ref)
 
 
+@pytest.mark.parametrize("guard_from", [0, 3, 7])
+def test_guarded_move_rounds(guard_from, monkeypatch):
+    """ADVICE r4: the scalar max-residual guard (rounds >= _GUARD_FROM run
+    under a lax.cond) ships disabled by default (env '99'); if the knob is
+    ever set it must still be bit-exact. Exercised in interpret mode at
+    several guard thresholds, both kernel flavors."""
+    import cloudini_tpu.ops.compact_kernel as ck
+
+    monkeypatch.setattr(ck, "_GUARD_FROM", guard_from)
+    rng = np.random.default_rng(31 + guard_from)
+    C, B, tile = 2, 2048, 8
+    mask = (rng.random((C, B)) < 0.45).astype(np.int32)
+    val = rng.integers(0, 2**31, (C, B), dtype=np.int64).astype(np.uint32)
+    val9 = (rng.integers(0, 256, (C, B), dtype=np.int64).astype(np.uint32)
+            | np.uint32(0x100)) * mask.astype(np.uint32)
+    K = ((B // 2) // 128 + 2) * 128
+    out = np.asarray(ck.masked_compact(mask, val, K, tile_rows=tile,
+                                       interpret=True))
+    fused = np.asarray(ck.masked_compact(mask, val9, K, tile_rows=tile,
+                                         fuse_bits=9, interpret=True))
+    for c in range(C):
+        ref = _ref(mask[c], val[c], K)
+        ref9 = _ref(mask[c], val9[c], K)
+        np.testing.assert_array_equal(out[c][: len(ref)], ref)
+        np.testing.assert_array_equal(fused[c][: len(ref9)], ref9)
+
+
 @pytest.mark.parametrize(
     "C,B,dens,tile,counts",
     [
