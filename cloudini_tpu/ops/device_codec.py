@@ -74,12 +74,12 @@ def decoder_supports_plan(plan: CodecPlan) -> bool:
     """Device decode covers every unit kind: pure-varint plans via the
     terminator scan+sort path, all-fixed plans arithmetically, and everything
     else (mixed fixed/varint, Gorilla) via the enumerative-FSM block decoder
-    (ops/fsm.py) — whose Gorilla-window state factorization supports at most
-    ONE Gorilla unit per plan (more would multiply the hypothesis space).
-    Plans with no regular units (all V5-adaptive) have nothing to decode on
-    device."""
-    n_gorilla = sum(1 for u in plan.units if u.kind == UnitKind.GORILLA)
-    return bool(plan.units) and n_gorilla <= 1 and encoder_supports_plan(plan)
+    (ops/fsm.py). ANY number of Gorilla units is supported (r5): the
+    speculative window tier pins one L scalar per slot instead of carrying a
+    product state (run_fsm), matching the reference factories' arbitrary
+    field multisets (codec_common.cpp:116-198). Plans with no regular units
+    (all V5-adaptive) have nothing to decode on device."""
+    return bool(plan.units) and encoder_supports_plan(plan)
 
 
 # ===================================================================== encode
@@ -496,8 +496,16 @@ class DeviceStage1Encoder:
         # is 3-5x the real output of any actual cloud (4-7 B/pt measured on
         # both fixtures), so the common case runs the whole matcher/parse/
         # serialization at 8 B/pt and only worst-case batches take the
-        # full-width branch.
-        w_tight = min(self.max_bytes, -(-(self.chunk_points * 8) // 1024) * 1024)
+        # full-width branch. ZSTD runs a tighter 5.5 B/pt tier (r5): its
+        # per-element cost is ~4x LZ4's, the real streams are 4-6 B/pt, and
+        # with equal-split blocks 5.5 B/pt lands 2 x ~89 KiB blocks/row vs
+        # 2 x 128 KiB at 8 B/pt — a 1.45x cut of every downstream pass.
+        bpp8 = -(-(self.chunk_points * 8) // 1024) * 1024
+        if self.stage2 == "zstd":
+            w_tight = min(self.max_bytes, (self.chunk_points * 11 // 2 + 1023)
+                          // 1024 * 1024)
+        else:
+            w_tight = min(self.max_bytes, bpp8)
         if w_tight >= self.max_bytes:
             return compress(out, sizes, max_out)
 
@@ -506,6 +514,16 @@ class DeviceStage1Encoder:
 
         def full():
             return compress(out, sizes, max_out)
+
+        if w_tight < bpp8 < self.max_bytes:
+            # middle tier: streams between the tight and 8 B/pt widths (rare
+            # but legal) should not pay the full worst-case width
+            def mid():
+                return compress(out[:, :bpp8], sizes, max_out)
+
+            return jax.lax.cond(
+                jnp.max(sizes) <= w_tight, tight,
+                lambda: jax.lax.cond(jnp.max(sizes) <= bpp8, mid, full))
 
         return jax.lax.cond(jnp.max(sizes) <= w_tight, tight, full)
 

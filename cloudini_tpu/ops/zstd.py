@@ -501,13 +501,13 @@ def _match_parse(data: jnp.ndarray, sizes: jnp.ndarray):
         # and is the prime suspect for the r2 fused-ZSTD device fault
         is_match, mlen = greedy_parse_blocked(valid, mlen)
 
-        # coverage mask of the accepted parse -> next round's exclusions
-        bump = jnp.zeros((c, 2 * b), jnp.int32)
-        bump = bump.at[ri, jnp.where(is_match, idx, b + idx)].add(
-            1, mode="drop")
-        bump = bump.at[ri, jnp.where(is_match, idx + mlen, b + idx)].add(
-            -1, mode="drop")
-        exclude = jnp.cumsum(bump[:, :b], axis=1) > 0
+        # coverage mask of the accepted parse -> next round's exclusions.
+        # Greedy-parse matches never overlap, so position p is covered iff
+        # some match at q <= p ends past p: ONE cummax of match ends beats
+        # the old two scatter-adds + cumsum over a (C, 2B) bump buffer
+        # (r5 profile: each such scatter round cost ~54 ms on chip)
+        end = jax.lax.cummax(jnp.where(is_match, idx + mlen, -1), axis=1)
+        exclude = idx < end
 
     return is_match, mlen, best_off
 
@@ -518,8 +518,13 @@ def zstd_compress_chunks(data: jnp.ndarray, sizes: jnp.ndarray, max_out: int,
     """data (C, B) uint8, sizes (C,) int32 -> (out (C, max_out) uint8,
     out_sizes (C,) int32). Each row becomes one ZSTD frame."""
     c, b = data.shape
+    # equal-split blocks: EVERY stream-domain op downstream costs rows*cap,
+    # so the minimal legal block count with equal caps beats fixed BLOCK_CAP
+    # splitting (a 256 KiB row: 2 x 128 KiB, not 3 x 126 KiB; a 177 KiB
+    # tight-tier row: 2 x 89 KiB). Any cap <= 128 KiB is a legal
+    # Block_Maximum_Size under the 2^17 window (RFC 8878 3.1.1.2.3).
     nb_blocks = max(-(-b // BLOCK_CAP), 1)
-    cap = min(b, BLOCK_CAP)
+    cap = -(-(-(-b // nb_blocks)) // 1024) * 1024
     pad = nb_blocks * cap - b
     if pad:
         data = jnp.concatenate([data, jnp.zeros((c, pad), jnp.uint8)], axis=-1)
@@ -540,26 +545,26 @@ def zstd_compress_chunks(data: jnp.ndarray, sizes: jnp.ndarray, max_out: int,
     out_sizes = 6 + jnp.sum(body_sizes, axis=1)
 
     bw = body.shape[1]
-    out = jnp.zeros((c, max_out + bw), jnp.uint8)
+    out = jnp.zeros((c, max_out), jnp.uint8)
     ci = jnp.arange(c, dtype=jnp.int32)[:, None]
     hdr = jnp.asarray(
         [0x28, 0xB5, 0x2F, 0xFD, 0x00, (17 - 10) << 3], jnp.uint8
     )
     out = out.at[ci, jnp.arange(6, dtype=jnp.int32)[None, :]].set(hdr[None, :])
 
-    # scatter each block body to its frame offset
+    # scatter each block body to its frame offset (tail bytes OOB-dropped)
     k = jnp.arange(bw, dtype=jnp.int32)
     body = body.reshape(c, nb_blocks, bw)
     for j in range(nb_blocks):
         pos = jnp.where(
             k[None, :] < body_sizes[:, j: j + 1],
             blk_start[:, j: j + 1] + k[None, :],
-            max_out + k[None, :],
+            jnp.int32(1 << 30) + k[None, :],
         )
         out = out.at[ci, pos].set(body[:, j], mode="drop")
     # the final block carries the ``last`` flag (bit 0 of its header byte 0)
     out = out.at[jnp.arange(c), blk_start[:, -1]].add(1)
-    return out[:, :max_out], out_sizes.astype(jnp.int32)
+    return out, out_sizes.astype(jnp.int32)
 
 
 def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
@@ -584,12 +589,12 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
     n_seq = jnp.minimum(jnp.sum(head.astype(jnp.int32), axis=1), s)
     mlen = jnp.where(keep, merged_ml, 0)
 
-    # literal-run length before each kept sequence (same construction as LZ4)
-    pm = jax.lax.cummax(jnp.where(keep, idx, -1), axis=1)
-    pm_prev = jnp.roll(pm, 1, axis=1).at[:, 0].set(-1)
-    pm_prev = jnp.where(keep, pm_prev, pm)
-    g = jnp.maximum(pm_prev, 0)
-    prev_end = jnp.where(pm_prev >= 0, g + mlen[ri, g], 0)
+    # literal-run length before each kept sequence: the previous kept match's
+    # end via ONE cummax of ends (kept matches never overlap, so ends are
+    # monotone along the stream), shifted one lane — no (R, B) gather (the
+    # old ``mlen[ri, g]`` gather was 63 ms/iter on chip, r5 profile)
+    end_incl = jax.lax.cummax(jnp.where(keep, idx + mlen, -1), axis=1)
+    prev_end = jnp.maximum(jnp.roll(end_incl, 1, axis=1).at[:, 0].set(-1), 0)
     lit_len = jnp.where(keep, idx - prev_end, 0)
 
     # ---- compact kept sequences to (R, S): one sort by stream position ----
@@ -759,28 +764,31 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
     # ---- literal geometry -------------------------------------------------
     match_total = jnp.sum(jnp.where(keep, mlen, 0), axis=1)
     n_lits = sizes - match_total
-    bump = jnp.zeros((r, 2 * cap), jnp.int32)
-    bump = bump.at[ri, jnp.where(keep, idx, cap + idx)].add(1, mode="drop")
-    bump = bump.at[ri, jnp.where(keep, idx + mlen, cap + idx)].add(-1, mode="drop")
-    covered = jnp.cumsum(bump[:, :cap], axis=1) > 0
+    # kept matches never overlap -> coverage = one cummax of ends (replaces
+    # two scatter-adds + a cumsum over (R, 2*cap); ~110 ms/iter on chip).
+    # end_incl (computed above for lit_len) is exactly the running match end.
+    covered = idx < end_incl
     is_lit = (~covered) & (idx < size_col)
     lit_rank = jnp.cumsum(is_lit.astype(jnp.int32), axis=1) - 1
 
     # ---- words buffer: every structured field of the block body -----------
+    # masked lanes go to a far OOB index and are DROPPED by the scatter: no
+    # park region, so the operand stays at its real 32K-word size (scatter
+    # rounds measured 45.6 vs 64.7 ms/round with the old nw+cap park buffer,
+    # scripts/scatter_probe.py r5)
     nw = ((cap + 64) * 8) // 32 + 8
-    words = jnp.zeros((r, nw + max(cap, 128) + 2), jnp.uint32)
+    _OOB = jnp.int32(1 << 30)
+    words = jnp.zeros((r, nw + 2), jnp.uint32)
 
     def put(words, pos, val, width, mask):
-        lanes = pos.shape[1]
-        park = nw + jnp.arange(lanes, dtype=jnp.int32)[None, :]
         v = val.astype(jnp.uint32)
         sh = (pos & 31).astype(jnp.uint32)
         w0 = pos >> 5
         lo = v << sh
         hi = jnp.where(sh > 0, v >> (jnp.uint32(32) - jnp.maximum(sh, 1)), 0)
         m = mask & (width > 0)
-        words = words.at[ri, jnp.where(m, w0, park)].add(lo, mode="drop")
-        words = words.at[ri, jnp.where(m, w0 + 1, park)].add(hi, mode="drop")
+        words = words.at[ri, jnp.where(m, w0, _OOB)].add(lo, mode="drop")
+        words = words.at[ri, jnp.where(m, w0 + 1, _OOB)].add(hi, mode="drop")
         return words
 
     # ---- Huffman literal pipeline -----------------------------------------
@@ -854,31 +862,38 @@ def _encode_blocks(data: jnp.ndarray, sizes: jnp.ndarray, max_seqs: int):
 
     # ---- emit: words bytes + literal copies (disjoint, add-combined) ------
     ww = cap + 16
-    out = jnp.zeros((r, ww + cap + 48), jnp.uint8)
-    park_b = ww + idx  # unique per-byte scratch
 
-    # literal copies: raw rows copy everything at 3+idx; raw-literal rows
-    # copy literals at 6+rank; Huffman rows carry literals in the bitstream
-    dest = jnp.where(use_raw[:, None], 3 + idx, 6 + lit_rank)
-    emit = jnp.where(use_raw[:, None], idx < size_col,
-                     is_lit & ~use_huf[:, None])
-    out = out.at[ri, jnp.where(emit, dest, park_b)].add(data, mode="drop")
-
-    # words -> bytes (little-endian); bytes beyond the body are parked.
-    # raw rows only keep the 3 header bytes (their body is the data copy)
+    # words -> bytes (little-endian) at IDENTITY positions: a masked
+    # elementwise add, not a scatter (r5: the old bpos scatter cost ~30 ms).
+    # Raw rows only keep the 3 header bytes (their body is the data copy).
     wb = jnp.repeat(words, 4, axis=1) >> jnp.tile(
         jnp.arange(4, dtype=jnp.uint32) * 8, nw)[None, :]
     wb = (wb & jnp.uint32(0xFF)).astype(jnp.uint8)
-    bidx = jnp.arange(nw * 4, dtype=jnp.int32)
+    nwb = min(nw * 4, ww)
+    bidx = jnp.arange(nwb, dtype=jnp.int32)
     blim = jnp.where(use_raw, 3, body_size)
-    bpos = jnp.where(
-        bidx[None, :] < blim[:, None],
-        bidx[None, :],
-        ww + 32 + (bidx[None, :] % cap),
-    )
-    out = out.at[ri, bpos].add(wb, mode="drop")
+    out = jnp.zeros((r, ww), jnp.uint8)
+    out = out.at[:, :nwb].add(
+        jnp.where(bidx[None, :] < blim[:, None], wb[:, :nwb], 0))
 
-    return out[:, :ww], body_size
+    # raw rows copy everything at 3+idx: a static 3-byte shift, elementwise
+    raw_copy = jnp.pad(jnp.where(use_raw[:, None] & (idx < size_col), data, 0),
+                       ((0, 0), (3, ww - cap - 3)))
+    out = out + raw_copy
+
+    # raw-LITERALS rows (sequences pay but Huffman does not) copy literals at
+    # 6+rank — on real streams Huffman nearly always pays, so the whole
+    # scatter is skipped via cond when no row needs it
+    lit_copy_rows = (~use_raw) & ~use_huf & (n_lits > 0)
+
+    def with_lit_copy(out):
+        emit = is_lit & lit_copy_rows[:, None]
+        return out.at[ri, jnp.where(emit, 6 + lit_rank, _OOB)].add(
+            data, mode="drop")
+
+    out = jax.lax.cond(jnp.any(lit_copy_rows), with_lit_copy, lambda o: o, out)
+
+    return out, body_size
 
 
 def _huffman_literals(data, is_lit, lit_rank, n_lits, words, put, ri, idx):
@@ -970,16 +985,14 @@ def _huffman_literals(data, is_lit, lit_rank, n_lits, words, put, ri, idx):
     # ---- stream geometry --------------------------------------------------
     s13 = (n_lits + 3) // 4
     cs = jnp.cumsum(lit_len_bits, axis=1)  # inclusive, stream order
-    # bit totals per stream boundary: cs at ranks s13-1, 2*s13-1, 3*s13-1
-    cs_by_rank = jnp.zeros((r, cap + 1), jnp.int32)
-    cs_by_rank = cs_by_rank.at[ri, jnp.where(is_lit, lit_rank, cap)].add(
-        jnp.where(is_lit, cs, 0), mode="drop")
-    bmarks = jnp.clip(
-        jnp.stack([s13 - 1, 2 * s13 - 1, 3 * s13 - 1], axis=1), 0, cap - 1)
-    b123 = jnp.take_along_axis(cs_by_rank[:, :cap], bmarks, axis=1)
+    # bit totals per stream boundary = total code bits of the first q*s13
+    # literals: three masked SUMS (lit_len_bits is 0 off-literal) replace the
+    # old rank-indexed scatter + gather over (R, cap+1) (~54 ms/iter on chip)
     b_tot = jnp.sum(lit_len_bits, axis=1)
+    b123 = [jnp.sum(jnp.where(lit_rank < q * s13[:, None], lit_len_bits, 0),
+                    axis=1) for q in (1, 2, 3)]
     b0 = jnp.zeros((r,), jnp.int32)
-    bs = [b0, b123[:, 0], b123[:, 1], b123[:, 2], b_tot]  # stream bit prefix
+    bs = [b0, b123[0], b123[1], b123[2], b_tot]  # stream bit prefix
     sbits = [bs[q + 1] - bs[q] for q in range(4)]
     sbytes = [(sb + 1 + 7) >> 3 for sb in sbits]  # + marker bit
     jump_ok = (sbytes[0] < 65536) & (sbytes[1] < 65536) & (sbytes[2] < 65536)

@@ -31,7 +31,12 @@ from typing import List, Sequence, Tuple
 import numpy as np
 
 MAGIC = b"\x28\xb5\x2f\xfd"
-BLOCK_CAP = 126 * 1024  # <= 2^17 window; keeps LL/ML/#seq in predefined range
+# Block_Maximum_Size = min(window 2^17, 128 KiB) = 128 KiB exactly (RFC 8878
+# 3.1.1.2.3). At this cap the max literal run with >= 1 sequence is
+# 131068 -> LL code 35 (<= 131071) and the max mlf < 2^17 -> ML code 52 —
+# still inside the predefined code ranges. 128 KiB (vs the old 126 KiB
+# safety margin) makes a 256 KiB device row exactly 2 blocks, not 3.
+BLOCK_CAP = 128 * 1024
 MINMATCH = 3
 
 # ---- predefined FSE distributions (RFC 8878 3.1.1.3.2.2) -------------------

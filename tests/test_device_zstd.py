@@ -461,3 +461,46 @@ def test_v5_adaptive_with_fused_device_zstd():
         out[:, 12:16].copy().view(np.int32).ravel(), ring)
     if pathlib.Path(ORACLE_BIN).exists():
         assert Oracle(str(ORACLE_BIN)).decode(stream) == mine
+
+
+def test_width_tier_ladder_boundaries():
+    """r5: the zstd tight tier is 5.5 B/pt with an 8 B/pt middle tier and the
+    worst-case full width above that (device_codec._encode). The r4 fused-LZ4
+    perf bug was a gate predicate failing on an EXACT boundary shape — so
+    every tier, including streams landing exactly ON a width boundary, must
+    emit frames that round-trip. Noise amplitude drives the stage-1 token
+    width (tiny deltas -> ~4 B/pt, huge -> up to 20 B/pt)."""
+    import jax.numpy as jnp
+
+    from cloudini_tpu.core.plan import build_plan
+    from cloudini_tpu.core.types import (
+        CompressionOption,
+        EncodingInfo,
+        EncodingOptions,
+        FieldType,
+        PointField,
+    )
+    from cloudini_tpu.ops.device_codec import DeviceStage1Encoder
+    from cloudini_tpu.codec import stage2 as s2
+    from cloudini_tpu.ref import stage1 as np_stage1
+
+    cp = 1024
+    info = EncodingInfo(
+        fields=tuple(PointField(n, 4 * i, FieldType.FLOAT32, 0.001)
+                     for i, n in enumerate("xyzi")),
+        width=0, height=1, point_step=16,
+        encoding_opt=EncodingOptions.LOSSY,
+        compression_opt=CompressionOption.ZSTD,
+    )
+    plan = build_plan(info)
+    enc = DeviceStage1Encoder(plan, 16, chunk_points=cp, stage2="zstd")
+    rng = np.random.default_rng(9)
+    for amp in (0.001, 0.3, 3.0, 3000.0):  # tight / tight~mid / mid / full
+        pts = np.cumsum(rng.normal(0, amp, (cp, 4)), axis=0).astype(np.float32)
+        rows = np.ascontiguousarray(pts).view(np.uint8).reshape(1, cp, 16)
+        pay, sz = enc.encode_chunks(jnp.asarray(rows),
+                                    jnp.asarray(np.array([cp], np.int32)))
+        frame = bytes(np.asarray(pay)[0, : int(np.asarray(sz)[0])])
+        want = np_stage1.encode_chunk(plan, rows[0]).tobytes()
+        got = s2.decompress_chunk(CompressionOption.ZSTD, frame, len(want) + 1)
+        assert got == want, f"amp {amp}: fused-ZSTD frame diverges"
