@@ -32,12 +32,14 @@ SIMD byte-stream parsers (simdjson-style), mapped to the TPU's strengths:
 
 The per-chunk first Gorilla token is the raw type-width value
 (field_encoder.hpp:161-166); the FSM gives record 0 its own state codes so
-that chain flows through a raw-token branch exactly once.
+every Gorilla slot consumes its raw token as a plain fixed-width field there.
 
-Restrictions: at most one GORILLA unit per plan (the window component would
-multiply per extra unit); plans with no varint and no Gorilla use the cheaper
-arithmetic path in device_codec. Wire behavior is locked against the numpy
-kernel of truth and the reference C++ in tests/test_device_fsm.py.
+ANY number of Gorilla units is supported (r5): transitions are p-relative
+(token length arithmetic, no per-slot target tables) and the speculative
+window tier pins one L scalar PER SLOT (n_g observe rounds + a verified
+final round — see run_fsm). Plans with no varint and no Gorilla use the
+cheaper arithmetic path in device_codec. Wire behavior is locked against the
+numpy kernel of truth and the reference C++ in tests/test_device_fsm.py.
 """
 
 from __future__ import annotations
@@ -68,11 +70,13 @@ class FsmLayout:
 
     Positional codes (record0 region first so the ``+1`` advance never
     collides with the wrap sentinel):
-      [0, R0)            record-0 copies of slots 0..gslot (Gorilla start is
-                         the last record-0 code; consumes the raw token)
+      [0, R0)            record-0 copies of EVERY slot when Gorilla slots
+                         exist (V: one holding code; F/G: width codes — a
+                         Gorilla slot's record-0 token is the raw type-width
+                         value); the last code + 1 flows into R0
       [R0, R0+P)         steady-state codes: slot entries consecutive in
-                         stream order; a Gorilla slot occupies its start code
-                         g0 plus countdown codes g0+1..g0+9 where code
+                         stream order; each Gorilla slot occupies its start
+                         code g0 plus countdown codes g0+1..g0+9 where code
                          g0 + (10 - r) means "r bytes of the token remain
                          (including the current byte)" — so advancing is
                          always ``p + 1`` and a token of length n enters at
@@ -82,7 +86,9 @@ class FsmLayout:
       -1                 IDLE (dynamic-start streams only): consumes bytes
                          before the stream's start offset
     The full state code is ``p * HL + L`` when a Gorilla slot exists
-    (L = window length component), else just ``p``.
+    (L = window length component; exact tier is single-Gorilla only), else
+    just ``p`` — the speculative hl==1 tier carries NO L component and pins
+    a per-slot runtime scalar instead.
     """
 
     def __init__(self, plan: CodecPlan, dynamic_start: bool = False):
@@ -101,22 +107,30 @@ class FsmLayout:
                 raise NotImplementedError(unit.kind)
         self.slots = slots
         self.T = len(slots)
-        gs = [i for i, s in enumerate(slots) if s.kind == "G"]
-        if len(gs) > 1:
-            raise NotImplementedError("FSM decode supports at most one Gorilla unit")
-        self.gslot: Optional[int] = gs[0] if gs else None
-        if dynamic_start and self.gslot is not None:
+        self.gslots = [i for i, s in enumerate(slots) if s.kind == "G"]
+        self.gslot: Optional[int] = self.gslots[0] if self.gslots else None
+        if dynamic_start and self.gslots:
             raise NotImplementedError("dynamic-start FSM streams cannot carry Gorilla")
         self.dynamic_start = dynamic_start
 
-        # record-0 region: slots 0..gslot-1 at full width, then 1 code for the
-        # raw-token Gorilla start
+        # record-0 region (r5, multi-Gorilla): when Gorilla slots exist, EVERY
+        # slot gets record-0 codes — V: one holding code; F: width codes; G:
+        # width codes consuming the RAW first token (field_encoder.hpp:161-166
+        # — record 0's Gorilla value is the plain type-width bits, so in
+        # record 0 a Gorilla slot is just a fixed-width slot). The last code
+        # + 1 == R0 flows straight into steady entry[0] (record 1), so no
+        # jump special-cases remain in step().
         r0 = 0
-        if self.gslot is not None:
-            for s in slots[: self.gslot]:
-                r0 += 1 if s.kind == "V" else s.width
-            self.r0g = r0  # record-0 gorilla start code
-            r0 += 1
+        self._r0_f_starts: List[int] = []  # record-0 F/G first-byte codes
+        self._r0_v: List[int] = []
+        if self.gslots:
+            for s in slots:
+                if s.kind == "V":
+                    self._r0_v.append(r0)
+                    r0 += 1
+                else:
+                    self._r0_f_starts.append(r0)
+                    r0 += s.width
         self.R0 = r0
 
         # steady-state entries
@@ -133,29 +147,18 @@ class FsmLayout:
         self.entry = entry
         self.P = p - r0
         self.wrap = p  # p+1 flow hits this -> entry[0]
-        self.g0 = entry[self.gslot] if self.gslot is not None else None
+        self.g0s = [entry[i] for i in self.gslots]
+        self.g0 = self.g0s[0] if self.g0s else None
 
         # V-code sets (steady + record0) as sorted ranges for mask building
         v_codes = [entry[i] for i, s in enumerate(slots) if s.kind == "V"]
-        if self.gslot is not None:
-            q = 0
-            for s in slots[: self.gslot]:
-                if s.kind == "V":
-                    v_codes.append(q)
-                    q += 1
-                else:
-                    q += s.width
+        v_codes += self._r0_v
         self.v_ranges = _ranges(sorted(v_codes))
-        # F first-byte codes (token starts) incl. record-0 copies
+        # F first-byte codes (token starts) incl. ALL record-0 F/G copies
         f_codes = [entry[i] for i, s in enumerate(slots) if s.kind == "F"]
-        if self.gslot is not None:
-            q = 0
-            for s in slots[: self.gslot]:
-                if s.kind == "F":
-                    f_codes.append(q)
-                q += 1 if s.kind == "V" else s.width
+        f_codes += self._r0_f_starts
         self.f_start_codes = sorted(f_codes)
-        self.entry0 = 0 if self.gslot is not None else self.entry[0]
+        self.entry0 = 0 if self.gslots else self.entry[0]
         self.max_record_bytes = sum(
             10 if s.kind == "V" else (11 if s.kind == "G" else s.width)
             for s in slots
@@ -169,11 +172,14 @@ class FsmLayout:
         ``f`` (broadcastable). Pure arithmetic — see the class docstring for
         the numbering that makes the default transition ``p + 1``. ``hl`` is
         the L-tier width (the window-length component enumerates only the L
-        values actually present in the batch, via ``lmap``). ``hl == 1``
-        with a Gorilla slot is the SPECULATIVE single-window tier: the
-        reuse length is the runtime scalar ``l_fixed`` (broadcastable) and
-        the caller must verify the speculation on the replayed states
-        (run_fsm)."""
+        values actually present in the batch, via ``lmap``; single-Gorilla
+        plans only). ``hl == 1`` with Gorilla slots is the SPECULATIVE
+        per-slot single-window tier: the reuse length of slot j is the
+        runtime scalar ``l_fixed[j]`` (broadcastable) and the caller must
+        verify the speculation on the replayed states (run_fsm). Gorilla
+        transitions are p-RELATIVE (r5): any Gorilla token of n bytes enters
+        the countdown at ``p + 11 - n``, so no per-slot target codes ride in
+        the feature word and any number of Gorilla slots shares one branch."""
         if hl > 1:
             p = s // hl
             l = s - p * hl
@@ -183,12 +189,14 @@ class FsmLayout:
         # varint codes hold while the continuation bit is set
         is_v = _in_ranges(p, self.v_ranges)
         p1 = jnp.where(is_v & (msb > 0), p, p + 1)
-        if self.gslot is not None:
-            at_g = p == self.g0
+        if self.gslots:
+            at_g = _in_set(p, self.g0s)
             reuse = (f >> 1) & 1
+            neww = (f >> 2) & 1
             # identity lane map: the L component IS the reuse byte length
             # (lmap left as an escape hatch for explicit maps)
             if hl > 1:
+                assert len(self.gslots) == 1, "exact L tier is single-Gorilla"
                 if lmap is None:
                     l_act = l
                 else:
@@ -197,15 +205,16 @@ class FsmLayout:
                         l_act = jnp.where(l == i, lmap[i], l_act)
             else:
                 assert l_fixed is not None, "hl==1 Gorilla needs l_fixed"
-                l_act = l_fixed
-            # same/new targets ride precomputed in the feature word; only the
-            # reuse target needs runtime state (corrupt L=0 clamps in range;
-            # the replay pass flags it)
-            tgt = jnp.where(reuse > 0, self.g0 + 11 - jnp.maximum(l_act, 1),
-                            (f >> 3) & 511)
-            p1 = jnp.where(at_g, tgt, p1)
-            p1 = jnp.where(p == self.r0g, self.g0 + 11 - self.slots[self.gslot].width, p1)
-            l1 = jnp.where(at_g & (((f >> 2) & 1) > 0), (f >> 12) & 15, l) \
+                l_act = jnp.zeros_like(p)
+                for j, g0 in enumerate(self.g0s):
+                    l_act = jnp.where(p == g0, l_fixed[j], l_act)
+            # token length: same-value 1; new-window length rides in the
+            # feature (slot-independent); reuse length is the pinned/state L
+            # (corrupt L=0 clamps in range; the replay pass flags it)
+            n_tok = jnp.where(reuse > 0, jnp.maximum(l_act, 1),
+                              jnp.where(neww > 0, (f >> 3) & 15, 1))
+            p1 = jnp.where(at_g, p + 11 - jnp.clip(n_tok, 1, 10), p1)
+            l1 = jnp.where(at_g & (neww > 0), (f >> 12) & 15, l) \
                 if hl > 1 else None
         else:
             l1 = None
@@ -217,14 +226,21 @@ class FsmLayout:
 
     def replay_corrupt(self, p: jnp.ndarray, l, f: jnp.ndarray) -> jnp.ndarray:
         """Corrupt-window predicate for the TRUE chain (reference raises:
-        'Gorilla: corrupt window parameters', ref/gorilla.py)."""
-        if self.gslot is None:
+        'Gorilla: corrupt window parameters', ref/gorilla.py). ``l`` is the
+        per-byte window component, or a per-slot sequence of pinned L arrays
+        in the speculative tier. The corrupt-new-window bit is per type
+        width (bit 16: 64-bit slots, bit 18: 32-bit slots)."""
+        if not self.gslots:
             return jnp.zeros(p.shape, bool)
         reuse = ((f >> 1) & 1) > 0
         neww = ((f >> 2) & 1) > 0
-        bad_new = ((f >> 16) & 1) > 0
-        at_g = p == self.g0
-        return at_g & ((reuse & (l == 0)) | (neww & bad_new))
+        bad = jnp.zeros(p.shape, bool)
+        for j, (k, g0) in enumerate(zip(self.gslots, self.g0s)):
+            lj = l[j] if isinstance(l, (list, tuple)) else l
+            bit = 16 if self.slots[k].width == 8 else 18
+            bad_new = ((f >> bit) & 1) > 0
+            bad = bad | ((p == g0) & ((reuse & (lj == 0)) | (neww & bad_new)))
+        return bad
 
     def hyp_codes(self, hl: int) -> np.ndarray:
         """Entry-hypothesis state codes: every steady code, then ENTRY0/IDLE.
@@ -248,10 +264,10 @@ class FsmLayout:
 
     def _starts(self, p, prev_p):
         ts = _in_ranges(p, self.v_ranges) & (p != prev_p)
-        if self.f_start_codes:
+        if self.f_start_codes:  # incl. record-0 F and raw-Gorilla starts
             ts = ts | _in_set(p, self.f_start_codes)
-        if self.gslot is not None:
-            ts = ts | (p == self.g0) | (p == self.r0g)
+        if self.gslots:
+            ts = ts | _in_set(p, self.g0s)
         return ts
 
     def code_to_hyp(self, code: jnp.ndarray, hl: int) -> jnp.ndarray:
@@ -290,27 +306,25 @@ def build_features(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
                    start: Optional[jnp.ndarray], lmap_inv) -> jnp.ndarray:
     """Per-byte packed feature word (C, B) i32:
     bit 0 msb; bit 1 gorilla-reuse control; bit 2 gorilla-new control;
-    bits 3-11 precomputed same/new gorilla-start TARGET code; bits 12-15
-    new-window L lane index (tier map); bit 16 corrupt new-window header;
-    bit 17 next-byte-enters-stream (dynamic start)."""
+    bits 3-6 new-window token BYTE LENGTH (slot-independent — transitions
+    are p-relative, see FsmLayout.step); bits 12-15 new-window L lane index
+    (tier map); bit 16 corrupt new-window header for 64-bit slots, bit 18
+    for 32-bit slots; bit 17 next-byte-enters-stream (dynamic start, never
+    coexists with Gorilla)."""
     b = payloads.astype(jnp.int32)
     f = (b >> 7) & 1
-    if layout.gslot is not None:
-        bits = layout.slots[layout.gslot].width * 8
-        g0 = layout.g0
+    if layout.gslots:
         b1 = jnp.concatenate([b[:, 1:], jnp.zeros_like(b[:, :1])], axis=-1)
         head = b | (b1 << 8)
         m = ((head >> 7) & 0x3F) + 1
         lead = (head >> 2) & 0x1F
         n_new = (13 + m + 7) >> 3
-        tgt_new = jnp.clip(g0 + 11 - n_new, g0 + 1, g0 + 10)
-        tgt_sn = jnp.where((b & 1) == 0, g0 + 10, tgt_new)
         l_new_lane = lmap_inv((2 + m + 7) >> 3)
-        corrupt_new = (lead + m) > bits
         f = (f | (((b & 3) == 1).astype(jnp.int32) << 1)
                | (((b & 3) == 3).astype(jnp.int32) << 2)
-               | (tgt_sn << 3) | (l_new_lane << 12)
-               | (corrupt_new.astype(jnp.int32) << 16))
+               | (n_new << 3) | (l_new_lane << 12)
+               | (((lead + m) > 64).astype(jnp.int32) << 16)
+               | (((lead + m) > 32).astype(jnp.int32) << 18))
     if layout.dynamic_start:
         idx = jnp.arange(payloads.shape[1], dtype=jnp.int32)[None, :]
         f = f | (((idx + 1) == start[:, None]).astype(jnp.int32) << 17)
@@ -405,37 +419,55 @@ def run_fsm(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
     2(P+1) vs 10P+1); the r2 identity-lane-map design (hl=10) remains
     available via _run_tier for reference; enumerating data-observed L
     SUPERSETS (gorilla_l_values) stays rejected — round 1 observes the
-    exact value instead."""
-    if layout.gslot is None:
+    exact value instead.
+
+    MULTI-GORILLA (r5, VERDICT r4 item 7): each Gorilla slot's L is its own
+    near-constant, so the speculation generalizes per slot — n_g observe
+    rounds (round j's states are exact up to the first reuse of a slot whose
+    L was still mis-pinned, so each round pins at least one more slot's true
+    L on valid streams) followed by one final verified run. Soundness does
+    not depend on the observation converging: the final round's states are
+    exact up to the first violating token by the same induction, so a wrong
+    pin is always DETECTED and the chunk escapes to host RETRY."""
+    if not layout.gslots:
         return _run_tier(layout, 1, None, payloads, sizes, start, block)
     c, b = payloads.shape
     feats = build_features(layout, payloads, sizes, start, lambda Lv: Lv)[:, :b]
     idx = jnp.arange(b, dtype=jnp.int32)[None, :]
     active = idx < sizes[:, None]
     INFI = jnp.int32(1 << 30)
+    n_g = len(layout.g0s)
 
-    # ---- round 1: locate the first new-window token, read its true L ------
-    p1_bytes, _c1, _f1, _o1 = _run_tier(
-        layout, 1, jnp.zeros((c,), jnp.int32), payloads, sizes, start, block)
-    at_new1 = active & (p1_bytes == layout.g0) & (((feats >> 2) & 1) > 0)
-    first_i = jnp.min(jnp.where(at_new1, idx, INFI), axis=-1)  # (C,)
-    l_at = jnp.take_along_axis(
-        (feats >> 12) & 15,
-        jnp.clip(first_i, 0, b - 1)[:, None], axis=1)[:, 0]
-    L0 = jnp.where(first_i < INFI, l_at, 0)
+    # ---- observe rounds: locate each slot's first new-window, read its L --
+    L0 = [jnp.zeros((c,), jnp.int32) for _ in range(n_g)]
+    for _ in range(n_g):
+        p_b, _c1, _f1, _o1 = _run_tier(
+            layout, 1, L0, payloads, sizes, start, block)
+        nxt = []
+        for g0 in layout.g0s:
+            at_new = active & (p_b == g0) & (((feats >> 2) & 1) > 0)
+            first_i = jnp.min(jnp.where(at_new, idx, INFI), axis=-1)  # (C,)
+            l_at = jnp.take_along_axis(
+                (feats >> 12) & 15,
+                jnp.clip(first_i, 0, b - 1)[:, None], axis=1)[:, 0]
+            nxt.append(jnp.where(first_i < INFI, l_at, 0))
+        L0 = nxt
 
-    # ---- round 2: run with the observed L, verify the speculation ---------
+    # ---- final round: run with the observed Ls, verify the speculation ----
     p_bytes, corrupt, p_final, ovf = _run_tier(
         layout, 1, L0, payloads, sizes, start, block)
 
-    # ---- verify the speculation on the replayed true states ---------------
-    at_g = active & (p_bytes == layout.g0)
-    neww = at_g & (((feats >> 2) & 1) > 0)
-    reuse = at_g & (((feats >> 1) & 1) > 0) & ~(((feats >> 2) & 1) > 0)
-    nw_i = neww.astype(jnp.int32)
-    seen_excl = (jnp.cumsum(nw_i, axis=-1) - nw_i) > 0
-    viol = jnp.any(neww & (((feats >> 12) & 15) != L0[:, None]), axis=-1)
-    viol = viol | jnp.any(reuse & ~seen_excl, axis=-1)
+    # ---- verify per slot on the replayed true states ----------------------
+    viol = jnp.zeros((c,), bool)
+    for j, g0 in enumerate(layout.g0s):
+        at_g = active & (p_bytes == g0)
+        neww = at_g & (((feats >> 2) & 1) > 0)
+        reuse = at_g & (((feats >> 1) & 1) > 0) & ~(((feats >> 2) & 1) > 0)
+        nw_i = neww.astype(jnp.int32)
+        seen_excl = (jnp.cumsum(nw_i, axis=-1) - nw_i) > 0
+        viol = viol | jnp.any(
+            neww & (((feats >> 12) & 15) != L0[j][:, None]), axis=-1)
+        viol = viol | jnp.any(reuse & ~seen_excl, axis=-1)
     return p_bytes, corrupt & ~viol, p_final, ovf | viol
 
 
@@ -452,7 +484,9 @@ def _run_tier(layout: FsmLayout, hl: int, l_fixed, payloads, sizes, start, block
     lmap = None  # identity lane map: lane == L value
 
     def lmap_inv(Lv):
-        return Lv if hl > 1 else jnp.zeros_like(Lv)
+        # the L lane index is needed by run_fsm's observation/verification
+        # even in the hl==1 speculative tier
+        return Lv
 
     feats = build_features(layout, payloads, sizes, start, lmap_inv)
     if pad:
@@ -463,8 +497,9 @@ def _run_tier(layout: FsmLayout, hl: int, l_fixed, payloads, sizes, start, block
     hyp = jnp.asarray(hyp_np)
     H = hyp_np.shape[0]
 
-    lf1 = l_fixed[:, None, None] if l_fixed is not None else None
-    lf3 = l_fixed[:, None] if l_fixed is not None else None
+    # l_fixed: per-Gorilla-slot pinned reuse lengths, each (C,)
+    lf1 = [x[:, None, None] for x in l_fixed] if l_fixed is not None else None
+    lf3 = [x[:, None] for x in l_fixed] if l_fixed is not None else None
 
     def p1_step(s, f_u):  # f_u: (U, c, nb) — U unrolled byte transitions
         for j in range(U):
@@ -569,10 +604,9 @@ def _run_tier(layout: FsmLayout, hl: int, l_fixed, payloads, sizes, start, block
     if layout.dynamic_start:
         active = active & (p_bytes >= 0)
     # speculative tier: the window component for the corrupt predicate is
-    # the pinned L (l == 0 means "no window observed yet" only when the
-    # chunk truly had no new-window token in block 0 — reuse then flags)
-    l_corr = l_bytes if l_fixed is None else jnp.broadcast_to(
-        l_fixed[:, None], l_bytes.shape)
+    # the per-slot pinned L (L == 0 means "no window observed" — reuse
+    # before any new-window then flags corrupt)
+    l_corr = l_bytes if l_fixed is None else [x[:, None] for x in l_fixed]
     corrupt = jnp.any(active & layout.replay_corrupt(p_bytes, l_corr, feats[:, :b]), axis=-1)
     p_final = s_final // hl if hl > 1 else s_final
     return p_bytes, corrupt, p_final, dedup_overflow

@@ -324,3 +324,63 @@ def test_speculative_window_tier_contract():
     host = PointcloudDecoder(backend="host", chunk_points=CHUNK).decode(info, data)
     dev = PointcloudDecoder(backend="device", chunk_points=CHUNK).decode(info, data)
     assert np.array_equal(host, dev)
+
+
+@pytest.mark.parametrize("kinds", [
+    ("monotonic", "monotonic", "monotonic"),
+    ("monotonic", "constant", "steps"),
+    ("steps", "monotonic", "constant"),
+    # random columns emit many new windows with varying L: the per-slot
+    # speculation mis-predicts, the verify pass flags it, and the chunk
+    # escapes to host RETRY — result must still be bit-exact
+    ("random", "monotonic", "random"),
+])
+def test_multi_gorilla_units_device_decode(kinds):
+    """r5 (VERDICT r4 item 7): plans with >= 2 Gorilla units decode on
+    device via per-slot window speculation — a 3 x FLOAT64-lossless schema
+    (e.g. x/y/z as FLOAT64 without resolution), bit-exact vs the host
+    decoder. The reference factories accept any field multiset
+    (codec_common.cpp:116-198)."""
+    rng = np.random.default_rng(777)
+    n = 2 * CHUNK + 37
+    cols = [_ts_column(rng, n, k) for k in kinds]
+    rows = np.zeros((n, 24), np.uint8)
+    for i, c in enumerate(cols):
+        rows[:, 8 * i: 8 * i + 8] = c.reshape(-1, 1).view(np.uint8)
+    fields = tuple(PointField(nm, 8 * i, FieldType.FLOAT64, None)
+                   for i, nm in enumerate("xyz"))
+    info = _info(fields, n, 24)
+    out = _roundtrip_both(info, rows)
+    got = np.ascontiguousarray(out).view(np.float64).reshape(n, 3)
+    for i, c in enumerate(cols):
+        np.testing.assert_array_equal(got[:, i], c)
+
+
+def test_multi_gorilla_mixed_with_varints_and_fixed():
+    """Two Gorilla units interleaved with FloatN varints, a UINT16 INT_DELTA
+    and an XOR unit — the worst-case mixed layout, device == host."""
+    rng = np.random.default_rng(31337)
+    n = CHUNK + 203
+    pts = np.cumsum(rng.normal(0, 0.05, (n, 3)), axis=0).astype(np.float32)
+    ts1 = _ts_column(rng, n, "monotonic")
+    ts2 = _ts_column(rng, n, "steps")
+    ring = (np.arange(n) % 16).astype(np.uint16)
+    rows = np.zeros((n, 30), np.uint8)
+    rows[:, :12] = pts.view(np.uint8).reshape(n, 12)
+    rows[:, 12:20] = ts1.reshape(-1, 1).view(np.uint8)
+    rows[:, 20:22] = ring.reshape(-1, 1).view(np.uint8)
+    rows[:, 22:30] = ts2.reshape(-1, 1).view(np.uint8)
+    fields = (
+        PointField("x", 0, FieldType.FLOAT32, 0.001),
+        PointField("y", 4, FieldType.FLOAT32, 0.001),
+        PointField("z", 8, FieldType.FLOAT32, 0.001),
+        PointField("t1", 12, FieldType.FLOAT64, None),
+        PointField("ring", 20, FieldType.UINT16, None),
+        PointField("t2", 22, FieldType.FLOAT64, None),
+    )
+    info = _info(fields, n, 30)
+    out = _roundtrip_both(info, rows)
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(out[:, 12:20]).view(np.float64).ravel(), ts1)
+    np.testing.assert_array_equal(
+        np.ascontiguousarray(out[:, 22:30]).view(np.float64).ravel(), ts2)
