@@ -456,10 +456,21 @@ class PointcloudEncoder:
             if first_chunk.shape[0] > ADAPTIVE_MODE_PROBE_POINTS
             else first_chunk.shape[0]
         )
+        from .. import native
+
+        use_native = native.available()
         modes = {}
         for field in self.plan.adaptive:
             signed, unsigned = np_v5.extract_adaptive_values(field, first_chunk[:probe_n])
-            modes[field.field_index] = np_v5.analyze_modes(signed, unsigned, field.bytes_per_value)
+            if use_native:
+                # same size math in C (differential-tested vs the numpy
+                # oracle); the numpy probe alone cost ~0.7 ms of the 4.2 ms
+                # single-message p50 (r5 latency profile)
+                modes[field.field_index] = native.v5_analyze_modes(
+                    field, signed, unsigned)
+            else:
+                modes[field.field_index] = np_v5.analyze_modes(
+                    signed, unsigned, field.bytes_per_value)
         return modes
 
     def _encode_regular(self, points: np.ndarray, n_chunks: int) -> List[np.ndarray]:
@@ -505,6 +516,13 @@ class PointcloudDecoder:
         self.chunk_points = chunk_points
         self._device_dec = None
         self._device_key = None
+        # RETRY telemetry (VERDICT r4 item 9): the FSM speculation tiers
+        # escape legal-but-unusual chunks to the host at host speed; these
+        # counters make that cliff observable (codec_benchmark --explain
+        # prints them). device_chunks counts chunks decoded on device,
+        # retry_chunks the subset re-decoded host-side via the RETRY escape.
+        self.device_chunks = 0
+        self.retry_chunks = 0
 
     def decode(self, info: EncodingInfo, compressed_data: bytes) -> np.ndarray:
         if compressed_data[: len(MAGIC_HEADER)] == MAGIC_HEADER:
@@ -623,10 +641,12 @@ class PointcloudDecoder:
         from ..ops.adaptive_decode import RETRY
 
         row = 0
+        self.device_chunks += len(chunks)
         for i, (raw, (_, pts)) in enumerate(zip(raws, chunks)):
             if consumed[i] == RETRY:
                 # legal-but-unusual stream shapes (e.g. per-chunk V5 wire
                 # modes diverging): decode this chunk entirely host-side
+                self.retry_chunks += 1
                 self._decode_stage1_host(info, plan, np.frombuffer(raw, np.uint8),
                                          out[row : row + pts])
                 row += pts

@@ -141,6 +141,10 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
             ctypes.c_int, ctypes.c_int, ctypes.c_void_p, ctypes.c_longlong,
         ]
+        lib.cldn_v5_analyze_modes.restype = ctypes.c_longlong
+        lib.cldn_v5_analyze_modes.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -232,6 +236,18 @@ def v5_encode_section(field, mode: int, signed: np.ndarray, unsigned: np.ndarray
         out.ctypes.data, cap,
     )
     return out[: _check(rc)]
+
+
+def v5_analyze_modes(field, signed: np.ndarray, unsigned: np.ndarray) -> int:
+    """Native V5 probe: committed wire mode for one adaptive field (same size
+    math as ref/v5.py analyze_modes, differential-tested against it)."""
+    lib = get_lib()
+    assert lib is not None
+    signed = np.ascontiguousarray(signed, dtype=np.int64)
+    unsigned = np.ascontiguousarray(unsigned, dtype=np.uint64)
+    return int(lib.cldn_v5_analyze_modes(
+        signed.ctypes.data, unsigned.ctypes.data, signed.shape[0],
+        field.bytes_per_value))
 
 
 def gorilla_encode_column(bits: np.ndarray, type_bits: int):

@@ -641,6 +641,91 @@ long long cldn_v5_encode_section(
   return pos;
 }
 
+// V5 adaptive-mode probe: size all four wire modes over the probe window and
+// return the smallest (analyzeAdaptiveIntField + selectBestAdaptiveIntMode,
+// reference v5_codec.cpp:387-412). Byte-for-byte the same size math as the
+// numpy oracle (ref/v5.py analyze_modes); ties resolve in mode order
+// DeltaVarint < Palette < Rle < DeltaRle like the oracle's strict '<'.
+long long cldn_v5_analyze_modes(const int64_t* signed_vals,
+                                const uint64_t* raw_vals, long long n,
+                                int bpv) {
+  if (n <= 0) return 0;
+  auto zz = [](int64_t v) -> uint64_t {
+    return ((static_cast<uint64_t>(v) << 1) ^ static_cast<uint64_t>(v >> 63)) +
+           1;  // +1: raw 0 reserved for the NaN marker
+  };
+  auto vlen = [](uint64_t u) -> long long {
+    long long l = 1;
+    while (u > 0x7F) {
+      u >>= 7;
+      ++l;
+    }
+    return l;
+  };
+  long long delta_bytes = 1;
+  long long palette_count = 0;
+  size_t tab = 1;
+  while (tab < static_cast<size_t>(2 * n + 2)) tab <<= 1;
+  std::vector<uint64_t> keys(tab);
+  std::vector<uint8_t> used(tab, 0);
+  int64_t prev = 0;
+  for (long long k = 0; k < n; ++k) {
+    delta_bytes += vlen(zz(wrap_sub(signed_vals[k], prev)));
+    prev = signed_vals[k];
+    const uint64_t v = raw_vals[k];
+    uint64_t h = v * 0x9E3779B97F4A7C15ULL;
+    h ^= h >> 32;
+    size_t s = static_cast<size_t>(h) & (tab - 1);
+    for (;;) {
+      if (!used[s]) {
+        used[s] = 1;
+        keys[s] = v;
+        ++palette_count;
+        break;
+      }
+      if (keys[s] == v) break;
+      s = (s + 1) & (tab - 1);
+    }
+  }
+  long long rle_bytes = 1 + 4;
+  long long i = 0;
+  while (i < n) {
+    long long j = i + 1;
+    while (j < n && raw_vals[j] == raw_vals[i]) ++j;
+    rle_bytes += bpv + vlen(static_cast<uint64_t>(j - i));
+    i = j;
+  }
+  long long drle_bytes = 1 + 4;
+  prev = 0;
+  i = 0;
+  while (i < n) {
+    const int64_t d = wrap_sub(signed_vals[i], prev);
+    long long j = i + 1;
+    while (j < n && wrap_sub(signed_vals[j], signed_vals[j - 1]) == d) ++j;
+    drle_bytes += vlen(zz(d)) + vlen(static_cast<uint64_t>(j - i));
+    prev = signed_vals[j - 1];
+    i = j;
+  }
+  int bits = 0;
+  while ((1LL << bits) < palette_count) ++bits;
+  const long long palette_bytes =
+      1 + 2 + palette_count * bpv + (static_cast<long long>(bits) * n + 7) / 8;
+  int best_mode = 0;
+  long long best = delta_bytes;
+  if (palette_bytes < best) {
+    best_mode = 1;
+    best = palette_bytes;
+  }
+  if (rle_bytes < best) {
+    best_mode = 2;
+    best = rle_bytes;
+  }
+  if (drle_bytes < best) {
+    best_mode = 3;
+  }
+  return best_mode;
+}
+
 // Standalone Gorilla column encode: bits[n] -> byte-aligned stream.
 // lengths[i] receives the per-value byte count. Returns total bytes or <0.
 long long cldn_gorilla_encode_column(

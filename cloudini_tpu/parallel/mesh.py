@@ -53,6 +53,10 @@ class ShardedChunkCodec:
         self.point_step = point_step
         self._dec: Optional[DeviceStage1Decoder] = None
         self.plan = plan
+        # RETRY telemetry (VERDICT r4 item 9): decode_exact counts chunks it
+        # escaped to the host so the FSM-speculation cliff is observable
+        self.device_chunks = 0
+        self.retry_chunks = 0
 
         shard = NamedSharding(mesh, P(axis))
         self._enc_jit = jax.jit(
@@ -111,6 +115,8 @@ class ShardedChunkCodec:
         from ..ops.adaptive_decode import RETRY
 
         bad = np.nonzero((cons == RETRY) & (np.asarray(n_valid) > 0))[0]
+        self.device_chunks += int((np.asarray(n_valid) > 0).sum())
+        self.retry_chunks += len(bad)
         if len(bad):
             from .. import native
             from ..ref import stage1 as np_stage1

@@ -145,6 +145,13 @@ def run(path: str, modes, compression: CompressionOption, resolution: float,
             st.dec_s += (time.perf_counter() - t0) / max(1, decode_repeat)
             if do_hash:
                 st.fingerprint = chain_fingerprint(st.fingerprint, fnv1a_fast(decoded.tobytes()))
+    if do_explain:
+        # RETRY-rate telemetry (VERDICT r4 item 9): chunks the device FSM
+        # speculation escaped back to the host decode at host speed — a
+        # nonzero rate on a real bag means the one-window-per-chunk premise
+        # is being violated and the decode is silently running at host speed
+        print(f"  device decode RETRY rate: {decoder.retry_chunks}/"
+              f"{decoder.device_chunks} chunks escaped to host")
     return stats
 
 

@@ -94,3 +94,41 @@ def test_native_truncated_raises():
     with pytest.raises(ValueError):
         native.decode_chunk(build_plan(info, for_decode=True), data[: len(data) // 3],
                             np.zeros_like(rows), rows.shape[0])
+
+
+def test_native_v5_analyze_matches_numpy():
+    """cldn_v5_analyze_modes must pick the same committed mode as the numpy
+    oracle on sequences engineered toward each of the four wire modes, plus
+    randomized mixes (the reference's own mode-forcing test pattern,
+    test_field_encoders.cpp:590-693)."""
+    import numpy as np
+
+    from cloudini_tpu import native
+    from cloudini_tpu.core.plan import AdaptiveField
+    from cloudini_tpu.core.types import FieldType
+    from cloudini_tpu.ref import v5 as np_v5
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native runtime unavailable")
+    rng = np.random.default_rng(42)
+    n = 4096
+    cases = [
+        rng.integers(-2**40, 2**40, n),                    # wide -> DeltaVarint
+        rng.integers(0, 7, n),                             # few values -> Palette
+        np.repeat(rng.integers(0, 2**20, 64), n // 64),    # runs -> Rle
+        np.cumsum(np.repeat(rng.integers(1, 5, 64), n // 64)),  # DeltaRle
+        np.zeros(n, np.int64),
+        np.arange(n),
+        rng.integers(-5, 5, n),
+    ]
+    for t, bpv in ((FieldType.INT16, 2), (FieldType.INT32, 4), (FieldType.INT64, 8)):
+        field = AdaptiveField(field_index=0, name="f", type=t, offset=0)
+        for k, vals in enumerate(cases):
+            lim = 2 ** (8 * bpv - 1)
+            v = np.clip(vals, -lim, lim - 1).astype(np.int64)
+            raw = v.astype(np.uint64) & np.uint64((1 << (8 * bpv)) - 1)
+            want = np_v5.analyze_modes(v, raw, bpv)
+            got = native.v5_analyze_modes(field, v, raw)
+            assert got == want, f"case {k} bpv {bpv}: native {got} != numpy {want}"
