@@ -8,7 +8,7 @@ hardware exists. Reference target: BASELINE >=80% scaling efficiency;
 the analogue here is "how early does one chip saturate as the batch
 grows" (perfect scaling = flat GB/s once past dispatch overhead).
 
-Writes SCALING_r03.json. Honest-timing rules per
+Writes SCALING_r05.json. Honest-timing rules per
 .claude/skills/verify/SKILL.md (chained content-unique iterations, D2H
 sync post-warmup).
 """
@@ -53,7 +53,7 @@ def main():
     iota = jnp.arange(CHUNK, dtype=jnp.int32)[None, :]
 
     points = []
-    for C in (1, 2, 4, 8, 16, 32, 64):
+    for C in (1, 2, 4, 8, 16, 32, 64, 128):
         reps = -(-C * CHUNK // rows.shape[0])
         big = np.tile(rows, (reps, 1))[: C * CHUNK]
         chunks = big.reshape(C, CHUNK, 16)
@@ -99,7 +99,7 @@ def main():
                  "scaling efficiency on 1 available chip (VERDICT r2 item 10); "
                  "per-dispatch overhead = extrapolate ms_per_iter at C=1"),
     }
-    (REPO / "SCALING_r03.json").write_text(json.dumps(out, indent=1))
+    (REPO / "SCALING_r05.json").write_text(json.dumps(out, indent=1))
     print(json.dumps(out))
 
 
