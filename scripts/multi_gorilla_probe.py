@@ -1,0 +1,113 @@
+#!/usr/bin/env python3
+"""Chip measurement for the r5 multi-Gorilla FSM decode (VERDICT r4 item 7:
+"a 3xFLOAT64-lossless schema decodes on device bit-exact at >= host speed").
+
+Builds a 3xFLOAT64 (x/y/z lossless Gorilla) cloud with timestamp-like
+columns, host-encodes, then measures device FSM decode (4 tier runs: 3
+observe + 1 verify) against the native host decoder on identical data.
+Honest-timing rules per .claude/skills/verify/SKILL.md.
+"""
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+import os
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      str(pathlib.Path(__file__).resolve().parent.parent / ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cloudini_tpu import native
+from cloudini_tpu.core.plan import build_plan
+from cloudini_tpu.core.types import (
+    CompressionOption, EncodingInfo, EncodingOptions, FieldType, PointField,
+)
+from cloudini_tpu.ops.device_codec import DeviceStage1Decoder
+
+MULT = np.int32(-1640531535)
+CH = 32 * 1024
+C = 16
+
+
+def main():
+    rng = np.random.default_rng(0)
+    n = C * CH
+    # three timestamp-like lossless f64 columns (monotonic / stepped / mixed)
+    t1 = 1.7e9 + np.cumsum(rng.uniform(0, 1e-4, n))
+    t2 = np.repeat(rng.uniform(0, 1e6, n // 8), 8)[:n]
+    t3 = 2.5e8 + np.cumsum(rng.uniform(0, 1e-2, n))
+    rows = np.zeros((n, 24), np.uint8)
+    for i, c in enumerate((t1, t2, t3)):
+        rows[:, 8 * i: 8 * i + 8] = c.astype(np.float64).reshape(-1, 1).view(np.uint8)
+    fields = tuple(PointField(nm, 8 * i, FieldType.FLOAT64, None)
+                   for i, nm in enumerate("xyz"))
+    info = EncodingInfo(fields=fields, width=n, height=1, point_step=24,
+                        encoding_opt=EncodingOptions.LOSSY,
+                        compression_opt=CompressionOption.NONE, version=4)
+    eplan = build_plan(info)
+    dplan = build_plan(info, for_decode=True)
+    chunks = rows.reshape(C, CH, 24)
+    mpb = eplan.max_encoded_point_bytes
+    plist = [np.asarray(native.encode_chunk(eplan, chunks[i], mpb)) for i in range(C)]
+    b = -(-(max(len(p) for p in plist) + 1) // 1024) * 1024
+    payloads = np.zeros((C, b), np.uint8)
+    sizes = np.zeros(C, np.int32)
+    for i, p in enumerate(plist):
+        payloads[i, : len(p)] = p
+        sizes[i] = len(p)
+    dec = DeviceStage1Decoder(dplan, 24, chunk_points=CH, max_bytes=b)
+    d_pay = jax.device_put(payloads)
+    d_sz = jax.device_put(sizes)
+    d_nv = jax.device_put(np.full(C, CH, np.int32))
+    out, cons = jax.block_until_ready(dec.decode_chunks(d_pay, d_sz, d_nv))
+    cons_h = np.asarray(cons)
+    n_retry = int((cons_h >= 2**31 - 2).sum())
+    print(f"# retry/bad chunks: {n_retry}/{C}")
+    assert n_retry == 0, "speculation should hold on timestamp-like columns"
+    # bit-exactness vs host native on chunk 0 and C-1
+    for i in (0, C - 1):
+        want = np.zeros((CH, 24), np.uint8)
+        native.decode_chunk(dplan, np.frombuffer(plist[i], np.uint8), want, CH)
+        got = np.asarray(out[i])
+        assert np.array_equal(got, want), f"chunk {i} mismatch"
+    print("# bit-exact vs host native")
+
+    @jax.jit
+    def mix(p, o, k):
+        st = (o.reshape(o.shape[0], -1).astype(jnp.int32) * MULT).sum() + k * np.int32(40503)
+        v = (((st + jnp.arange(C, dtype=jnp.int32) * MULT) >> 7) & 0x7F).astype(jnp.uint8)
+        return p.at[:, -1].set(v)
+
+    _ = np.asarray(out[:1, :1, :1])  # D2H sync
+    best = float("inf")
+    for trial in range(2):
+        base = jnp.int32(1000 * trial)
+        pp = jax.block_until_ready(mix(d_pay, out, base))
+        t0 = time.perf_counter()
+        for i in range(6):
+            o_i, c_i = dec.decode_chunks(pp, d_sz, d_nv)
+            pp = mix(pp, o_i, base + jnp.int32(i + 1))
+        jax.block_until_ready((o_i, c_i, pp))
+        best = min(best, (time.perf_counter() - t0) / 6)
+        o_i.delete(), pp.delete()
+
+    out_h = np.zeros((CH, 24), np.uint8)
+    t_hosts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        for i in range(4):
+            native.decode_chunk(dplan, np.frombuffer(plist[i % C], np.uint8), out_h, CH)
+        t_hosts.append((time.perf_counter() - t0) / 4 * C)
+    t_hosts.sort()
+    t_host = t_hosts[2]
+    print(f"device {rows.nbytes/best/1e9:.3f} GB/s vs host-native "
+          f"{rows.nbytes/t_host/1e9:.3f} GB/s (median-of-5) -> "
+          f"vs_host {t_host/best:.2f}x")
+
+
+if __name__ == "__main__":
+    main()
