@@ -41,6 +41,9 @@ N_CHUNKS = 64
 ITERS = 6  # r5: 2 trials x 6 iters (was 3 x 8) — the headline alone ran 588 s
 # in one degraded-tunnel r4 driver run; the trim keeps every row inside the
 # driver deadline (VERDICT r4 item 2) at ~2% measured noise cost
+SCAN_ITERS = 24  # headline scan-chain window: the one blocking RTT (~30 ms)
+# amortizes over the window, so longer windows read closer to pure device
+# throughput; 24 steps x ~13 ms device = ~0.3 s per trial
 # measured on this machine (1-core reference C++, lidar.pcd XYZI, stage-1 only):
 # encode 2.866 ms + decode 3.334 ms for 1 846 160 B  ->  0.2977 GB/s round trip
 FALLBACK_BASELINE_GBPS = 0.2977
@@ -186,29 +189,78 @@ def main():
         # the hot no-NaN path, not the corrupt-stream reset path
         return p.at[:, -1].set(v)
 
-    # three trials with disjoint content streams (k offsets), best-of —
-    # the shared host/tunnel adds large run-to-run noise
+    # r5 methodology: the timed chain runs as ONE device-resident lax.scan
+    # per trial (still content-unique: each step folds the full previous
+    # output through the wide-entropy mix into the next input). The old
+    # per-iteration dispatch loop measured the codec PLUS a per-call host
+    # cost that r4's probe showed was ~0 but the faster r5 kernels exposed
+    # (decode: 6.8 ms/iter of the 13.0 ms wall — scripts/scan_chain_probe).
+    # Sustained streaming (the production shape: windows of chunk batches)
+    # pays one dispatch per window, which is what the scan models; the
+    # per-dispatch mode is still measured and reported alongside.
+    ks = jnp.arange(SCAN_ITERS, dtype=jnp.int32)
+
+    @jax.jit
+    def enc_chain(rr, base):
+        def body(r, k):
+            p, s = enc.raw_fn(r, d_valid)
+            st = (p.astype(jnp.int32) * _MULT).sum() + (base + k) * np.int32(40503)
+            v = (((st + _iota_pts * _MULT) >> 7) & 0x7F).astype(jnp.uint8)
+            return r.at[:, :, 12].set(v), jnp.sum(s)
+
+        return jax.lax.scan(body, rr, ks)
+
+    @jax.jit
+    def dec_chain(pp, base):
+        def body(p_, k):
+            o, c = dec.raw_fn(p_, sizes, d_valid)
+            st = (o.astype(jnp.int32) * _MULT).sum() + (base + k) * np.int32(40503)
+            v = (((st + jnp.arange(N_CHUNKS, dtype=jnp.int32) * _MULT) >> 7)
+                 & 0x7F).astype(jnp.uint8)
+            return p_.at[:, -1].set(v), jnp.sum(c)
+
+        return jax.lax.scan(body, pp, ks)
+
+    # warm the chains, then best-of-2 disjoint-content trials
+    jax.block_until_ready(enc_chain(_mix_rows(d_rows, payloads, jnp.int32(9)),
+                                    jnp.int32(90)))
+    jax.block_until_ready(dec_chain(_mix_payload(payloads, decoded, jnp.int32(9)),
+                                    jnp.int32(90)))
+    print(f"# t={time.monotonic()-_START:.0f}s chains compiled", file=sys.stderr)
     t_enc = float("inf")
     t_dec = float("inf")
     for trial in range(2):
         base = jnp.int32(1000 * trial)
         rr = jax.block_until_ready(_mix_rows(d_rows, payloads, base))
         t0 = time.perf_counter()
-        for i in range(ITERS):
-            p_i, s_i = enc.encode_chunks(rr, d_valid)
-            rr = _mix_rows(rr, p_i, base + jnp.int32(i + 1))
-        jax.block_until_ready((p_i, s_i, rr))
-        t_enc = min(t_enc, (time.perf_counter() - t0) / ITERS)
-        rr.delete(), p_i.delete()
+        out_e = jax.block_until_ready(enc_chain(rr, base))
+        t_enc = min(t_enc, (time.perf_counter() - t0) / SCAN_ITERS)
+        rr.delete(), out_e[0].delete()
 
         pp = jax.block_until_ready(_mix_payload(payloads, decoded, base))
         t0 = time.perf_counter()
-        for i in range(ITERS):
-            o_i, c_i = dec.decode_chunks(pp, sizes, d_valid)
-            pp = _mix_payload(pp, o_i, base + jnp.int32(i + 1))
-        jax.block_until_ready((o_i, c_i, pp))
-        t_dec = min(t_dec, (time.perf_counter() - t0) / ITERS)
-        o_i.delete(), pp.delete()
+        out_d = jax.block_until_ready(dec_chain(pp, base))
+        t_dec = min(t_dec, (time.perf_counter() - t0) / SCAN_ITERS)
+        pp.delete(), out_d[0].delete()
+
+    # per-dispatch mode (the r3-r4 headline loop), one trial each
+    base = jnp.int32(7000)
+    rr = jax.block_until_ready(_mix_rows(d_rows, payloads, base))
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        p_i, s_i = enc.encode_chunks(rr, d_valid)
+        rr = _mix_rows(rr, p_i, base + jnp.int32(i + 1))
+    jax.block_until_ready((p_i, s_i, rr))
+    t_enc_disp = (time.perf_counter() - t0) / ITERS
+    rr.delete(), p_i.delete()
+    pp = jax.block_until_ready(_mix_payload(payloads, decoded, base))
+    t0 = time.perf_counter()
+    for i in range(ITERS):
+        o_i, c_i = dec.decode_chunks(pp, sizes, d_valid)
+        pp = _mix_payload(pp, o_i, base + jnp.int32(i + 1))
+    jax.block_until_ready((o_i, c_i, pp))
+    t_dec_disp = (time.perf_counter() - t0) / ITERS
+    o_i.delete(), pp.delete()
 
     # correctness gate vs the host wire kernels (bit-exact to reference C++),
     # covering EVERY chunk. Raw buffers are never pulled (D2H over this tunnel
@@ -274,6 +326,7 @@ def main():
     # details to stderr for humans
     print(
         f"# enc {total_bytes/t_enc/1e9:.3f} GB/s, dec {total_bytes/t_dec/1e9:.3f} GB/s, "
+        f"dispatched enc {total_bytes/t_enc_disp/1e9:.3f} dec {total_bytes/t_dec_disp/1e9:.3f}, "
         f"ratio {total_bytes/float(sizes_h.sum()):.3f}, fingerprint {fingerprint:#x}, "
         f"baseline(C++ 1-core) {base_gbps:.4f} GB/s, device {jax.devices()[0]}",
         file=sys.stderr,
@@ -283,6 +336,13 @@ def main():
         "value": round(gbps, 4),
         "unit": "GB/s",
         "vs_baseline": round(gbps / base_gbps, 3),
+        "enc_gbps": round(total_bytes / t_enc / 1e9, 4),
+        "dec_gbps": round(total_bytes / t_dec / 1e9, 4),
+        "enc_dispatched_gbps": round(total_bytes / t_enc_disp / 1e9, 4),
+        "dec_dispatched_gbps": round(total_bytes / t_dec_disp / 1e9, 4),
+        "method": f"{SCAN_ITERS}-step device-resident scan chain per trial (one dispatch; "
+                  "contents folded through a wide-entropy mix each step); "
+                  "*_dispatched_gbps = one host dispatch per iteration",
     }
     # the headline prints IMMEDIATELY (a deadline kill mid-matrix must never
     # lose it); the matrix re-prints it last with the config rows embedded
@@ -305,17 +365,17 @@ def main():
     # degraded-tunnel headline (588 s observed r4 vs ~300 typical) cannot
     # starve them; the cheap reuse rows follow.
     for name, cost_s, fn in (
-        ("dds_mixed_fsm_decode", 110, lambda: _cfg_dds_fsm(jax)),
-        ("padded_xyzi_fused_device_lz4", 160,
+        ("dds_mixed_fsm_decode", 60, lambda: _cfg_dds_fsm(jax)),
+        ("padded_xyzi_fused_device_lz4", 90,
          lambda: _cfg_fused_lz4(jax, plan, chunks, n_valid)),
-        ("padded_xyzi_fused_device_zstd", 200,
+        ("padded_xyzi_fused_device_zstd", 150,
          lambda: _cfg_fused_zstd(jax, chunks, n_valid)),
-        ("bag_stream_ragged_batch", 45,
+        ("bag_stream_ragged_batch", 20,
          lambda: _cfg_bag_stream(jax, enc, big, rows)),
-        ("xyz_1mm_zstd1_end_to_end", 90,
+        ("xyz_1mm_zstd1_end_to_end", 45,
          lambda: _cfg_xyz_zstd(jax, enc, chunks, n_valid)),
         ("streaming_latency_per_msg", 60, lambda: _cfg_streaming_latency(jax)),
-        ("mixed_schema_concurrent_batch", 120,
+        ("mixed_schema_concurrent_batch", 30,
          lambda: _cfg_mixed_schema(jax, chunks, n_valid)),
     ):
         if time.monotonic() + cost_s > deadline:
@@ -534,11 +594,10 @@ def _cfg_fused_lz4(jax, plan, chunks, n_valid):
     # validity gate: sampled blocks must round-trip through liblz4
     from cloudini_tpu.codec import stage2 as s2
     from cloudini_tpu.core.types import CompressionOption as CO
-    from cloudini_tpu.ref import stage1 as np_stage1
 
     for i in (0, c - 1):
         blk = np.asarray(payloads[i, : sizes_h[i]]).tobytes()
-        want = np_stage1.encode_chunk(eplan, padded[i]).tobytes()
+        want = _stage1_want(eplan, padded[i])
         got = s2.decompress_chunk(CO.LZ4, blk, len(want) + 1)
         assert got == want, f"fused LZ4 chunk {i} does not round-trip"
     raw = padded.nbytes
@@ -549,11 +608,29 @@ def _cfg_fused_lz4(jax, plan, chunks, n_valid):
     }
 
 
+def _stage1_want(eplan, chunk_rows):
+    """Reference stage-1 bytes for a validity gate: native C when available
+    (~60x the numpy oracle — the oracle's in-matrix cost starved the last
+    bench row in r4), numpy otherwise."""
+    from cloudini_tpu import native
+    from cloudini_tpu.ref import stage1 as np_stage1
+
+    if native.available():
+        return np.asarray(
+            native.encode_chunk(eplan, chunk_rows,
+                                eplan.max_encoded_point_bytes)).tobytes()
+    return np_stage1.encode_chunk(eplan, chunk_rows).tobytes()
+
+
 def _cfg_fused_zstd(jax, chunks, n_valid):
     """BASELINE config 5: the same ROS-padded XYZI workload with stage-2
     ZSTD FUSED into the device program (ops/zstd.py: per-block dynamic/RLE/
     predefined FSE sequences + Huffman literals) — the reference's headline
-    mode (codec_common.cpp:242) with no host stage 2 at all."""
+    mode (codec_common.cpp:242) with no host stage 2 at all. Runs at half
+    the headline batch (C=32): throughput is per-chunk at this size and the
+    row must fit the driver deadline even on a degraded tunnel."""
+    chunks = chunks[: chunks.shape[0] // 2]
+    n_valid = n_valid[: chunks.shape[0]]
     from cloudini_tpu.core.plan import build_plan
     from cloudini_tpu.core.types import (
         CompressionOption,
@@ -582,11 +659,10 @@ def _cfg_fused_zstd(jax, chunks, n_valid):
     # validity gate: sampled frames must round-trip through libzstd
     from cloudini_tpu.codec import stage2 as s2
     from cloudini_tpu.core.types import CompressionOption as CO
-    from cloudini_tpu.ref import stage1 as np_stage1
 
     for i in (0, c - 1):
         frame = np.asarray(payloads[i, : sizes_h[i]]).tobytes()
-        want = np_stage1.encode_chunk(eplan, padded[i]).tobytes()
+        want = _stage1_want(eplan, padded[i])
         got = s2.decompress_chunk(CO.ZSTD, frame, len(want) + 1)
         assert got == want, f"fused ZSTD chunk {i} does not round-trip"
     raw = padded.nbytes

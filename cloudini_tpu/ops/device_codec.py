@@ -477,6 +477,7 @@ class DeviceStage1Encoder:
         # array whose minor dim is not a multiple of 128 falls off the fast
         # DMA path (observed ~1000x slower D2H)
         self.max_bytes = -(-self.max_bytes // 1024) * 1024
+        self.raw_fn = self._encode  # traceable entry for caller-side scan chains
         self._fn = jax.jit(self._encode)
         self._viz_programs: dict = {}
 
@@ -872,8 +873,10 @@ class DeviceStage1Decoder:
             if raw_words_out and self.raw_words_out:
                 raise ValueError("raw_words_out is incompatible with sections")
             self._regular = regular
+            self.raw_fn = self._decode_with_sections
             self._fn = jax.jit(self._decode_with_sections)
         else:
+            self.raw_fn = regular  # traceable entry for caller-side scan chains
             self._fn = jax.jit(regular)
 
     def _decode_with_sections(self, payloads, sizes, n_valid):
