@@ -268,12 +268,16 @@ class PointcloudEncoder:
                     committed_modes = self._commit_modes(chunk)
                 from .. import native
 
-                emit = native.v5_encode_section if native.available() else np_v5.encode_section
                 for field in self.plan.adaptive:
-                    signed, unsigned = np_v5.extract_adaptive_values(field, chunk)
-                    parts.append(
-                        emit(field, committed_modes[field.field_index], signed, unsigned)
-                    )
+                    mode = committed_modes[field.field_index]
+                    if native.available():
+                        # extraction fused into the C emit (the numpy
+                        # strided extract cost ~0.6 ms/msg, r5 profile)
+                        parts.append(native.v5_encode_section_rows(
+                            field, mode, chunk))
+                    else:
+                        signed, unsigned = np_v5.extract_adaptive_values(field, chunk)
+                        parts.append(np_v5.encode_section(field, mode, signed, unsigned))
             stage1_bytes = np.concatenate(parts).tobytes() if len(parts) > 1 else parts[0].tobytes()
             out.append(self._frame(stage1_bytes))
         return b"".join(out)
@@ -461,14 +465,15 @@ class PointcloudEncoder:
         use_native = native.available()
         modes = {}
         for field in self.plan.adaptive:
-            signed, unsigned = np_v5.extract_adaptive_values(field, first_chunk[:probe_n])
             if use_native:
-                # same size math in C (differential-tested vs the numpy
-                # oracle); the numpy probe alone cost ~0.7 ms of the 4.2 ms
-                # single-message p50 (r5 latency profile)
-                modes[field.field_index] = native.v5_analyze_modes(
-                    field, signed, unsigned)
+                # same size math in C, extraction fused (differential-tested
+                # vs the numpy oracle); the numpy probe alone cost ~0.7 ms
+                # of the 4.2 ms single-message p50 (r5 latency profile)
+                modes[field.field_index] = native.v5_analyze_modes_rows(
+                    field, first_chunk[:probe_n])
             else:
+                signed, unsigned = np_v5.extract_adaptive_values(
+                    field, first_chunk[:probe_n])
                 modes[field.field_index] = np_v5.analyze_modes(
                     signed, unsigned, field.bytes_per_value)
         return modes

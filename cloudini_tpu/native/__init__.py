@@ -145,6 +145,17 @@ def get_lib():
         lib.cldn_v5_analyze_modes.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int,
         ]
+        lib.cldn_v5_analyze_modes_rows.restype = ctypes.c_longlong
+        lib.cldn_v5_analyze_modes_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int,
+        ]
+        lib.cldn_v5_encode_section_rows.restype = ctypes.c_longlong
+        lib.cldn_v5_encode_section_rows.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+            ctypes.c_longlong,
+        ]
         _lib = lib
         return _lib
 
@@ -248,6 +259,35 @@ def v5_analyze_modes(field, signed: np.ndarray, unsigned: np.ndarray) -> int:
     return int(lib.cldn_v5_analyze_modes(
         signed.ctypes.data, unsigned.ctypes.data, signed.shape[0],
         field.bytes_per_value))
+
+
+def _is_signed(field) -> bool:
+    return field.type.name.startswith("INT")
+
+
+def v5_analyze_modes_rows(field, chunk_rows: np.ndarray) -> int:
+    """Native V5 probe straight from point rows (extraction fused in C)."""
+    lib = get_lib()
+    assert lib is not None
+    rows = np.ascontiguousarray(chunk_rows)
+    return int(lib.cldn_v5_analyze_modes_rows(
+        rows.ctypes.data, rows.shape[0], rows.shape[1], field.offset,
+        field.bytes_per_value, int(_is_signed(field))))
+
+
+def v5_encode_section_rows(field, mode: int, chunk_rows: np.ndarray) -> np.ndarray:
+    """Native section emit straight from point rows (extraction fused in C)."""
+    lib = get_lib()
+    assert lib is not None
+    rows = np.ascontiguousarray(chunk_rows)
+    n = rows.shape[0]
+    bpv = field.bytes_per_value
+    cap = 8 + n * (max(bpv, 10) + 10)
+    out = np.empty(cap, dtype=np.uint8)
+    rc = lib.cldn_v5_encode_section_rows(
+        rows.ctypes.data, n, rows.shape[1], field.offset, bpv,
+        int(_is_signed(field)), mode, out.ctypes.data, cap)
+    return out[: _check(rc)]
 
 
 def gorilla_encode_column(bits: np.ndarray, type_bits: int):

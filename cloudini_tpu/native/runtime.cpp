@@ -726,6 +726,49 @@ long long cldn_v5_analyze_modes(const int64_t* signed_vals,
   return best_mode;
 }
 
+// Extraction helper shared by the *_rows entry points: strided little-endian
+// field bytes -> (sign-extended int64, zero-extended uint64) — the two views
+// the reference keeps (v5_codec.cpp:680-688).
+static void v5_extract(const uint8_t* rows, long long n, int point_step,
+                       int offset, int bpv, int is_signed, int64_t* sv,
+                       uint64_t* rv) {
+  for (long long i = 0; i < n; ++i) {
+    uint64_t u = 0;
+    std::memcpy(&u, rows + i * point_step + offset, bpv);
+    rv[i] = u;
+    if (is_signed && bpv < 8) {
+      const uint64_t sign = 1ULL << (8 * bpv - 1);
+      sv[i] = static_cast<int64_t>((u ^ sign) - sign);
+    } else {
+      sv[i] = static_cast<int64_t>(u);
+    }
+  }
+}
+
+// Row-direct variants: extraction + probe/section-emit in one native call
+// (the per-chunk numpy strided extraction cost ~0.6 ms of the 3.8 ms
+// single-message p50, r5 latency profile).
+long long cldn_v5_analyze_modes_rows(const uint8_t* rows, long long n,
+                                     int point_step, int offset, int bpv,
+                                     int is_signed) {
+  if (n <= 0) return 0;
+  std::vector<int64_t> sv(n);
+  std::vector<uint64_t> rv(n);
+  v5_extract(rows, n, point_step, offset, bpv, is_signed, sv.data(), rv.data());
+  return cldn_v5_analyze_modes(sv.data(), rv.data(), n, bpv);
+}
+
+long long cldn_v5_encode_section_rows(const uint8_t* rows, long long n,
+                                      int point_step, int offset, int bpv,
+                                      int is_signed, int mode, uint8_t* out,
+                                      long long cap) {
+  if (n <= 0) return kErrBadUnit;
+  std::vector<int64_t> sv(n);
+  std::vector<uint64_t> rv(n);
+  v5_extract(rows, n, point_step, offset, bpv, is_signed, sv.data(), rv.data());
+  return cldn_v5_encode_section(sv.data(), rv.data(), n, mode, bpv, out, cap);
+}
+
 // Standalone Gorilla column encode: bits[n] -> byte-aligned stream.
 // lengths[i] receives the per-value byte count. Returns total bytes or <0.
 long long cldn_gorilla_encode_column(

@@ -422,13 +422,20 @@ def run_fsm(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
     exact value instead.
 
     MULTI-GORILLA (r5, VERDICT r4 item 7): each Gorilla slot's L is its own
-    near-constant, so the speculation generalizes per slot — n_g observe
-    rounds (round j's states are exact up to the first reuse of a slot whose
-    L was still mis-pinned, so each round pins at least one more slot's true
-    L on valid streams) followed by one final verified run. Soundness does
-    not depend on the observation converging: the final round's states are
-    exact up to the first violating token by the same induction, so a wrong
-    pin is always DETECTED and the chunk escapes to host RETRY."""
+    near-constant, so the speculation generalizes per slot — ONE observe
+    round pins every slot's L, then one final verified run. The single
+    observe round is exact up to the first reuse token of ANY slot; on real
+    streams every slot's first new-window lands at the chunk start (record 0
+    is raw, the first steady token of each Gorilla column is almost always a
+    new window) — before any reuse — so one round observes all slots. A
+    contrived interleaving (a reuse of a still-mis-pinned slot before some
+    other slot's first new-window) garbles that slot's observation, and the
+    VERIFY round then flags it: soundness does not depend on the observation
+    converging — the final round's states are exact up to the first
+    violating token by induction, so a wrong pin is always DETECTED and the
+    chunk escapes to host RETRY (costing speed, never bytes). Cost for any
+    n_g is 2 tier runs, same as single-Gorilla (a per-slot n_g-round ladder
+    was measured 0.87x host-native at n_g=3; 2 rounds is ~1.7x)."""
     if not layout.gslots:
         return _run_tier(layout, 1, None, payloads, sizes, start, block)
     c, b = payloads.shape
@@ -438,20 +445,19 @@ def run_fsm(layout: FsmLayout, payloads: jnp.ndarray, sizes: jnp.ndarray,
     INFI = jnp.int32(1 << 30)
     n_g = len(layout.g0s)
 
-    # ---- observe rounds: locate each slot's first new-window, read its L --
+    # ---- observe round: locate each slot's first new-window, read its L ---
     L0 = [jnp.zeros((c,), jnp.int32) for _ in range(n_g)]
-    for _ in range(n_g):
-        p_b, _c1, _f1, _o1 = _run_tier(
-            layout, 1, L0, payloads, sizes, start, block)
-        nxt = []
-        for g0 in layout.g0s:
-            at_new = active & (p_b == g0) & (((feats >> 2) & 1) > 0)
-            first_i = jnp.min(jnp.where(at_new, idx, INFI), axis=-1)  # (C,)
-            l_at = jnp.take_along_axis(
-                (feats >> 12) & 15,
-                jnp.clip(first_i, 0, b - 1)[:, None], axis=1)[:, 0]
-            nxt.append(jnp.where(first_i < INFI, l_at, 0))
-        L0 = nxt
+    p_b, _c1, _f1, _o1 = _run_tier(
+        layout, 1, L0, payloads, sizes, start, block)
+    nxt = []
+    for g0 in layout.g0s:
+        at_new = active & (p_b == g0) & (((feats >> 2) & 1) > 0)
+        first_i = jnp.min(jnp.where(at_new, idx, INFI), axis=-1)  # (C,)
+        l_at = jnp.take_along_axis(
+            (feats >> 12) & 15,
+            jnp.clip(first_i, 0, b - 1)[:, None], axis=1)[:, 0]
+        nxt.append(jnp.where(first_i < INFI, l_at, 0))
+    L0 = nxt
 
     # ---- final round: run with the observed Ls, verify the speculation ----
     p_bytes, corrupt, p_final, ovf = _run_tier(
