@@ -66,8 +66,15 @@ def decoder_prefers_device(plan: CodecPlan) -> bool:
     ``dds_mixed_fsm_decode`` measures 1.00 GB/s on chip vs 0.672 host-native
     on the real tiled dds fixture (vs_host_native 1.49). Mis-speculating
     chunks escape to the host via RETRY, so exactness is preserved for any
-    stream. Small clouds still route to the host via AUTO_DEVICE_MIN_CHUNKS."""
-    return decoder_supports_plan(plan)
+    stream. Small clouds still route to the host via AUTO_DEVICE_MIN_CHUNKS.
+
+    Plans with >= 2 Gorilla units decode on device (r5) but measure ~parity
+    with the sequential host decoder (scripts/multi_gorilla_probe.py: 0.42
+    GB/s device vs 0.40-0.65 host on a 3xFLOAT64 cloud, C=16 — the three
+    per-slot value-assembly passes dominate), so ``auto`` keeps them on the
+    host; backend='device' still dispatches them."""
+    n_gorilla = sum(1 for u in plan.units if u.kind == UnitKind.GORILLA)
+    return decoder_supports_plan(plan) and n_gorilla <= 1
 
 
 def decoder_supports_plan(plan: CodecPlan) -> bool:
