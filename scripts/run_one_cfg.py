@@ -2,7 +2,7 @@
 """Run a single bench.py config row standalone (r3 re-measurements of the
 fused stage-2 rows after the r2 measurement-artifact finding, DECISIONS.md).
 
-Usage: python scripts/run_one_cfg.py {fused_lz4|fused_zstd|dds_fsm|mixed_schema|xyz_zstd}
+Usage: python scripts/run_one_cfg.py {fused_lz4|fused_zstd|dds_fsm|mixed_schema|xyz_zstd|latency}
 """
 
 import json
@@ -42,6 +42,8 @@ def main():
         row = bench._cfg_mixed_schema(jax, chunks, n_valid)
     elif which == "xyz_zstd":
         row = bench._cfg_xyz_zstd(jax, None, chunks, n_valid)
+    elif which == "latency":
+        row = bench._cfg_streaming_latency(jax)
     else:
         raise SystemExit(f"unknown config {which}")
     print(f"# wall {time.time()-t0:.0f}s", file=sys.stderr)
