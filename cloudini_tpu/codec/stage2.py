@@ -38,7 +38,7 @@ def _lz4():
         lib.LZ4_decompress_safe.restype = ctypes.c_int
         lib.LZ4_decompress_safe.argtypes = [
             ctypes.c_char_p,
-            ctypes.c_char_p,
+            ctypes.c_void_p,  # dst: a raw numpy buffer (no zero-fill/copy)
             ctypes.c_int,
             ctypes.c_int,
         ]
@@ -106,11 +106,14 @@ def decompress_chunk(compression: CompressionOption, data: bytes, max_size: int)
         return data
     if compression == CompressionOption.LZ4:
         lib = _lz4()
-        dst = ctypes.create_string_buffer(max_size)
-        n = lib.LZ4_decompress_safe(data, dst, len(data), max_size)
+        # decompress straight into an uninitialized numpy buffer:
+        # create_string_buffer's zero-fill plus the .raw full-size copy cost
+        # ~30% of host LZ4 decode (measured 360 vs the reference's 518 MB/s)
+        out = np.empty(max_size, np.uint8)
+        n = lib.LZ4_decompress_safe(data, out.ctypes.data, len(data), max_size)
         if n < 0:
             raise RuntimeError("LZ4 decompression failed")
-        return dst.raw[:n]
+        return out[:n].tobytes()
     if compression == CompressionOption.ZSTD:
         return _zstd_dctx().decompress(data, max_output_size=max_size)
     raise ValueError(f"Unsupported compression option {compression}")
