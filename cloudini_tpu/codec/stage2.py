@@ -31,7 +31,7 @@ def _lz4():
         lib.LZ4_compress_default.restype = ctypes.c_int
         lib.LZ4_compress_default.argtypes = [
             ctypes.c_char_p,
-            ctypes.c_char_p,
+            ctypes.c_void_p,  # dst: a raw numpy buffer (no zero-fill/copy)
             ctypes.c_int,
             ctypes.c_int,
         ]
@@ -65,11 +65,13 @@ def compress_chunk(compression: CompressionOption, data: bytes) -> bytes:
     if compression == CompressionOption.LZ4:
         lib = _lz4()
         bound = lz4_compress_bound(len(data))
-        dst = ctypes.create_string_buffer(bound)
-        n = lib.LZ4_compress_default(data, dst, len(data), bound)
+        # uninitialized numpy dst: see decompress_chunk (the zero-fill +
+        # .raw copy of the worst-case bound buffer is pure overhead)
+        out = np.empty(bound, np.uint8)
+        n = lib.LZ4_compress_default(data, out.ctypes.data, len(data), bound)
         if n <= 0:
             raise RuntimeError("LZ4 compression failed")
-        return dst.raw[:n]
+        return out[:n].tobytes()
     if compression == CompressionOption.ZSTD:
         # ZSTD_compress(..., level=1): one-shot frame, content size included.
         # Contexts are cached per thread: rebuilding ZstdCompressor per chunk
