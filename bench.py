@@ -533,7 +533,8 @@ def _cfg_xyz_zstd(jax, _enc, chunks, n_valid):
         v = (((st + iota * _MULT) >> 7) & 0x7F).astype(jnp.uint8)
         return r.at[:, :, 8].set(v)
 
-    iters = 6
+    iters = 12  # the one blocking RTT (~30 ms) amortizes over the windows;
+    # 6 windows left ~5 ms/iter of pure link cost in the value (r5)
 
     def run_overlap(compress_window):
         """One chained overlap trial; compress_window(i) does the host
